@@ -1,0 +1,315 @@
+"""A8-A15: evaluation-metric aggregations (SURVEY §2.5).
+
+The reference computes these with sklearn/NumPy on driver arrays
+(func_aux/func_test.py). Here every point metric is a Spark aggregation —
+confusion cells via conditional sums, the multiclass battery via per-class
+TP/FP/FN algebra, ROC/PR machinery via cumulative window sums over the
+score ordering. Only the exact Clopper-Pearson bound needs scalar numerics
+(pure-NumPy bisection; scipy optional).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+EPS = 1e-12  # reference smoothing (func_aux/func_test.py:356-360)
+
+
+def confusion_matrix(
+    df: DataFrame, y_true: str, y_pred: str, labels: list | None = None
+) -> DataFrame:
+    """A10: counts over the (y_true, y_pred) grid. With ``labels`` the grid
+    is densified (zero cells present) via a crossjoin of the label domain —
+    matching sklearn's fixed-label-universe matrix
+    (pipeline_trainingmodels_power.py:200-211)."""
+    counts = df.groupBy(
+        F.col(y_true).alias("true_label"), F.col(y_pred).alias("pred_label")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if labels is None:
+        return counts
+    spark = df.sparkSession
+    dom = spark.createDataFrame([(str(x),) for x in labels], ["l"])
+    grid = dom.select(F.col("l").alias("true_label")).crossJoin(
+        dom.select(F.col("l").alias("pred_label"))
+    )
+    return grid.join(counts, ["true_label", "pred_label"], "left").select(
+        "true_label", "pred_label", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+def binary_confusion_rates(
+    df: DataFrame, y_true: str, y_pred: str, z: float = 1.96
+) -> DataFrame:
+    """A12: TN/FP/FN/TP cells + threshold rates + normal-approx FPR CI
+    (func_aux/func_test.py:334-373). One aggregation pass."""
+    yt, yp = F.col(y_true), F.col(y_pred)
+    cells = df.agg(
+        F.sum(((yt == 0) & (yp == 0)).cast("long")).alias("tn"),
+        F.sum(((yt == 0) & (yp == 1)).cast("long")).alias("fp"),
+        F.sum(((yt == 1) & (yp == 0)).cast("long")).alias("fn"),
+        F.sum(((yt == 1) & (yp == 1)).cast("long")).alias("tp"),
+    )
+    n_neg = F.col("tn") + F.col("fp")
+    fpr = F.when(n_neg > 0, F.col("fp") / n_neg)
+    tpr = F.col("tp") / (F.col("tp") + F.col("fn") + F.lit(EPS))
+    precision = F.col("tp") / (F.col("tp") + F.col("fp") + F.lit(EPS))
+    tnr = F.when(n_neg > 0, F.col("tn") / (n_neg + F.lit(EPS)))
+    balanced = F.lit(0.5) * (tpr + tnr)
+    se = F.sqrt(fpr * (1 - fpr) / n_neg)
+    return cells.select(
+        "tn",
+        "fp",
+        "fn",
+        "tp",
+        fpr.alias("fpr"),
+        tpr.alias("tpr"),
+        precision.alias("precision"),
+        tpr.alias("recall"),
+        tnr.alias("tnr"),
+        balanced.alias("balanced_accuracy"),
+        F.when(n_neg > 0, F.greatest(F.lit(0.0), fpr - F.lit(z) * se)).alias("fpr_ci_low_norm"),
+        F.when(n_neg > 0, F.least(F.lit(1.0), fpr + F.lit(z) * se)).alias("fpr_ci_high_norm"),
+    )
+
+
+def multiclass_point_metrics(df: DataFrame, y_true: str, y_pred: str) -> DataFrame:
+    """A11 point metrics: accuracy, balanced accuracy, macro & weighted
+    precision/recall/F1 (+F2, F0.5) from one per-class TP/FP/FN pass
+    (func_aux/func_test.py:61-171). Zero-division → 0 (sklearn
+    ``zero_division=0``)."""
+    yt, yp = F.col(y_true), F.col(y_pred)
+    per_class = (
+        df.select(yt.alias("c"))
+        .distinct()
+        .join(
+            df.groupBy(yt.alias("c")).agg(
+                F.count(F.lit(1)).alias("support"),
+                F.sum((yp == yt).cast("long")).alias("tp"),
+            ),
+            "c",
+            "left",
+        )
+        .join(
+            df.groupBy(yp.alias("c")).agg(F.count(F.lit(1)).alias("pred_n")),
+            "c",
+            "left",
+        )
+        .select(
+            "c",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+        )
+    )
+
+    def safe_div(a, b):
+        return F.when(b > 0, a / b).otherwise(F.lit(0.0))
+
+    prec = safe_div(F.col("tp"), F.col("pred_n"))
+    rec = safe_div(F.col("tp"), F.col("support"))
+
+    def fbeta(beta: float):
+        b2 = beta * beta
+        denom = b2 * prec + rec
+        return F.when(denom > 0, (1 + b2) * prec * rec / denom).otherwise(F.lit(0.0))
+
+    enriched = per_class.select(
+        "c",
+        "support",
+        "tp",
+        prec.alias("prec"),
+        rec.alias("rec"),
+        fbeta(1.0).alias("f1"),
+        fbeta(2.0).alias("f2"),
+        fbeta(0.5).alias("f05"),
+    )
+    total = F.sum("support")
+    return enriched.agg(
+        (F.sum("tp") / total).alias("accuracy"),
+        F.avg("rec").alias("balanced_accuracy"),
+        F.avg("prec").alias("precision_macro"),
+        F.avg("rec").alias("recall_macro"),
+        F.avg("f1").alias("f1_macro"),
+        F.avg("f2").alias("f2_macro"),
+        F.avg("f05").alias("f0_5_macro"),
+        (F.sum(F.col("prec") * F.col("support")) / total).alias("precision_weighted"),
+        (F.sum(F.col("rec") * F.col("support")) / total).alias("recall_weighted"),
+        (F.sum(F.col("f1") * F.col("support")) / total).alias("f1_weighted"),
+    )
+
+
+def roc_points(df: DataFrame, y_true: str, score: str) -> DataFrame:
+    """A13: ROC curve points at every distinct score threshold.
+
+    Cumulative TP/FP over the descending-score order with ties grouped
+    (each distinct score is one threshold, as in sklearn ``roc_curve``
+    without intermediate dropping). Returns (threshold, cum_tp, cum_fp,
+    fpr, tpr) — totals via window over the whole frame.
+    """
+    per_score = df.groupBy(F.col(score).alias("threshold")).agg(
+        F.sum((F.col(y_true) == 1).cast("long")).alias("pos"),
+        F.sum((F.col(y_true) == 0).cast("long")).alias("neg"),
+    )
+    desc = W.orderBy(F.desc("threshold")).rowsBetween(W.unboundedPreceding, 0)
+    allw = W.orderBy(F.desc("threshold")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return per_score.select(
+        "threshold",
+        F.sum("pos").over(desc).alias("cum_tp"),
+        F.sum("neg").over(desc).alias("cum_fp"),
+        (F.sum("neg").over(desc) / F.sum("neg").over(allw)).alias("fpr"),
+        (F.sum("pos").over(desc) / F.sum("pos").over(allw)).alias("tpr"),
+    )
+
+
+def threshold_at_fpr(df: DataFrame, y_true: str, score: str, fpr_target: float) -> DataFrame:
+    """A13: largest-FPR point with fpr ≤ target (the reference's
+    ``idx_candidates[-1]`` on the ascending-fpr curve,
+    func_aux/func_test.py:252-269); fallback = nearest |fpr − target|.
+    Tie-break on threshold ascending within equal fpr (the curve's last
+    point at that fpr = highest tpr = lowest threshold)."""
+    pts = roc_points(df, y_true, score)
+    candidates = pts.filter(F.col("fpr") <= fpr_target)
+    pick = candidates.orderBy(F.desc("fpr"), F.asc("threshold")).limit(1)
+    fallback = pts.orderBy(
+        F.abs(F.col("fpr") - F.lit(fpr_target)).asc(), F.asc("threshold")
+    ).limit(1)
+    chosen = pick.unionByName(fallback)
+    # first row of (pick ++ fallback): pick wins when non-empty
+    return chosen.limit(1).select("threshold", "fpr", "tpr")
+
+
+def average_precision(df: DataFrame, y_true: str, score: str) -> DataFrame:
+    """A13/PR: AP = Σ (recall_i − recall_{i−1}) · precision_i over
+    descending thresholds (sklearn ``average_precision_score``)."""
+    pts_base = df.groupBy(F.col(score).alias("threshold")).agg(
+        F.sum((F.col(y_true) == 1).cast("long")).alias("pos"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    desc = W.orderBy(F.desc("threshold")).rowsBetween(W.unboundedPreceding, 0)
+    allw = W.orderBy(F.desc("threshold")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    pts = pts_base.select(
+        (F.sum("pos").over(desc) / F.sum("pos").over(allw)).alias("recall"),
+        (F.sum("pos").over(desc) / F.sum("cnt").over(desc)).alias("precision"),
+    )
+    ordered = W.orderBy(F.asc("recall"))
+    with_prev = pts.withColumn("prev_recall", F.coalesce(F.lag("recall").over(ordered), F.lit(0.0)))
+    return with_prev.agg(
+        F.sum((F.col("recall") - F.col("prev_recall")) * F.col("precision")).alias(
+            "average_precision"
+        )
+    )
+
+
+def roc_auc_trapezoid(df: DataFrame, y_true: str, score: str) -> DataFrame:
+    """A13: ROC-AUC by trapezoid over the (fpr, tpr) curve with the (0,0)
+    anchor — matches sklearn ``roc_auc_score`` (which integrates the same
+    curve; collinear interior points don't change the integral)."""
+    pts = roc_points(df, y_true, score).select("fpr", "tpr")
+    ordered = W.orderBy(F.asc("fpr"), F.asc("tpr"))
+    with_prev = pts.select(
+        "fpr",
+        "tpr",
+        F.coalesce(F.lag("fpr").over(ordered), F.lit(0.0)).alias("pfpr"),
+        F.coalesce(F.lag("tpr").over(ordered), F.lit(0.0)).alias("ptpr"),
+    )
+    area = F.sum(
+        (F.col("fpr") - F.col("pfpr")) * (F.col("tpr") + F.col("ptpr")) / F.lit(2.0)
+    )
+    return with_prev.agg(area.alias("roc_auc"))
+
+
+def weighted_log_loss(df: DataFrame, weight: str, p_true: str) -> DataFrame:
+    """A9: sum(w · −log(clip(p))) / sum(w)
+    (pipelines_host/pipeline_host_importance.py:128-151; clip at 1e-7)."""
+    p = F.least(F.greatest(F.col(p_true), F.lit(1e-7)), F.lit(1.0 - 1e-7))
+    return df.agg(
+        (F.sum(F.col(weight) * -F.log(p)) / F.sum(F.col(weight))).alias("weighted_log_loss")
+    )
+
+
+def mean_std_over_runs(df: DataFrame, key_cols: list[str], value: str) -> DataFrame:
+    """A8: nanmean + nanstd(ddof=1) per key; single-run groups get std 0.0
+    (func_aux/func_test.py:513-527 guards len>1)."""
+    return df.groupBy(*key_cols).agg(
+        F.avg(value).alias(f"{value}_mean"),
+        F.when(F.count(value) > 1, F.coalesce(F.stddev_samp(value), F.lit(0.0)))
+        .otherwise(F.lit(0.0))
+        .alias(f"{value}_std"),
+    )
+
+
+def fph_from_fpr(fpr_col, window_hop_seconds: float):
+    """A15: FPR → false-positives-per-hour conversion factor
+    (func_aux/func_test.py:377-403)."""
+    return fpr_col * F.lit(3600.0 / window_hop_seconds)
+
+
+# --- A14: exact Clopper-Pearson CI (scalar numerics) --------------------
+
+
+def clopper_pearson_ci(k: int, n: int, alpha: float = 0.05) -> tuple[float, float]:
+    """Exact binomial CI. Uses scipy's beta.ppf when present, else a
+    pure-NumPy bisection on the regularized incomplete beta (equivalent
+    bound definition: lower = Beta(alpha/2; k, n-k+1) etc.)."""
+    if n == 0:
+        return float("nan"), float("nan")
+    try:
+        from scipy.stats import beta  # type: ignore
+
+        lo = 0.0 if k == 0 else float(beta.ppf(alpha / 2, k, n - k + 1))
+        hi = 1.0 if k == n else float(beta.ppf(1 - alpha / 2, k + 1, n - k))
+        return lo, hi
+    except ImportError:
+        pass
+
+    import math
+
+    def log_beta(a: float, b: float) -> float:
+        return math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+
+    def betainc_reg(a: float, b: float, x: float) -> float:
+        """Regularized incomplete beta via continued fraction (Lentz)."""
+        if x <= 0.0:
+            return 0.0
+        if x >= 1.0:
+            return 1.0
+        if x > (a + 1) / (a + b + 2):
+            return 1.0 - betainc_reg(b, a, 1.0 - x)
+        ln_front = a * math.log(x) + b * math.log1p(-x) - math.log(a) - log_beta(a, b)
+        tiny = 1e-300
+        f, c, d = 1.0, 1.0, 0.0
+        for i in range(200):
+            m = i // 2
+            if i == 0:
+                num = 1.0
+            elif i % 2 == 0:
+                num = m * (b - m) * x / ((a + 2 * m - 1) * (a + 2 * m))
+            else:
+                num = -(a + m) * (a + b + m) * x / ((a + 2 * m) * (a + 2 * m + 1))
+            d = 1.0 + num * d
+            d = 1.0 / (d if abs(d) > tiny else tiny)
+            c = 1.0 + num / (c if abs(c) > tiny else tiny)
+            f *= c * d
+            if abs(1.0 - c * d) < 1e-14:
+                break
+        return math.exp(ln_front) * f
+
+    def beta_ppf(q: float, a: float, b: float) -> float:
+        lo_x, hi_x = 0.0, 1.0
+        for _ in range(200):
+            mid = (lo_x + hi_x) / 2
+            if betainc_reg(a, b, mid) < q:
+                lo_x = mid
+            else:
+                hi_x = mid
+        return (lo_x + hi_x) / 2
+
+    lo = 0.0 if k == 0 else beta_ppf(alpha / 2, k, n - k + 1)
+    hi = 1.0 if k == n else beta_ppf(1 - alpha / 2, k + 1, n - k)
+    return lo, hi

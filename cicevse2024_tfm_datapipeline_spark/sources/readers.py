@@ -1,0 +1,157 @@
+"""Scan operators (SURVEY §2.1).
+
+Parquet is the engine's primary columnar source — scans get predicate
+pushdown, column pruning and row-group skipping from Catalyst for free.
+CSV scans replicate the reference's ingest shapes (S1 power, S2 host
+positional, S3 multi-file with filename labels); JSON handles the artifact
+lake (S7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.sources.schemas import TABLE_NAMES
+
+
+def table_names() -> tuple[str, ...]:
+    return TABLE_NAMES
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects them
+    unless read as long. Detected once per path from parquet footer
+    metadata (driver-side, no data scan)."""
+    if path in _NANO_CACHE:
+        return _NANO_CACHE[path]
+    cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        for field in schema:
+            if str(field.type) == "timestamp[ns]":
+                cols.append(field.name)
+    except Exception:  # noqa: BLE001 — fall back to plain read
+        pass
+    _NANO_CACHE[path] = cols
+    return cols
+
+
+_NANO_CACHE: dict[str, list[str]] = {}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table. Parquet scan → pushdown-friendly.
+
+    Nanosecond timestamps are read as long and truncated to microseconds
+    with integer division (``div`` — float division would lose precision
+    above 2^53 nanos), matching how micro-resolution engines (e.g. DuckDB)
+    ingest TIMESTAMP_NS.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+# --- S1: power CSV scan (func_aux/func_preproc.py:128-136) -------------
+
+def scan_power_csv(spark: SparkSession, path: str, col_time: str = "time") -> DataFrame:
+    """CSV scan + timestamp parse + charging flag.
+
+    Reference sorts globally after load; the engine keeps ordering lazy
+    (downstream window specs order explicitly) so the scan itself never
+    forces a range-shuffle at 100 TB.
+    """
+    df = spark.read.csv(path, header=True, inferSchema=True)
+    return (
+        df.withColumn("timestamp", F.to_timestamp(F.col(col_time)))
+        .withColumn("state_bin", (F.col("State") == F.lit("charging")).cast("int"))
+    )
+
+
+# --- S2: host wide-CSV scan (func_aux/func_preproc.py:537-589) ----------
+
+def scan_host_csv(spark: SparkSession, path: str, state_col: str = "State") -> DataFrame:
+    """Positional schema: every column left of ``State`` is an event
+    counter; they are coerced to double (null on failure), ``time`` is
+    excluded, and a file-order ``timestamp`` is derived.
+
+    The reference uses the pandas row index as time
+    (``func_preproc.py:584``); a distributed engine has no global row
+    order on read, so the scan materializes one with a window over a
+    monotonic file-position key — done once, at ingest.
+    """
+    df = spark.read.csv(path, header=True)
+    cols = df.columns
+    if state_col not in cols:
+        raise ValueError(f"host CSV must contain a '{state_col}' column")
+    feature_cols = [c for c in cols[: cols.index(state_col)] if c.lower() != "time"]
+    keep = [F.col(c).try_cast("double").alias(c) for c in feature_cols]
+    keep += [F.col(c) for c in cols[cols.index(state_col):]]
+    df = df.select(*keep).withColumn("__file_pos", F.monotonically_increasing_id())
+    from pyspark.sql import Window as W
+
+    df = df.withColumn(
+        "timestamp",
+        (F.row_number().over(W.orderBy("__file_pos")) - F.lit(1)).cast("double"),
+    ).drop("__file_pos")
+    return df
+
+
+# --- S3: multi-file scan with filename labels (network) -----------------
+
+def scan_network_dir(spark: SparkSession, glob_path: str) -> DataFrame:
+    """One logical scan over many CSVs; ``input_file_name()`` replaces the
+    reference's per-file loop + tag (pipeline_trainingmodels_network.py:186-209).
+    Label = filename stem tokens after the second '-' joined by spaces
+    (``:158-164``).
+    """
+    df = spark.read.csv(glob_path, header=True, inferSchema=True)
+    stem = F.regexp_replace(F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.csv$", "")
+    label = F.regexp_replace(F.regexp_replace(stem, r"^[^-]*-[^-]*-", ""), "-", " ")
+    return (
+        df.withColumn("source_file", stem)
+        .withColumn("label_mul_raw", label)
+        .withColumn("evse", F.upper(F.trim(F.substring(F.element_at(F.split(stem, "-"), 2), 0, 1))))
+    )
+
+
+# --- S7: recursive JSON artifact scan (func_aux/func_plot.py:648-697) ----
+
+def scan_metrics_lake(spark: SparkSession, root: str) -> DataFrame:
+    """Recursive scan of per-run ``metrics.json`` artifacts.
+
+    ``recursiveFileLookup`` + ``input_file_name`` recovers the run dir so
+    metrics can be equi-joined (J2) with sibling config.json rows.
+    """
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "metrics.json")
+        .json(root)
+    )
+    run_dir = F.regexp_replace(F.input_file_name(), r"/metrics\.json$", "")
+    return df.withColumn("run_dir", run_dir)
+
+
+def scan_config_lake(spark: SparkSession, root: str) -> DataFrame:
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "config.json")
+        .json(root)
+    )
+    run_dir = F.regexp_replace(F.input_file_name(), r"/config\.json$", "")
+    return df.withColumn("run_dir", run_dir)
+
+
+def join_metrics_with_configs(metrics: DataFrame, configs: DataFrame) -> DataFrame:
+    """J2: artifact equi-join on run_dir (func_aux/func_plot.py:664-689)."""
+    return metrics.join(configs, "run_dir", "inner")

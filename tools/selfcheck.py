@@ -1,0 +1,134 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query on Spark AND its oracle SQL on DuckDB over the
+same parquet tables, then compares row-count + column names + sorted values.
+
+Usage:
+    python tools/selfcheck.py [--sf /root/testdata/sf0.01] [--only name1,name2]
+
+Exit code 0 iff every checked query matches (EXACT or CLOSE).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[str, str]:
+    if len(spark_pdf) != len(oracle_pdf):
+        return "FAIL", f"row count {len(spark_pdf)} vs {len(oracle_pdf)}"
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        return "FAIL", f"columns {s_cols} vs {o_cols}"
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    exact = True
+    for c in s.columns:
+        sc, oc = s[c], o[c]
+        if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(oc):
+            sc_f = sc.astype("float64")
+            oc_f = oc.astype("float64")
+            both_nan = sc_f.isna() & oc_f.isna()
+            eq = (sc_f == oc_f) | both_nan
+            if not eq.all():
+                close = (
+                    ((sc_f - oc_f).abs() <= 1e-9 + 1e-9 * oc_f.abs()) | both_nan
+                )
+                if close.all():
+                    exact = False
+                else:
+                    bad = (~close).idxmax()
+                    return "FAIL", f"col {c} row {bad}: {sc_f[bad]!r} vs {oc_f[bad]!r}"
+        else:
+            eq = (sc == oc) | (sc.isna() & oc.isna())
+            if not eq.all():
+                bad = (~eq).idxmax()
+                return "FAIL", f"col {c} row {bad}: {sc[bad]!r} vs {oc[bad]!r}"
+    return ("EXACT" if exact else "CLOSE"), ""
+
+
+def main() -> int:  # noqa: C901
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default="")
+    ap.add_argument("--skip-rows-only", action="store_true", default=False)
+    args = ap.parse_args()
+
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+    from cicevse2024_tfm_datapipeline_spark.session import get_spark
+
+    queries = load_all()
+    names = [n for n in sorted(queries) if not args.only or n in args.only.split(",")]
+
+    spark = get_spark("selfcheck")
+    con = duck_conn(args.sf)
+
+    failures = 0
+    for name in names:
+        q = queries[name]
+        t0 = time.time()
+        try:
+            spark_pdf = q.spark(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL ] {name}: spark error: {e}", flush=True)
+            failures += 1
+            continue
+        dt_spark = time.time() - t0
+        if q.oracle is None:
+            nrows = len(spark_pdf)
+            status = "ROWS " if nrows >= 0 else "FAIL "
+            print(f"[{status}] {name}: rows-only, {nrows} rows ({dt_spark:.1f}s)", flush=True)
+            continue
+        try:
+            oracle_pdf = con.execute(q.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL ] {name}: duckdb error: {e}", flush=True)
+            failures += 1
+            continue
+        verdict, detail = compare(spark_pdf, oracle_pdf)
+        mark = "ok   " if verdict == "EXACT" else ("close" if verdict == "CLOSE" else "FAIL ")
+        print(f"[{mark}] {name}: {len(spark_pdf)} rows ({dt_spark:.1f}s) {detail}", flush=True)
+        if verdict == "FAIL":
+            failures += 1
+
+    print(f"\n{len(names)} checked, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
