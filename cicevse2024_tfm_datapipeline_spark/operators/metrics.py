@@ -80,10 +80,12 @@ def multiclass_point_metrics(df: DataFrame, y_true: str, y_pred: str) -> DataFra
     (func_aux/func_test.py:61-171). Zero-division → 0 (sklearn
     ``zero_division=0``)."""
     yt, yp = F.col(y_true), F.col(y_pred)
+    # class universe = union of labels present in y_true and y_pred
+    # (sklearn labels=None); zero-support classes contribute recall 0 to
+    # the macro averages but are excluded from balanced accuracy.
+    classes = df.select(yt.alias("c")).union(df.select(yp.alias("c"))).distinct()
     per_class = (
-        df.select(yt.alias("c"))
-        .distinct()
-        .join(
+        classes.join(
             df.groupBy(yt.alias("c")).agg(
                 F.count(F.lit(1)).alias("support"),
                 F.sum((yp == yt).cast("long")).alias("tp"),
@@ -128,7 +130,7 @@ def multiclass_point_metrics(df: DataFrame, y_true: str, y_pred: str) -> DataFra
     total = F.sum("support")
     return enriched.agg(
         (F.sum("tp") / total).alias("accuracy"),
-        F.avg("rec").alias("balanced_accuracy"),
+        F.avg(F.when(F.col("support") > 0, F.col("rec"))).alias("balanced_accuracy"),
         F.avg("prec").alias("precision_macro"),
         F.avg("rec").alias("recall_macro"),
         F.avg("f1").alias("f1_macro"),
@@ -172,14 +174,15 @@ def threshold_at_fpr(df: DataFrame, y_true: str, score: str, fpr_target: float) 
     Tie-break on threshold ascending within equal fpr (the curve's last
     point at that fpr = highest tpr = lowest threshold)."""
     pts = roc_points(df, y_true, score)
-    candidates = pts.filter(F.col("fpr") <= fpr_target)
-    pick = candidates.orderBy(F.desc("fpr"), F.asc("threshold")).limit(1)
-    fallback = pts.orderBy(
-        F.abs(F.col("fpr") - F.lit(fpr_target)).asc(), F.asc("threshold")
-    ).limit(1)
-    chosen = pick.unionByName(fallback)
-    # first row of (pick ++ fallback): pick wins when non-empty
-    return chosen.limit(1).select("threshold", "fpr", "tpr")
+    is_candidate = (F.col("fpr") <= F.lit(fpr_target)).cast("int")
+    rank_key = F.when(
+        F.col("fpr") <= F.lit(fpr_target), -F.col("fpr")
+    ).otherwise(F.abs(F.col("fpr") - F.lit(fpr_target)))
+    return (
+        pts.orderBy(is_candidate.desc(), rank_key.asc(), F.asc("threshold"))
+        .limit(1)
+        .select("threshold", "fpr", "tpr")
+    )
 
 
 def average_precision(df: DataFrame, y_true: str, score: str) -> DataFrame:
@@ -194,10 +197,14 @@ def average_precision(df: DataFrame, y_true: str, score: str) -> DataFrame:
         W.unboundedPreceding, W.unboundedFollowing
     )
     pts = pts_base.select(
+        "threshold",
         (F.sum("pos").over(desc) / F.sum("pos").over(allw)).alias("recall"),
         (F.sum("pos").over(desc) / F.sum("cnt").over(desc)).alias("precision"),
     )
-    ordered = W.orderBy(F.asc("recall"))
+    # prev over DESCENDING threshold order — with recall ties the delta is
+    # 0 regardless, and the jump is attributed to the threshold where it
+    # actually happens (matching the sklearn iteration order).
+    ordered = W.orderBy(F.desc("threshold"))
     with_prev = pts.withColumn("prev_recall", F.coalesce(F.lag("recall").over(ordered), F.lit(0.0)))
     return with_prev.agg(
         F.sum((F.col("recall") - F.col("prev_recall")) * F.col("precision")).alias(

@@ -9,6 +9,7 @@ from cicevse2024_tfm_datapipeline_spark.plans.registry import Query, registry
 _MODULES = [
     "core_relational",
     "windows_ts",
+    "metrics_queries",
 ]
 
 

@@ -1,0 +1,431 @@
+"""Wave C: evaluation-metric query surface (SURVEY §2.5 A8-A15).
+
+Fixture mapping (FIXTURES.md): y_true/score derived deterministically from
+the power-like events view —
+
+    y_true = label == 'attack'
+    score  = round(value / 400, 3)     (ties on purpose → threshold groups)
+    y_pred = score > 0.3
+    multiclass pred = value-quartile recode of event_type domain
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.operators.metrics import (
+    average_precision,
+    binary_confusion_rates,
+    clopper_pearson_ci,
+    confusion_matrix,
+    mean_std_over_runs,
+    multiclass_point_metrics,
+    roc_auc_trapezoid,
+    threshold_at_fpr,
+    weighted_log_loss,
+)
+from cicevse2024_tfm_datapipeline_spark.plans.common import POWER_BASE_SQL, power_view, t
+from cicevse2024_tfm_datapipeline_spark.plans.registry import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_SCORED_SQL = f"""
+    scored AS (
+        SELECT *,
+               CASE WHEN label = 'attack' THEN 1 ELSE 0 END AS y_true,
+               round(value / 400.0, 3) AS score,
+               CASE WHEN round(value / 400.0, 3) > 0.3 THEN 1 ELSE 0 END AS y_pred
+        FROM base
+    )
+"""
+
+_MC_PRED_SQL = """
+    CASE WHEN value < 50 THEN 'view'
+         WHEN value < 100 THEN 'click'
+         WHEN value < 150 THEN 'signup'
+         WHEN value < 200 THEN 'purchase'
+         ELSE 'error' END
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = power_view(spark, sf_dir)
+    score = F.round(F.col("value") / 400.0, 3)
+    return pv.select(
+        "*",
+        F.when(F.col("label") == "attack", 1).otherwise(0).alias("y_true"),
+        score.alias("score"),
+        F.when(score > 0.3, 1).otherwise(0).alias("y_pred"),
+    )
+
+
+def _mc_pred() -> F.Column:
+    v = F.col("value")
+    return (
+        F.when(v < 50, "view")
+        .when(v < 100, "click")
+        .when(v < 150, "signup")
+        .when(v < 200, "purchase")
+        .otherwise("error")
+    )
+
+
+@register(
+    "a10_confusion_matrix_dense",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    preds AS (
+        SELECT attack AS true_label, {_MC_PRED_SQL} AS pred_label FROM base
+    ),
+    dom AS (SELECT * FROM (VALUES {", ".join(f"('{e}')" for e in EVENT_TYPES)}) AS v(l)),
+    grid AS (SELECT a.l AS true_label, b.l AS pred_label FROM dom a CROSS JOIN dom b),
+    counts AS (
+        SELECT true_label, pred_label, count(*) AS n FROM preds GROUP BY 1, 2
+    )
+    SELECT g.true_label, g.pred_label, coalesce(c.n, 0) AS n
+    FROM grid g LEFT JOIN counts c USING (true_label, pred_label)
+    """,
+    doc="A10: dense confusion matrix over a fixed label universe "
+    "(pipeline_trainingmodels_power.py:200-211) — zero cells materialized "
+    "via label-domain crossjoin.",
+    tags=("A10",),
+)
+def a10_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = power_view(spark, sf_dir).select(
+        F.col("attack").alias("yt"), _mc_pred().alias("yp")
+    )
+    return confusion_matrix(pv, "yt", "yp", labels=list(EVENT_TYPES))
+
+
+@register(
+    "a11_multiclass_point_metrics",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    preds AS (SELECT attack AS yt, {_MC_PRED_SQL} AS yp FROM base),
+    classes AS (SELECT DISTINCT yt AS c FROM preds UNION SELECT DISTINCT yp FROM preds),
+    per_class AS (
+        SELECT cl.c,
+               coalesce(s.support, 0) AS support,
+               coalesce(s.tp, 0) AS tp,
+               coalesce(p.pred_n, 0) AS pred_n
+        FROM classes cl
+        LEFT JOIN (SELECT yt AS c, count(*) AS support,
+                          sum(CASE WHEN yp = yt THEN 1 ELSE 0 END) AS tp
+                   FROM preds GROUP BY yt) s ON cl.c = s.c
+        LEFT JOIN (SELECT yp AS c, count(*) AS pred_n FROM preds GROUP BY yp) p
+               ON cl.c = p.c
+    ),
+    enriched AS (
+        SELECT c, support, tp,
+               CASE WHEN pred_n > 0 THEN tp * 1.0 / pred_n ELSE 0.0 END AS prec,
+               CASE WHEN support > 0 THEN tp * 1.0 / support ELSE 0.0 END AS rec
+        FROM per_class
+    ),
+    f AS (
+        SELECT *,
+               CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END AS f1,
+               CASE WHEN 4 * prec + rec > 0 THEN 5 * prec * rec / (4 * prec + rec) ELSE 0.0 END AS f2,
+               CASE WHEN 0.25 * prec + rec > 0 THEN 1.25 * prec * rec / (0.25 * prec + rec) ELSE 0.0 END AS f05
+        FROM enriched
+    )
+    SELECT round(sum(tp) * 1.0 / sum(support), 6) AS accuracy,
+           round(avg(CASE WHEN support > 0 THEN rec END), 6) AS balanced_accuracy,
+           round(avg(prec), 6) AS precision_macro,
+           round(avg(rec), 6) AS recall_macro,
+           round(avg(f1), 6) AS f1_macro,
+           round(avg(f2), 6) AS f2_macro,
+           round(avg(f05), 6) AS f0_5_macro,
+           round(sum(prec * support) / sum(support), 6) AS precision_weighted,
+           round(sum(rec * support) / sum(support), 6) AS recall_weighted,
+           round(sum(f1 * support) / sum(support), 6) AS f1_weighted
+    FROM f
+    """,
+    doc="A11: multiclass point-metric battery (accuracy, balanced acc, "
+    "macro/weighted P/R/F1, F2, F0.5) from one per-class TP/FP/FN pass "
+    "(func_aux/func_test.py:61-171; sklearn zero_division=0 semantics).",
+    tags=("A11",),
+)
+def a11_point_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = power_view(spark, sf_dir).select(
+        F.col("attack").alias("yt"), _mc_pred().alias("yp")
+    )
+    m = multiclass_point_metrics(pv, "yt", "yp")
+    return m.select(*[F.round(F.col(c), 6).alias(c) for c in m.columns])
+
+
+@register(
+    "a12_binary_rates_ci",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_SCORED_SQL},
+    cells AS (
+        SELECT CAST(sum(CASE WHEN y_true = 0 AND y_pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+               CAST(sum(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN y_true = 1 AND y_pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN y_true = 1 AND y_pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        FROM scored
+    )
+    SELECT tn, fp, fn, tp,
+           round(fp * 1.0 / (tn + fp), 6) AS fpr,
+           round(tp / (tp + fn + 1e-12), 6) AS tpr,
+           round(tp / (tp + fp + 1e-12), 6) AS precision,
+           round(tp / (tp + fn + 1e-12), 6) AS recall,
+           round(tn / (tn + fp + 1e-12), 6) AS tnr,
+           round(0.5 * (tp / (tp + fn + 1e-12) + tn / (tn + fp + 1e-12)), 6)
+               AS balanced_accuracy,
+           round(greatest(0.0, fp * 1.0 / (tn + fp)
+               - 1.96 * sqrt((fp * 1.0 / (tn + fp)) * (1 - fp * 1.0 / (tn + fp)) / (tn + fp))), 6)
+               AS fpr_ci_low_norm,
+           round(least(1.0, fp * 1.0 / (tn + fp)
+               + 1.96 * sqrt((fp * 1.0 / (tn + fp)) * (1 - fp * 1.0 / (tn + fp)) / (tn + fp))), 6)
+               AS fpr_ci_high_norm
+    FROM cells
+    """,
+    doc="A12: binary confusion cells + rates at threshold + normal-approx "
+    "FPR CI, with the reference's 1e-12 smoothing "
+    "(func_aux/func_test.py:334-373).",
+    tags=("A12",),
+)
+def a12_binary_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    out = binary_confusion_rates(sc, "y_true", "y_pred")
+    keep = [c for c in out.columns if c in ("tn", "fp", "fn", "tp")]
+    rounded = [F.round(F.col(c), 6).alias(c) for c in out.columns if c not in keep]
+    return out.select(*keep, *rounded)
+
+
+@register(
+    "a13_threshold_at_fpr",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_SCORED_SQL},
+    per AS (
+        SELECT score AS threshold,
+               sum(CASE WHEN y_true = 1 THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN y_true = 0 THEN 1 ELSE 0 END) AS neg
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT threshold,
+               sum(neg) OVER (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                   / sum(neg) OVER () AS fpr,
+               sum(pos) OVER (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                   / sum(pos) OVER () AS tpr
+        FROM per
+    )
+    SELECT round(threshold, 6) AS threshold, round(fpr, 6) AS fpr, round(tpr, 6) AS tpr
+    FROM cum
+    ORDER BY CASE WHEN fpr <= 0.1 THEN 1 ELSE 0 END DESC,
+             CASE WHEN fpr <= 0.1 THEN -fpr ELSE abs(fpr - 0.1) END ASC,
+             threshold ASC
+    LIMIT 1
+    """,
+    doc="A13: ROC threshold selection at target FPR — largest FPR ≤ target, "
+    "nearest-|fpr−target| fallback (func_aux/func_test.py:252-269) — via "
+    "cumulative window sums over the descending-score threshold groups.",
+    tags=("A13",),
+)
+def a13_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    out = threshold_at_fpr(sc, "y_true", "score", 0.1)
+    return out.select(
+        F.round("threshold", 6).alias("threshold"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round("tpr", 6).alias("tpr"),
+    )
+
+
+@register(
+    "a13_roc_auc",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_SCORED_SQL},
+    per AS (
+        SELECT score AS threshold,
+               sum(CASE WHEN y_true = 1 THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN y_true = 0 THEN 1 ELSE 0 END) AS neg
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT sum(neg) OVER (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                   / sum(neg) OVER () AS fpr,
+               sum(pos) OVER (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                   / sum(pos) OVER () AS tpr
+        FROM per
+    ),
+    seg AS (
+        SELECT fpr, tpr,
+               coalesce(lag(fpr) OVER (ORDER BY fpr ASC, tpr ASC), 0.0) AS pfpr,
+               coalesce(lag(tpr) OVER (ORDER BY fpr ASC, tpr ASC), 0.0) AS ptpr
+        FROM cum
+    )
+    SELECT round(sum((fpr - pfpr) * (tpr + ptpr) / 2.0), 6) AS roc_auc FROM seg
+    """,
+    doc="A13: ROC-AUC by trapezoid integration of the cumulative curve "
+    "(func_aux/func_test.py:429-458 / roc_auc_score).",
+    tags=("A13",),
+)
+def a13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    return roc_auc_trapezoid(sc, "y_true", "score").select(
+        F.round("roc_auc", 6).alias("roc_auc")
+    )
+
+
+@register(
+    "a13_average_precision",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_SCORED_SQL},
+    per AS (
+        SELECT score AS threshold,
+               sum(CASE WHEN y_true = 1 THEN 1 ELSE 0 END) AS pos,
+               count(*) AS cnt
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT threshold,
+               sum(pos) OVER (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                   / sum(pos) OVER () AS recall,
+               sum(pos) OVER (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+                   / sum(cnt) OVER (ORDER BY threshold DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS precision
+        FROM per
+    ),
+    seg AS (
+        SELECT recall, precision,
+               coalesce(lag(recall) OVER (ORDER BY threshold DESC), 0.0) AS prev_recall
+        FROM cum
+    )
+    SELECT round(sum((recall - prev_recall) * precision), 6) AS average_precision FROM seg
+    """,
+    doc="A13/PR: average precision Σ Δrecall·precision over descending "
+    "thresholds (average_precision_score at func_aux/func_test.py:455).",
+    tags=("A13",),
+)
+def a13_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    return average_precision(sc, "y_true", "score").select(
+        F.round("average_precision", 6).alias("average_precision")
+    )
+
+
+@register(
+    "a15_fph_conversion",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_SCORED_SQL},
+    cells AS (
+        SELECT CAST(sum(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN y_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM scored
+    )
+    SELECT fp, n_neg,
+           round(fp / (n_neg * 1.0 / 3600.0), 6) AS fp_per_hour,
+           round(n_neg * 1.0 / 3600.0, 6) AS total_hours_benign,
+           round(n_total * 1.0 / 3600.0, 6) AS total_hours_test
+    FROM cells
+    """,
+    doc="A15: FP/hour conversion with hop=1s — FP / (n_neg·hop/3600), "
+    "total hours (func_aux/func_test.py:377-403).",
+    tags=("A15",),
+)
+def a15_fph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    hop = 1.0
+    cells = sc.agg(
+        F.sum(((F.col("y_true") == 0) & (F.col("y_pred") == 1)).cast("long")).alias("fp"),
+        F.sum((F.col("y_true") == 0).cast("long")).alias("n_neg"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    hours_benign = F.col("n_neg") * F.lit(hop) / 3600.0
+    return cells.select(
+        "fp",
+        "n_neg",
+        F.round(F.col("fp") / hours_benign, 6).alias("fp_per_hour"),
+        F.round(hours_benign, 6).alias("total_hours_benign"),
+        F.round(F.col("n_total") * F.lit(hop) / 3600.0, 6).alias("total_hours_test"),
+    )
+
+
+@register(
+    "a8_mean_std_over_runs",
+    oracle="""
+    WITH runs AS (
+        SELECT event_type, user_id, avg(value) AS run_metric
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           round(avg(run_metric), 6) AS run_metric_mean,
+           round(CASE WHEN count(run_metric) > 1
+                      THEN coalesce(stddev_samp(run_metric), 0.0)
+                      ELSE 0.0 END, 6) AS run_metric_std
+    FROM runs GROUP BY event_type
+    """,
+    doc="A8: nanmean + nanstd(ddof=1) across runs with the single-run → "
+    "std 0.0 guard (func_aux/func_test.py:513-527).",
+    tags=("A8", "A18"),
+)
+def a8_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    runs = ev.groupBy("event_type", "user_id").agg(F.avg("value").alias("run_metric"))
+    out = mean_std_over_runs(runs, ["event_type"], "run_metric")
+    return out.select(
+        "event_type",
+        F.round("run_metric_mean", 6).alias("run_metric_mean"),
+        F.round("run_metric_std", 6).alias("run_metric_std"),
+    )
+
+
+@register(
+    "a9_weighted_log_loss",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    w AS (
+        SELECT 1.0 + (user_id % 3) AS wgt,
+               least(greatest(value / 400.0, 1e-7), 1 - 1e-7) AS p_true
+        FROM base
+    )
+    SELECT round(sum(wgt * -ln(p_true)) / sum(wgt), 6) AS weighted_log_loss FROM w
+    """,
+    doc="A9: weighted log-loss sum(w·−log p)/sum(w) with probability clip "
+    "(pipelines_host/pipeline_host_importance.py:128-151).",
+    tags=("A9",),
+)
+def a9_wll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = power_view(spark, sf_dir)
+    w = pv.select(
+        (F.lit(1.0) + (F.col("user_id") % 3)).alias("wgt"),
+        (F.col("value") / 400.0).alias("p_true"),
+    )
+    out = weighted_log_loss(w, "wgt", "p_true")
+    return out.select(F.round("weighted_log_loss", 6).alias("weighted_log_loss"))
+
+
+@register(
+    "a14_clopper_pearson_ci",
+    oracle=None,  # exact beta-quantile numerics — rows-only check
+    doc="A14: exact Clopper-Pearson binomial CI on the FPR "
+    "(func_aux/func_test.py:179-193) — scalar numerics on one aggregated "
+    "row (pure-NumPy beta quantile; scipy optional).",
+    tags=("A14",),
+)
+def a14_clopper_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    row = sc.agg(
+        F.sum(((F.col("y_true") == 0) & (F.col("y_pred") == 1)).cast("long")).alias("fp"),
+        F.sum((F.col("y_true") == 0).cast("long")).alias("n_neg"),
+    ).collect()[0]
+    lo, hi = clopper_pearson_ci(int(row["fp"]), int(row["n_neg"]), alpha=0.05)
+    return spark.createDataFrame(
+        [(int(row["fp"]), int(row["n_neg"]), float(lo), float(hi))],
+        "fp long, n_neg long, fpr_ci_low_cp double, fpr_ci_high_cp double",
+    )
