@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() action — full plan runs,
+nothing collected to the driver beyond the count). A warmup query first
+absorbs JVM/codegen startup so the numbers measure the plans, not the VM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "w1_chrono_split_counts",
+    "w3_sliding_window_stats",
+    "w5_train_only_standardize",
+    "w6_sessionize_ttd",
+    "tpch_q1_pricing_summary",
+    "j1_broadcast_lookup_join",
+    "a13_roc_auc",
+    "a16_tumbling_window_avg",
+    "dedup_minhash_lsh_pairs",
+    "dedup_exact_group_sizes",
+    "sim_bruteforce_cosine_topk",
+    "text_token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+    from cicevse2024_tfm_datapipeline_spark.session import get_spark
+
+    queries = load_all()
+    spark = get_spark("bench")
+
+    # warmup: JVM + codegen + parquet footer caches
+    queries["w1_chrono_split_counts"].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = queries[name]
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

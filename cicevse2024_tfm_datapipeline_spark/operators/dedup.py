@@ -1,0 +1,175 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB):
+- Exact dedup = hash-groupBy on a content digest — one shuffle on the
+  digest, perfectly parallel, no skew (md5 is uniform).
+- MinHash signatures are computed per-row with array expressions (no
+  shuffle, no UDF); LSH banding turns near-dup detection into an
+  equi-join on (band_idx, band_key) — the only shuffle, with uniformly
+  distributed keys. Candidate pairs ≪ n², never materialize the n² grid.
+- SimHash = one explode + one groupBy(doc) re-aggregation; bucketing by
+  hash prefix gives an equi-joinable key like LSH.
+- Pairwise n-gram Jaccard is the verification step applied ONLY to LSH
+  candidates (or explicitly bounded id ranges in tests).
+
+All hashes are md5-hex (portable: identical in any engine), and MinHash
+uses the lexicographic minimum of seeded md5 hex strings — uniform and
+totally ordered, so min-hash semantics hold without int conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.operators.text import tokens_expr, word_shingles_expr
+
+
+def content_digest_expr(text: Column | str) -> Column:
+    """Exact-dup key: md5 of the raw content."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest id per content digest (deterministic survivor)."""
+    key = content_digest_expr(text_col).alias("__digest")
+    ranked = df.select("*", key)
+    keep = ranked.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def _seeded_hasher(prefix: str):
+    # MUST be a one-arg lambda: pyspark maps lambda ARITY to transform's
+    # (element[, index]) signature, so `lambda x, p=prefix` would bind the
+    # array index over the default — keep the prefix in a closure.
+    return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
+
+def minhash_signature_exprs(shingles: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature: per seed i, min over shingles of
+    md5('<i>:' || shingle). Empty shingle set → null signature."""
+    sigs = []
+    for i in range(num_hashes):
+        hashed = F.transform(shingles, _seeded_hasher(f"{i}:"))
+        sigs.append(F.array_min(hashed).alias(f"mh_{i}"))
+    return sigs
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    # Shingles are materialized in their own projection BEFORE the hashing
+    # transforms: composing transform(transform(...)) lambdas in one
+    # expression tree hits lambda-variable capture collisions (the inner
+    # `x` shadows the outer). Two selects, still one codegen stage.
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), word_shingles_expr(toks, shingle_k).alias("__shingles"))
+    return base.select(
+        F.col(id_col), *minhash_signature_exprs(F.col("__shingles"), num_hashes)
+    )
+
+
+def lsh_band_keys(sig_df: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band_idx, band_key) — band_key = md5 of the band's signature
+    slice. Docs sharing any (band_idx, band_key) are candidate near-dups."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
+        )
+    exploded = sig_df.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b"))
+    return exploded.select(id_col, F.col("b.band_idx"), F.col("b.band_key"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from MinHash-LSH banding — the
+    scale path: one signature pass + one self-equi-join on band keys."""
+    assert num_hashes % bands == 0
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    keys = lsh_band_keys(sigs, id_col, bands, num_hashes // bands)
+    a = keys.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+    b = keys.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_expr_components(text_col: str, bits: int = 32) -> tuple[Column, int]:
+    """Helper for 32-bit SimHash over whitespace tokens — see
+    :func:`simhash`. Returns the exploded-token hex column."""
+    assert bits % 4 == 0
+    return F.explode(tokens_expr(text_col)), bits // 4
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: per-bit weighted majority over token md5 hashes.
+
+    Explode tokens once; extract each hex nibble of the token hash as an
+    int; aggregate per-bit ±1 sums; bit = 1 iff sum ≥ 0. Duplicate tokens
+    weight the majority (standard SimHash with term frequency)."""
+    assert bits % 4 == 0
+    n_nibbles = bits // 4
+    tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok"))
+    h = F.md5(F.col("__tok"))
+    nib_cols = [
+        F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int").alias(f"__nib_{j}")
+        for j in range(n_nibbles)
+    ]
+    nibs = tok.select(F.col(id_col), *nib_cols)
+    aggs = []
+    for j in range(n_nibbles):
+        for bit in range(4):
+            signed = (
+                F.shiftright(F.col(f"__nib_{j}"), bit).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+            )
+            aggs.append(F.sum(signed).alias(f"__s_{j}_{bit}"))
+    sums = nibs.groupBy(id_col).agg(*aggs)
+    value = F.lit(0).cast("long")
+    for j in range(n_nibbles):
+        for bit in range(4):
+            weight = 1 << (j * 4 + bit)
+            value = value + F.when(F.col(f"__s_{j}_{bit}") >= 0, F.lit(weight)).otherwise(
+                F.lit(0)
+            ).cast("long")
+    return sums.select(F.col(id_col), value.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise word-k-gram Jaccard between two (small / pre-filtered)
+    document sets. Integer set algebra → the division is exact IEEE and
+    engine-portable. Intended for LSH candidates, not the full n² grid."""
+    def with_set(df: DataFrame, suffix: str) -> DataFrame:
+        toks = tokens_expr(text_col)
+        return df.select(
+            F.col(id_col).alias(f"doc_{suffix}"),
+            F.array_distinct(word_shingles_expr(toks, k)).alias(f"grams_{suffix}"),
+        )
+
+    a = with_set(left, "a")
+    b = with_set(right, "b")
+    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )

@@ -1,0 +1,140 @@
+"""R1-R5: seeded randomized degradation operators (SURVEY §2.8).
+
+Reference semantics (func_aux/func_test.py:548-574, degrade_sequences):
+given windows X (n, T, F) and a severity,
+  packet_loss        — zero all features at Bernoulli(severity) timesteps
+  missing_variables  — zero Bernoulli(severity) features at all timesteps
+  clock_offset       — circular roll by uniform ±int(severity·T) steps
+  drift              — add t/(T−1) · N(0, severity) per-feature ramps
+R5 (pipeline_host_importance.py:154-221) — permute ONE feature's values
+globally across all windows/timesteps (breaks label alignment).
+
+Spark shape: windows live as rows with array<array<double>> feature
+matrices; degradations are seeded ``mapInPandas`` — Arrow-batched NumPy,
+the sanctioned Python edge for bitwise-reproducible randomness (SURVEY
+§4: Catalyst can't seed numpy). Seeding is per-row from (seed, window
+id) with ``np.random.default_rng`` so the result is independent of
+partitioning and row order — the distributed-determinism requirement the
+reference never had to face.
+
+R5 at scale is a pure-DataFrame shuffle-join: rank rows by rand(seed),
+rank a copy of the values by a second rand, join on rank — no driver
+materialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+KINDS = ("packet_loss", "missing_variables", "clock_offset", "drift")
+
+
+def _rng_for(seed: int, window_id: int) -> np.random.Generator:
+    return np.random.default_rng((seed, int(window_id)))
+
+
+def _degrade_matrix(
+    x: np.ndarray, severity: float, kind: str, rng: np.random.Generator
+) -> np.ndarray:
+    T, n_feat = x.shape
+    if severity <= 0:
+        return x
+    if kind == "packet_loss":
+        mask = rng.random(T) < severity
+        x = x.copy()
+        x[mask, :] = 0.0
+    elif kind == "missing_variables":
+        mask = rng.random(n_feat) < severity
+        x = x.copy()
+        x[:, mask] = 0.0
+    elif kind == "clock_offset":
+        max_shift = int(severity * T)
+        if max_shift > 0:
+            shift = int(rng.integers(-max_shift, max_shift + 1))
+            x = np.roll(x, shift=shift, axis=0)
+    elif kind == "drift":
+        coef = rng.normal(0.0, severity, size=(n_feat,))
+        ramp = np.linspace(0.0, 1.0, T)[:, None] * coef[None, :]
+        x = x + ramp
+    else:
+        raise ValueError(f"unknown degradation kind: {kind}")
+    return x
+
+
+def degrade_windows(
+    df: DataFrame,
+    matrix_col: str,
+    window_id_col: str,
+    severity: float,
+    kind: str,
+    seed: int,
+) -> DataFrame:
+    """Apply one degradation to every window row. ``matrix_col`` is
+    array<array<double>> (T × F). Seeded per (seed, window_id): stable
+    under repartitioning and re-ordering."""
+    if kind not in KINDS:
+        raise ValueError(f"kind must be one of {KINDS}")
+    schema = df.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            degraded = []
+            for wid, mat in zip(pdf[window_id_col], pdf[matrix_col]):
+                x = np.array([np.asarray(row, dtype=float) for row in mat])
+                rng = _rng_for(seed, wid)
+                y = _degrade_matrix(x, severity, kind, rng)
+                degraded.append([r.tolist() for r in y])
+            out[matrix_col] = degraded
+            yield out
+
+    return df.mapInPandas(batches, schema=schema)
+
+
+def severity_sweep(
+    df: DataFrame,
+    matrix_col: str,
+    window_id_col: str,
+    kinds: tuple[str, ...],
+    severities: tuple[float, ...],
+    n_repeats: int,
+    base_seed: int,
+) -> Iterator[tuple[str, float, int, DataFrame]]:
+    """R6: the severity-sweep harness — lazy plan per (kind, severity,
+    repeat) with the reference's seed derivation base+1000·i+r
+    (pipeline_tests_power.py:296-297). Driver-side loop over lazy plans;
+    evaluation composes with the metric queries."""
+    for kind in kinds:
+        for i, sev in enumerate(severities):
+            for r in range(n_repeats):
+                seed = base_seed + 1000 * i + r
+                yield kind, sev, r, degrade_windows(
+                    df, matrix_col, window_id_col, sev, kind, seed
+                )
+
+
+def permute_feature_globally(
+    df: DataFrame, value_col: str, seed: int, order_tiebreak: str
+) -> DataFrame:
+    """R5: global permutation of one column's values — breaks row↔value
+    alignment everywhere. Pure DataFrame: rank rows by seeded rand, rank
+    a projected copy of the values by an independent seeded rand, join on
+    rank. Two shuffles, no driver materialization, any scale."""
+    w_rows = W.orderBy(F.rand(seed), F.col(order_tiebreak))
+    w_vals = W.orderBy(F.rand(seed + 1), F.col(order_tiebreak))
+    rows = df.withColumn("__slot", F.row_number().over(w_rows))
+    vals = df.select(F.col(value_col).alias("__pv"), F.col(order_tiebreak)).withColumn(
+        "__slot", F.row_number().over(w_vals)
+    ).select("__slot", "__pv")
+    return (
+        rows.join(vals, "__slot")
+        .drop("__slot")
+        .withColumn(value_col, F.col("__pv"))
+        .drop("__pv")
+    )

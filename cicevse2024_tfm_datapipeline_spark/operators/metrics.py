@@ -30,7 +30,10 @@ def confusion_matrix(
     if labels is None:
         return counts
     spark = df.sparkSession
-    dom = spark.createDataFrame([(str(x),) for x in labels], ["l"])
+    # literal label domain built JVM-side (no Python local relation)
+    dom = spark.range(1).select(
+        F.explode(F.array(*[F.lit(str(x)) for x in labels])).alias("l")
+    )
     grid = dom.select(F.col("l").alias("true_label")).crossJoin(
         dom.select(F.col("l").alias("pred_label"))
     )
@@ -261,9 +264,15 @@ def fph_from_fpr(fpr_col, window_hop_seconds: float):
 
 
 def clopper_pearson_ci(k: int, n: int, alpha: float = 0.05) -> tuple[float, float]:
-    """Exact binomial CI. Uses scipy's beta.ppf when present, else a
-    pure-NumPy bisection on the regularized incomplete beta (equivalent
-    bound definition: lower = Beta(alpha/2; k, n-k+1) etc.)."""
+    """Exact binomial CI (func_aux/func_test.py:179-193). Uses scipy's
+    beta.ppf when present; otherwise bisects the exact log-space binomial
+    CDF (the bounds' defining equations — no incomplete-beta needed):
+
+        lower: P(Bin(n, p) ≥ k) = α/2   ⇔  P(X ≤ k−1) = 1 − α/2
+        upper: P(Bin(n, p) ≤ k) = α/2
+
+    Only min(k, n−k)+1 pmf terms per evaluation (k = FP count, small).
+    """
     if n == 0:
         return float("nan"), float("nan")
     try:
@@ -277,46 +286,35 @@ def clopper_pearson_ci(k: int, n: int, alpha: float = 0.05) -> tuple[float, floa
 
     import math
 
-    def log_beta(a: float, b: float) -> float:
-        return math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
-
-    def betainc_reg(a: float, b: float, x: float) -> float:
-        """Regularized incomplete beta via continued fraction (Lentz)."""
-        if x <= 0.0:
+    def log_binom_cdf(j_max: int, p: float) -> float:
+        """log P(Bin(n, p) ≤ j_max), exact log-space sum."""
+        if p <= 0.0:
             return 0.0
-        if x >= 1.0:
-            return 1.0
-        if x > (a + 1) / (a + b + 2):
-            return 1.0 - betainc_reg(b, a, 1.0 - x)
-        ln_front = a * math.log(x) + b * math.log1p(-x) - math.log(a) - log_beta(a, b)
-        tiny = 1e-300
-        f, c, d = 1.0, 1.0, 0.0
-        for i in range(200):
-            m = i // 2
-            if i == 0:
-                num = 1.0
-            elif i % 2 == 0:
-                num = m * (b - m) * x / ((a + 2 * m - 1) * (a + 2 * m))
-            else:
-                num = -(a + m) * (a + b + m) * x / ((a + 2 * m) * (a + 2 * m + 1))
-            d = 1.0 + num * d
-            d = 1.0 / (d if abs(d) > tiny else tiny)
-            c = 1.0 + num / (c if abs(c) > tiny else tiny)
-            f *= c * d
-            if abs(1.0 - c * d) < 1e-14:
-                break
-        return math.exp(ln_front) * f
+        if p >= 1.0:
+            return 0.0 if j_max >= n else -math.inf
+        terms = []
+        for j in range(j_max + 1):
+            terms.append(
+                math.lgamma(n + 1)
+                - math.lgamma(j + 1)
+                - math.lgamma(n - j + 1)
+                + j * math.log(p)
+                + (n - j) * math.log1p(-p)
+            )
+        m = max(terms)
+        return m + math.log(sum(math.exp(t - m) for t in terms))
 
-    def beta_ppf(q: float, a: float, b: float) -> float:
-        lo_x, hi_x = 0.0, 1.0
-        for _ in range(200):
-            mid = (lo_x + hi_x) / 2
-            if betainc_reg(a, b, mid) < q:
-                lo_x = mid
+    def solve(j_max: int, target_log: float) -> float:
+        # P(X ≤ j_max) is DECREASING in p; find p with log CDF = target
+        lo_p, hi_p = 0.0, 1.0
+        for _ in range(100):
+            mid = (lo_p + hi_p) / 2
+            if log_binom_cdf(j_max, mid) > target_log:
+                lo_p = mid
             else:
-                hi_x = mid
-        return (lo_x + hi_x) / 2
+                hi_p = mid
+        return (lo_p + hi_p) / 2
 
-    lo = 0.0 if k == 0 else beta_ppf(alpha / 2, k, n - k + 1)
-    hi = 1.0 if k == n else beta_ppf(1 - alpha / 2, k + 1, n - k)
+    lo = 0.0 if k == 0 else solve(k - 1, math.log(1 - alpha / 2))
+    hi = 1.0 if k == n else solve(k, math.log(alpha / 2))
     return lo, hi

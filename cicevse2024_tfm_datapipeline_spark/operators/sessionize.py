@@ -89,7 +89,7 @@ def ttd_stats(
     )
     return per_ep.agg(
         F.count("one").alias("episodes_total"),
-        F.sum("detected").alias("episodes_detected"),
+        F.coalesce(F.sum("detected"), F.lit(0)).alias("episodes_detected"),
         F.avg("delay_sec").alias("avg_ttd_seconds"),
         (F.avg("delay_sec") / F.lit(3600.0)).alias("avg_ttd_hours"),
     )

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- brute-force cosine top-k: exact baseline. The query set is broadcast
+  (it's small by construction); candidates stream through one scan —
+  no shuffle of the big side, top-k via per-partition heaps
+  (TakeOrdered / window row_number per query).
+- sign-bucket (LSH/IVF-style) top-k: candidates restricted to the same
+  coarse bucket (sign pattern of leading dimensions ≡ axis-aligned
+  random-hyperplane LSH). The join becomes an equi-join on bucket id —
+  the 100 TB path: per-bucket locality, no n² pairs.
+
+Dot products use F.zip_with + F.aggregate (strictly sequential fold —
+deterministic, engine-portable) after casting float → double once.
+For very wide vectors a Pandas-UDF BLAS path would win; at 64-dim the
+codegen'd fold is competitive and keeps everything JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def as_double_array(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("array<double>")
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def sign_bucket_expr(a: Column, n_dims: int = 8) -> Column:
+    """Coarse quantizer: bucket = Σ (a[i] ≥ 0) << i over leading dims —
+    axis-aligned random-hyperplane LSH (embeddings are already random
+    projections; for raw features use a seeded rotation first)."""
+    bucket = F.lit(0)
+    for i in range(n_dims):
+        bucket = bucket + F.when(F.element_at(a, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k per query (self excluded). ``queries`` must be
+    small — it is broadcast; the candidate side never shuffles."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rk").alias("rank"))
+    )
+
+
+def bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_bucket_dims: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign bucket. The
+    bucket equi-join replaces the cross product — the scale path."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+    ).withColumn("bucket", sign_bucket_expr(F.col("qv"), n_bucket_dims))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn("bucket", sign_bucket_expr(F.col("cv"), n_bucket_dims))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rk").alias("rank"))
+    )
+
+
+def near_dup_pairs_cosine(
+    embeddings: DataFrame, id_col: str, vec_col: str, threshold: float, n_bucket_dims: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup detection, bucketed: only same-bucket
+    pairs are scored (sign-LSH recall tradeoff, standard at scale)."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).withColumn("bucket", sign_bucket_expr(F.col("v"), n_bucket_dims))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -10,6 +10,8 @@ _MODULES = [
     "core_relational",
     "windows_ts",
     "metrics_queries",
+    "extensions",
+    "rows_only",
 ]
 
 

@@ -14,11 +14,65 @@ oracle query is built on the same derivation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cicevse2024_tfm_datapipeline_spark.functions.scalars import binary_label_expr
 from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+
+
+def pround(col: Column, n: int) -> Column:
+    """Portable rounding: floor(x·10ⁿ + 0.5)/10ⁿ.
+
+    Engine round() semantics DIVERGE at half-boundaries (Spark rounds the
+    shortest decimal string HALF_UP; DuckDB multiplies and C-rounds the
+    binary double) — and decimal-valued data (prices, 2-dp measurements)
+    lands averages exactly on those boundaries. The floor form is plain
+    IEEE arithmetic: identical inputs → identical outputs in any engine.
+    The oracle twin gets the same form via ``portable_round_sql``.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    scale = F.lit(float(10**n))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def portable_round_sql(sql: str) -> str:
+    """Rewrite every ``round(expr, n)`` in an oracle SQL string to the
+    portable floor form. Paren-balanced scan; n must be an int literal."""
+    out = []
+    i = 0
+    lower = sql.lower()
+    while True:
+        j = lower.find("round(", i)
+        # skip names like stddev_round( — require non-word char before
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j = lower.find("round(", j + 1)
+        if j == -1:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 0
+        k = j + len("round(")
+        start = k
+        last_comma = -1
+        while k < len(sql):
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                last_comma = k
+            k += 1
+        expr = sql[start:last_comma].strip()
+        n = int(sql[last_comma + 1 : k].strip())
+        scale = float(10**n)
+        inner = portable_round_sql(expr)
+        out.append(f"(floor(({inner}) * {scale} + 0.5) / {scale})")
+        i = k + 1
+    return "".join(out)
 
 #: event types treated as benign in the analogue mapping
 BENIGN_EVENTS = ("view", "click")

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cicevse2024_tfm_datapipeline_spark.functions.scalars import attack_group_expr, norm_str
 from cicevse2024_tfm_datapipeline_spark.operators.split import chrono_split
 from cicevse2024_tfm_datapipeline_spark.plans.common import (
+    pround,
     POWER_BASE_SQL,
     power_view,
     split_sql,
@@ -98,7 +99,7 @@ def p_predicates_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            pround(F.sum("o_totalprice"), 4).alias("sum_price"),
         )
     )
 
@@ -117,7 +118,8 @@ def p_predicates_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p10_leave_one_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select(F.col("event_type").alias("attack"))
-    held_out = spark.createDataFrame([("error",)], ["attack"])
+    # 1-row literal frame built JVM-side (no Python-worker local relation)
+    held_out = spark.range(1).select(F.lit("error").alias("attack"))
     kept = ev.join(F.broadcast(held_out), "attack", "left_anti")
     return kept.groupBy("attack").agg(F.count(F.lit(1)).alias("n_rows"))
 
@@ -230,7 +232,7 @@ def f8_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f13_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     clipped = F.least(F.greatest(F.col("l_quantity"), F.lit(5.0)), F.lit(40.0))
-    return li.groupBy("l_returnflag").agg(F.round(F.sum(clipped), 4).alias("sum_clipped"))
+    return li.groupBy("l_returnflag").agg(pround(F.sum(clipped), 4).alias("sum_clipped"))
 
 
 # --------------------------------------------------------------------
@@ -267,7 +269,7 @@ def j1_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.col("r_name").alias("region_name")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        pround(F.sum("o_totalprice"), 4).alias("revenue"),
     )
 
 
@@ -290,10 +292,18 @@ def j1_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j1_lookup_with_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
-    lookup = spark.createDataFrame(
-        [("ECONOMY", "cheap"), ("PROMO", "cheap"), ("STANDARD", "normal"), ("MEDIUM", "normal")],
-        ["p_type", "grp"],
-    )
+    pairs = [("ECONOMY", "cheap"), ("PROMO", "cheap"), ("STANDARD", "normal"), ("MEDIUM", "normal")]
+    # literal lookup frame built JVM-side (broadcast dim, no local relation)
+    lookup = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("p_type"), F.lit(v).alias("grp"))
+                    for k, v in pairs
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.p_type", "kv.grp")
     joined = part.join(F.broadcast(lookup), "p_type", "left")
     return (
         joined.select(F.coalesce("grp", "p_type").alias("type_group"))
@@ -327,7 +337,7 @@ def u1_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.unionByName(supp)
         .groupBy("part_tag")
-        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("acctbal"), 4).alias("sum_bal"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), pround(F.sum("acctbal"), 4).alias("sum_bal"))
     )
 
 
@@ -402,7 +412,7 @@ def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
-           round(avg(value), 4) AS avg_value,
+           round(round(sum(value), 2) / count(*), 6) AS avg_value,
            count(*) AS n_rows
     FROM events
     GROUP BY 1, 2
@@ -418,7 +428,12 @@ def a16_tumbling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
             "event_type",
         )
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"), F.count(F.lit(1)).alias("n_rows"))
+        # canonicalized mean: round(sum,2) is EXACT for 2-dp data, so both
+        # engines divide bit-identical operands (see plans.common.pround)
+        .agg(
+            pround(pround(F.sum("value"), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
     )
 
 
@@ -430,9 +445,9 @@ def a16_tumbling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice), 4) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
+           round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
+           round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -450,13 +465,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            pround(F.sum("l_quantity"), 4).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            pround(F.sum(disc_price), 4).alias("sum_disc_price"),
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            pround(pround(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
+            pround(pround(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
+            pround(pround(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

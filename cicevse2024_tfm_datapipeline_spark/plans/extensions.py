@@ -1,0 +1,514 @@
+"""Wave D: LLM-training-data pipeline extensions (SURVEY §7.1 step 6) —
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + bucketed ANN), text analysis, multimodal metadata.
+
+Oracle-parity notes:
+- all content hashing is md5-hex (identical across engines);
+- MinHash = lexicographic min of seeded md5 hex strings (portable, no
+  int conversion);
+- DuckDB ``regexp_replace`` needs the 'g' flag to match Spark's
+  replace-all semantics;
+- dot products are sequential folds on both sides → bit-identical sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_topk,
+    near_dup_pairs_cosine,
+)
+from cicevse2024_tfm_datapipeline_spark.operators.text import (
+    LANG_PROFILES,
+    fingerprint_expr,
+    langid_expr,
+    quality_score_expr,
+    token_count_bpe_ish_expr,
+    tokens_expr,
+)
+from cicevse2024_tfm_datapipeline_spark.plans.common import t, pround
+from cicevse2024_tfm_datapipeline_spark.plans.registry import register
+
+# shared DuckDB token expression (keep in lockstep with text.tokens_expr)
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_SHINGLES3 = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')) "
+    "ELSE [] END"
+)
+
+NUM_HASHES = 8
+BANDS = 4
+
+
+def _sig_sql() -> str:
+    """DuckDB CTE chain producing doc_id + mh_0..mh_7 signatures."""
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, x -> md5('{i}:' || x))) AS mh_{i}"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    toksd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM toksd),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh)
+    """
+
+
+@register(
+    "dedup_exact_group_sizes",
+    oracle="""
+    SELECT group_size, count(*) AS n_groups
+    FROM (SELECT md5(text) AS h, count(*) AS group_size FROM documents GROUP BY h)
+    GROUP BY group_size
+    """,
+    doc="Exact dedup: content-digest hash-groupBy histogram — one uniform "
+    "shuffle on md5(text), no skew, linear at 100 TB.",
+    tags=("dedup",),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(F.count(F.lit(1)).alias("group_size"))
+    return groups.groupBy("group_size").agg(F.count(F.lit(1)).alias("n_groups"))
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+    WITH keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1)
+    SELECT count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    """,
+    doc="Exact dedup survivors: smallest doc_id per digest via "
+    "groupBy + left-semi join (deterministic survivor pick).",
+    tags=("dedup",),
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    kept = exact_dedup(docs, "text", "doc_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "dedup_minhash_signature_stats",
+    oracle=f"""
+    WITH {_sig_sql()},
+    stacked AS (
+        {" UNION ALL ".join(f"SELECT {i} AS seed, mh_{i} AS sig FROM sig" for i in range(NUM_HASHES))}
+    )
+    SELECT seed, count(DISTINCT sig) AS n_distinct, min(sig) AS min_sig, max(sig) AS max_sig
+    FROM stacked GROUP BY seed
+    """,
+    doc="MinHash signatures (H=8, 3-word shingles): per-seed distinct/min/"
+    "max over all docs. Signature = lexicographic min of seeded md5 hex "
+    "strings — computed per-row with array expressions, zero shuffle.",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, 3)
+    stacked = sigs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("seed"), F.col(f"mh_{i}").alias("sig"))
+                    for i in range(NUM_HASHES)
+                ]
+            )
+        ).alias("s")
+    ).select("s.seed", "s.sig")
+    return stacked.groupBy("seed").agg(
+        F.countDistinct("sig").alias("n_distinct"),
+        F.min("sig").alias("min_sig"),
+        F.max("sig").alias("max_sig"),
+    )
+
+
+def _band_sql() -> str:
+    r = NUM_HASHES // BANDS
+    selects = []
+    for b in range(BANDS):
+        parts = " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        selects.append(f"SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_key FROM sig")
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_sig_sql()},
+    bands AS ({_band_sql()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH banding (4 bands × 2 rows): candidate near-dup pairs "
+    "via self-equi-join on (band_idx, band_key) — the only shuffle; "
+    "uniform md5 band keys, candidates ≪ n².",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
+
+
+def _simhash_sql(limit_id: int) -> str:
+    n_nibbles = 8
+    nib_cols = ", ".join(
+        f"CAST(('0x' || substr(hh, {j + 1}, 1)) AS INTEGER) AS nib_{j}" for j in range(n_nibbles)
+    )
+    sum_cols = ", ".join(
+        f"sum(((nib_{j} >> {b}) & 1) * 2 - 1) AS s_{j}_{b}"
+        for j in range(n_nibbles)
+        for b in range(4)
+    )
+    value = " + ".join(
+        f"CASE WHEN s_{j}_{b} >= 0 THEN {1 << (j * 4 + b)} ELSE 0 END"
+        for j in range(n_nibbles)
+        for b in range(4)
+    )
+    return f"""
+    toksd AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok
+        FROM documents WHERE doc_id < {limit_id}
+    ),
+    h AS (SELECT doc_id, md5(tok) AS hh FROM toksd),
+    nibs AS (SELECT doc_id, {nib_cols} FROM h),
+    sums AS (SELECT doc_id, {sum_cols} FROM nibs GROUP BY doc_id)
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"WITH {_simhash_sql(200)}",
+    doc="SimHash-32 per doc (doc_id < 200): per-bit weighted majority over "
+    "token md5 nibbles — one explode + one groupBy(doc_id); bucketing the "
+    "hash prefix yields the LSH-style join key at scale.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, "text", "doc_id", bits=32)
+
+
+@register(
+    "dedup_ngram_jaccard_topk",
+    oracle=f"""
+    WITH toksd AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 60
+    ),
+    grams AS (
+        SELECT doc_id, list_distinct({_SHINGLES3}) AS g FROM toksd
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.g, x -> list_contains(b.g, x))) AS inter,
+               len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x))) AS un
+        FROM grams a, grams b WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CASE WHEN un > 0 THEN inter * 1.0 / un ELSE 0.0 END AS jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+    LIMIT 20
+    """,
+    doc="n-gram Jaccard near-dup scoring on a bounded candidate set "
+    "(doc_id < 60 — in production: LSH candidates, never the n² grid). "
+    "Integer set algebra → exact IEEE division, engine-portable.",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = ngram_jaccard_pairs(docs, docs, "doc_id", "text", k=3)
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+# --- similarity search ---------------------------------------------------
+
+_DOT = "list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]), (x, y) -> x + y)"
+_NQ = "sqrt(list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (x, y) -> x + y))"
+_NV = "sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (x, y) -> x + y))"
+
+
+@register(
+    "sim_bruteforce_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_DOT} / ({_NQ} * {_NV}) AS cosine
+        FROM e c, q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast the query "
+    "set, stream candidates through one scan (no shuffle of the big side), "
+    "per-query heap via row_number. Sequential-fold dot products.",
+    tags=("similarity",),
+)
+def sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        pround("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _bucket_sql(var: str) -> str:
+    return " + ".join(f"(CASE WHEN {var}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8))
+
+
+@register(
+    "sim_bucketed_ann_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM c WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_DOT} / ({_NQ} * {_NV}) AS cosine
+        FROM c JOIN q USING (bucket)
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Bucketed ANN top-3: sign-pattern coarse quantizer over the leading "
+    "8 dims (axis-aligned hyperplane LSH) → candidates restricted by "
+    "equi-join on bucket — the 100 TB path (no n² pairs).",
+    tags=("similarity", "ann"),
+)
+def sim_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = bucketed_topk(emb, queries, "vec_id", "embedding", k=3, n_bucket_dims=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        pround("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "sim_embedding_near_dup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300),
+    c AS (SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM e),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),
+                           (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]),
+                                   (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]),
+                                     (x, y) -> x + y))) AS cosine
+        FROM c a JOIN c b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 0.5
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.5) within sign "
+    "buckets — LSH recall tradeoff, standard at scale.",
+    tags=("similarity", "dedup"),
+)
+def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = near_dup_pairs_cosine(emb, "vec_id", "embedding", threshold=0.5, n_bucket_dims=8)
+    return out.select("id_a", "id_b", pround("cosine", 6).alias("cosine"))
+
+
+# --- text analysis --------------------------------------------------------
+
+_PIECES = r"list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH toksd AS (
+        SELECT lang, n_chars, {_TOKS} AS toks, {_PIECES} AS pieces FROM documents
+    ),
+    bpe AS (
+        SELECT lang, n_chars, len(toks) AS n_tokens,
+               CASE WHEN len(pieces) = 0 THEN 0
+                    ELSE list_reduce(list_transform(pieces,
+                         x -> CAST(ceil(length(x) / 4.0) AS INTEGER)), (a, b) -> a + b)
+               END AS bpe_tokens
+        FROM toksd
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_tokens), 6) AS avg_tokens,
+           round(avg(n_chars), 6) AS avg_chars,
+           CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+    FROM bpe GROUP BY lang
+    """,
+    doc="Token counting per language: whitespace tokens + BPE-ish subword "
+    "count (⌈len/4⌉ per alnum piece) — all codegen'd expressions inside "
+    "the scan stage.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "lang",
+        "n_chars",
+        F.size(tokens_expr("text")).alias("n_tokens"),
+        token_count_bpe_ish_expr("text").alias("bpe_tokens"),
+    )
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pround(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        pround(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_by_source",
+    oracle=f"""
+    WITH toksd AS (
+        SELECT source, text, length(text) AS n_chars, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT source,
+               0.4 * least(1.0, len(toks) / 100.0)
+             + 0.3 * (1.0 - CASE WHEN n_chars > 0
+                   THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / n_chars
+                   ELSE 0.0 END)
+             + 0.3 * CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0 / len(toks)
+                   ELSE 0.0 END AS quality
+        FROM toksd
+    )
+    SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+    FROM scored GROUP BY source
+    """,
+    doc="Quality scoring: length / punctuation / stopword-ratio composite "
+    "per doc, aggregated by source (reference-style heuristic battery).",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    scored = docs.select(
+        "source", quality_score_expr(F.col("text"), toks).alias("quality")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), pround(F.avg("quality"), 6).alias("avg_quality")
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH toksd AS (SELECT lang, {_TOKS} AS toks FROM documents),
+    hits AS (
+        SELECT lang,
+               len(list_filter(toks, x -> x IN ('the', 'a'))) AS h_en,
+               len(list_filter(toks, x -> x IN ('data', 'row'))) AS h_es,
+               len(list_filter(toks, x -> x IN ('join', 'merge'))) AS h_fr
+        FROM toksd
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS predicted
+        FROM hits
+    )
+    SELECT lang, predicted, count(*) AS n_docs FROM pred GROUP BY lang, predicted
+    """,
+    doc="Language-ID heuristic: keyword-profile hit counts, argmax with "
+    "lexicographic tiebreak, vs. the labeled lang (confusion counts).",
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", langid_expr(tokens_expr("text"), LANG_PROFILES).alias("predicted")
+    )
+    return pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_fingerprint_stats",
+    oracle=f"""
+    WITH toksd AS (SELECT {_TOKS} AS toks FROM documents),
+    fp AS (
+        SELECT md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS f FROM toksd
+    ),
+    groups AS (SELECT f, count(*) AS cnt FROM fp GROUP BY f)
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+           count(*) AS n_fingerprints,
+           CAST(max(cnt) AS BIGINT) AS max_group_size
+    FROM groups
+    """,
+    doc="Document fingerprinting: md5 over the sorted distinct token set "
+    "(order/duplication-insensitive canonical form) → dup-cluster stats.",
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select(fingerprint_expr(tokens_expr("text")).alias("f"))
+    groups = fp.groupBy("f").agg(F.count(F.lit(1)).alias("cnt"))
+    return groups.agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.max("cnt").cast("long").alias("max_group_size"),
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           length(text) AS n_chars_utf,
+           md5(text) AS content_hash
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="Multimodal plumbing: opaque payload treated as binary with typed "
+    "metadata (byte length, char length, content digest) — the schema/"
+    "column layer under the stubbed decoders (operators.multimodal).",
+    tags=("multimodal",),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.length("text").cast("long").alias("n_chars_utf"),
+        F.md5("text").alias("content_hash"),
+    )

@@ -25,7 +25,7 @@ from cicevse2024_tfm_datapipeline_spark.operators.metrics import (
     threshold_at_fpr,
     weighted_log_loss,
 )
-from cicevse2024_tfm_datapipeline_spark.plans.common import POWER_BASE_SQL, power_view, t
+from cicevse2024_tfm_datapipeline_spark.plans.common import POWER_BASE_SQL, power_view, t, pround
 from cicevse2024_tfm_datapipeline_spark.plans.registry import register
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -51,7 +51,7 @@ _MC_PRED_SQL = """
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = power_view(spark, sf_dir)
-    score = F.round(F.col("value") / 400.0, 3)
+    score = pround(F.col("value") / 400.0, 3)
     return pv.select(
         "*",
         F.when(F.col("label") == "attack", 1).otherwise(0).alias("y_true"),
@@ -151,7 +151,7 @@ def a11_point_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attack").alias("yt"), _mc_pred().alias("yp")
     )
     m = multiclass_point_metrics(pv, "yt", "yp")
-    return m.select(*[F.round(F.col(c), 6).alias(c) for c in m.columns])
+    return m.select(*[pround(F.col(c), 6).alias(c) for c in m.columns])
 
 
 @register(
@@ -191,7 +191,7 @@ def a12_binary_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _scored(spark, sf_dir)
     out = binary_confusion_rates(sc, "y_true", "y_pred")
     keep = [c for c in out.columns if c in ("tn", "fp", "fn", "tp")]
-    rounded = [F.round(F.col(c), 6).alias(c) for c in out.columns if c not in keep]
+    rounded = [pround(F.col(c), 6).alias(c) for c in out.columns if c not in keep]
     return out.select(*keep, *rounded)
 
 
@@ -232,9 +232,9 @@ def a13_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _scored(spark, sf_dir)
     out = threshold_at_fpr(sc, "y_true", "score", 0.1)
     return out.select(
-        F.round("threshold", 6).alias("threshold"),
-        F.round("fpr", 6).alias("fpr"),
-        F.round("tpr", 6).alias("tpr"),
+        pround("threshold", 6).alias("threshold"),
+        pround("fpr", 6).alias("fpr"),
+        pround("tpr", 6).alias("tpr"),
     )
 
 
@@ -273,7 +273,7 @@ def a13_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _scored(spark, sf_dir)
     return roc_auc_trapezoid(sc, "y_true", "score").select(
-        F.round("roc_auc", 6).alias("roc_auc")
+        pround("roc_auc", 6).alias("roc_auc")
     )
 
 
@@ -313,7 +313,7 @@ def a13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a13_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _scored(spark, sf_dir)
     return average_precision(sc, "y_true", "score").select(
-        F.round("average_precision", 6).alias("average_precision")
+        pround("average_precision", 6).alias("average_precision")
     )
 
 
@@ -350,9 +350,9 @@ def a15_fph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "fp",
         "n_neg",
-        F.round(F.col("fp") / hours_benign, 6).alias("fp_per_hour"),
-        F.round(hours_benign, 6).alias("total_hours_benign"),
-        F.round(F.col("n_total") * F.lit(hop) / 3600.0, 6).alias("total_hours_test"),
+        pround(F.col("fp") / hours_benign, 6).alias("fp_per_hour"),
+        pround(hours_benign, 6).alias("total_hours_benign"),
+        pround(F.col("n_total") * F.lit(hop) / 3600.0, 6).alias("total_hours_test"),
     )
 
 
@@ -360,7 +360,7 @@ def a15_fph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a8_mean_std_over_runs",
     oracle="""
     WITH runs AS (
-        SELECT event_type, user_id, avg(value) AS run_metric
+        SELECT event_type, user_id, round(sum(value), 2) / count(*) AS run_metric
         FROM events GROUP BY event_type, user_id
     )
     SELECT event_type,
@@ -376,12 +376,14 @@ def a15_fph(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a8_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    runs = ev.groupBy("event_type", "user_id").agg(F.avg("value").alias("run_metric"))
+    runs = ev.groupBy("event_type", "user_id").agg(
+        (pround(F.sum("value"), 2) / F.count(F.lit(1))).alias("run_metric")
+    )
     out = mean_std_over_runs(runs, ["event_type"], "run_metric")
     return out.select(
         "event_type",
-        F.round("run_metric_mean", 6).alias("run_metric_mean"),
-        F.round("run_metric_std", 6).alias("run_metric_std"),
+        pround("run_metric_mean", 6).alias("run_metric_mean"),
+        pround("run_metric_std", 6).alias("run_metric_std"),
     )
 
 
@@ -407,7 +409,7 @@ def a9_wll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") / 400.0).alias("p_true"),
     )
     out = weighted_log_loss(w, "wgt", "p_true")
-    return out.select(F.round("weighted_log_loss", 6).alias("weighted_log_loss"))
+    return out.select(pround("weighted_log_loss", 6).alias("weighted_log_loss"))
 
 
 @register(

@@ -31,7 +31,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = Query(name, fn, oracle, doc, tags)
+        if oracle is not None:
+            # normalize round() to the portable floor form (see
+            # plans.common.pround — engine round() semantics diverge at
+            # half-boundaries)
+            from cicevse2024_tfm_datapipeline_spark.plans.common import portable_round_sql
+
+            normalized = portable_round_sql(oracle)
+        else:
+            normalized = None
+        _REGISTRY[name] = Query(name, fn, normalized, doc, tags)
         return fn
 
     return deco

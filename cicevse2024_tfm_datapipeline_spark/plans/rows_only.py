@@ -1,0 +1,303 @@
+"""Wave E: operators whose outputs are seeded-random, artifact-driven, or
+streaming — declared with rows-only checks (SURVEY §2.8/§2.9/§2.10), plus
+the P6/P7 schema-profile query (SQL-checkable).
+
+Seeded degradations are still DETERMINISTIC (numpy default_rng keyed on
+(seed, window_id), independent of partitioning) — the rows-only status is
+because DuckDB can't reproduce numpy streams, not because results vary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.operators.degrade import (
+    degrade_windows,
+    permute_feature_globally,
+)
+from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from cicevse2024_tfm_datapipeline_spark.plans.common import power_view, pround, t
+from cicevse2024_tfm_datapipeline_spark.plans.registry import register
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _windows_df(spark: SparkSession, sf_dir: str, seq_len: int = 4) -> DataFrame:
+    """Window rows with an array<array<double>> matrix column (T × F=2)
+    built from the power view — input to the degradation operators."""
+    pv = power_view(spark, sf_dir)
+    order_win = W.partitionBy("attack", "state").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame = order_win.rowsBetween(-(seq_len - 1), 0)
+    step_row = F.array(F.col("value"), (F.col("value") >= 100).cast("double"))
+    out = (
+        pv.withColumn("__rn", F.row_number().over(order_win))
+        .withColumn("matrix", F.collect_list(step_row).over(frame))
+        .filter(F.col("__rn") >= seq_len)
+    )
+    win_id = F.dense_rank().over(W.orderBy("attack", "state")) * 100000 + F.col("__rn")
+    return out.select(
+        "attack", "state", win_id.cast("long").alias("window_id"), "matrix"
+    )
+
+
+def _degrade_summary(df: DataFrame) -> DataFrame:
+    cells = F.aggregate(
+        F.flatten("matrix"),
+        F.struct(F.lit(0).alias("z"), F.lit(0).alias("n")),
+        lambda acc, x: F.struct(
+            (acc["z"] + F.when(x == 0.0, 1).otherwise(0)).alias("z"),
+            (acc["n"] + F.lit(1)).alias("n"),
+        ),
+    )
+    return df.select("window_id", cells.alias("c")).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("c.z")).alias("n_zero_cells"),
+        F.sum(F.col("c.n")).alias("n_cells"),
+    )
+
+
+def _register_degrade(kind: str, severity: float) -> None:
+    @register(
+        f"r_degrade_{kind}",
+        oracle=None,
+        doc=f"R: seeded '{kind}' degradation at severity {severity} over "
+        "window matrices via mapInPandas with (seed, window_id)-keyed "
+        "numpy Generators — partition-order independent "
+        "(func_aux/func_test.py:548-574).",
+        tags=("R", kind),
+    )
+    def _q(spark: SparkSession, sf_dir: str, kind=kind, severity=severity) -> DataFrame:
+        w = _windows_df(spark, sf_dir)
+        deg = degrade_windows(w, "matrix", "window_id", severity, kind, seed=42)
+        return _degrade_summary(deg)
+
+
+for _kind, _sev in (
+    ("packet_loss", 0.3),
+    ("missing_variables", 0.3),
+    ("clock_offset", 0.5),
+    ("drift", 0.4),
+):
+    _register_degrade(_kind, _sev)
+
+
+@register(
+    "r5_global_permutation",
+    oracle=None,
+    doc="R5: global value permutation via double-seeded-rank join "
+    "(pipelines_host/pipeline_host_importance.py:154-221) — checked by "
+    "permutation invariants (count and sum preserved).",
+    tags=("R5",),
+)
+def r5_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    perm = permute_feature_globally(ev, "value", seed=7, order_tiebreak="event_id")
+    moved = F.sum((F.col("value") != F.col("orig")).cast("long"))
+    joined = perm.join(
+        t(spark, sf_dir, "events").select("event_id", F.col("value").alias("orig")),
+        "event_id",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("value"), 2).alias("sum_after"),
+        moved.alias("n_moved"),
+    )
+
+
+@register(
+    "p6_p7_schema_profile",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, count(DISTINCT l_quantity) AS n_distinct,
+           round(avg(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_frac
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(DISTINCT l_returnflag),
+           round(avg(CASE WHEN l_returnflag IS NULL THEN 1.0 ELSE 0.0 END), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(DISTINCT l_tax),
+           round(avg(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0.0 END), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(DISTINCT l_linenumber),
+           round(avg(CASE WHEN l_linenumber IS NULL THEN 1.0 ELSE 0.0 END), 6)
+    FROM lineitem
+    """,
+    doc="P6/P7: schema-narrowing metadata pass — per-column countDistinct "
+    "and null-fraction in ONE scan (func_aux/func_preproc.py:570-579; "
+    "SURVEY §7.4 risk 7), unpivoted to rows.",
+    tags=("P6", "P7"),
+)
+def p6_p7_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_returnflag", "l_tax", "l_linenumber"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+        aggs.append(pround(F.avg(F.col(c).isNull().cast("double")), 6).alias(f"{c}__nf"))
+    one = li.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__nd").alias("n_distinct"),
+                        F.col(f"{c}__nf").alias("null_frac"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.column_name", "p.n_distinct", "p.null_frac")
+
+
+@register(
+    "s7_metrics_lake_flatten",
+    oracle=None,
+    doc="S7/J2: recursive JSON artifact scan + metrics⋈config equi-join on "
+    "run_dir + nested-struct flatten (func_aux/func_plot.py:648-697). "
+    "Writes a tiny artifact lake under .scratch/ then scans it.",
+    tags=("S7", "J2", "S6"),
+)
+def s7_metrics_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import (
+        join_metrics_with_configs,
+        scan_config_lake,
+        scan_metrics_lake,
+    )
+
+    root = os.path.join(SCRATCH, "runs")
+    for run, (acc, seq) in {"run_a": (0.91, 5), "run_b": (0.88, 10), "run_c": (0.93, 15)}.items():
+        d = os.path.join(root, run)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "metrics.json"), "w") as fh:
+            json.dump({"global": {"accuracy": acc, "f1_macro": acc - 0.02}}, fh)
+        with open(os.path.join(d, "config.json"), "w") as fh:
+            json.dump({"seq_len": seq, "model": "xgb"}, fh)
+    metrics = scan_metrics_lake(spark, root)
+    configs = scan_config_lake(spark, root)
+    joined = join_metrics_with_configs(metrics, configs)
+    return joined.select(
+        F.element_at(F.split("run_dir", "/"), -1).alias("run"),
+        F.col("global.accuracy").alias("accuracy"),
+        F.col("global.f1_macro").alias("f1_macro"),
+        "seq_len",
+        "model",
+    ).orderBy("run")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet. Nano-timestamp columns
+    must be DECLARED as long in the stream schema (the storage type) and
+    converted after read — a streaming source can't re-infer."""
+    import pyspark.sql.types as T
+
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import _nano_ts_columns, load_table
+
+    nano = _nano_ts_columns(os.path.join(sf_dir, "events.parquet"))
+    schema = load_table(spark, sf_dir, "events").schema
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name in nano else f.dataType, f.nullable)
+        for f in schema.fields
+    ]
+    stream = (
+        spark.readStream.schema(T.StructType(fields))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in nano:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return stream
+
+
+@register(
+    "stream_tumbling_avg",
+    oracle=None,
+    doc="Streaming A16: tumbling event-time window aggregation with "
+    "watermark, driven to completion over the parquet file source "
+    "(memory sink). Extension beyond reference parity (SURVEY §2.9).",
+    tags=("streaming", "A16"),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+        tumbling_avg_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    agg = tumbling_avg_stream(stream, window_sec=86400)
+    return run_to_completion(agg, "stream_tumbling_out")
+
+
+@register(
+    "stream_session_window",
+    oracle=None,
+    doc="Streaming W6: session_window(ts, 30 min) per user with watermark "
+    "— the streaming sessionization twin (SURVEY §2.9).",
+    tags=("streaming", "W6"),
+)
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+        session_window_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    agg = session_window_stream(stream, gap="30 minutes")
+    return run_to_completion(agg, "stream_sessions_out")
+
+
+@register(
+    "mm_fake_decode_features",
+    oracle=None,
+    doc="Multimodal decode → feature-extract over Arrow batches "
+    "(operators.multimodal; codec decode STUBBED, plumbing real): byte "
+    "histogram + entropy per payload, aggregated.",
+    tags=("multimodal", "M6"),
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = documents_as_media(docs)
+    feats = extract_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        pround(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+        pround(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+@register(
+    "ml_surrogate_tree",
+    oracle=None,
+    doc="M5: Spark-ML DecisionTree surrogate on A6 window-stats features "
+    "(func_aux/func_models.py:177-273) — label distribution of the "
+    "surrogate's predictions (seeded, deterministic).",
+    tags=("ml", "M5"),
+)
+def ml_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.ml.models import fit_surrogate_tree
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import window_summary_stats
+
+    pv = power_view(spark, sf_dir)
+    stats = window_summary_stats(
+        pv, ["attack", "state"], "ts", "event_id", ["value"], seq_len=5, step=2, label_col="label"
+    )
+    feature_cols = ["value_mean", "value_std", "value_min", "value_max"]
+    _, preds = fit_surrogate_tree(
+        stats.na.fill(0.0, ["value_std"]), feature_cols, "window_label", max_depth=3
+    )
+    return preds.groupBy("window_label", "prediction").agg(F.count(F.lit(1)).alias("n"))

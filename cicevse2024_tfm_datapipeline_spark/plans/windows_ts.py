@@ -19,7 +19,7 @@ from cicevse2024_tfm_datapipeline_spark.operators.windows import (
     fit_standardizer,
     window_summary_stats,
 )
-from cicevse2024_tfm_datapipeline_spark.plans.common import POWER_BASE_SQL, power_view, split_sql, t
+from cicevse2024_tfm_datapipeline_spark.plans.common import POWER_BASE_SQL, power_view, split_sql, t, pround
 from cicevse2024_tfm_datapipeline_spark.plans.registry import register
 
 SEQ_LEN = 5
@@ -35,7 +35,8 @@ _W3_FRAME = "PARTITION BY attack, state ORDER BY ts, event_id ROWS BETWEEN 4 PRE
     framed AS (
         SELECT attack, state, label,
                row_number() OVER (PARTITION BY attack, state ORDER BY ts, event_id) AS rn,
-               avg(value)   OVER ({_W3_FRAME}) AS w_avg,
+               round(sum(value) OVER ({_W3_FRAME}), 2)
+                   / count(*) OVER ({_W3_FRAME}) AS w_avg,
                min(value)   OVER ({_W3_FRAME}) AS w_min,
                max(value)   OVER ({_W3_FRAME}) AS w_max
         FROM base
@@ -60,7 +61,12 @@ def w3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = order_win.rowsBetween(-(SEQ_LEN - 1), 0)
     out = (
         pv.withColumn("__rn", F.row_number().over(order_win))
-        .withColumn("w_avg", F.avg("value").over(frame))
+        # canonicalized frame mean: round(sum,2) is exact for 2-dp data →
+        # both engines divide identical doubles
+        .withColumn(
+            "w_avg",
+            pround(F.sum("value").over(frame), 2) / F.count(F.lit(1)).over(frame),
+        )
         .withColumn("w_min", F.min("value").over(frame))
         .withColumn("w_max", F.max("value").over(frame))
     )
@@ -69,7 +75,7 @@ def w3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attack",
         "state",
         ((F.col("__rn") - F.lit(SEQ_LEN)) / F.lit(STEP)).cast("long").alias("window_id"),
-        F.round("w_avg", 6).alias("value_mean"),
+        pround("w_avg", 6).alias("value_mean"),
         F.col("w_min").alias("value_min"),
         F.col("w_max").alias("value_max"),
         F.col("label").alias("window_label"),
@@ -83,7 +89,8 @@ def w3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     framed AS (
         SELECT attack, state,
                row_number() OVER (PARTITION BY attack, state ORDER BY ts, event_id) AS rn,
-               avg(value)        OVER ({_W3_FRAME}) AS m,
+               round(sum(value) OVER ({_W3_FRAME}), 2)
+                   / count(*) OVER ({_W3_FRAME}) AS m,
                stddev_pop(value) OVER ({_W3_FRAME}) AS s,
                min(value)        OVER ({_W3_FRAME}) AS mn,
                max(value)        OVER ({_W3_FRAME}) AS mx
@@ -101,17 +108,24 @@ def w3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a6_window_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = power_view(spark, sf_dir)
-    stats = window_summary_stats(
-        pv, ["attack", "state"], "ts", "event_id", ["value"], SEQ_LEN, STEP
+    order_win = W.partitionBy("attack", "state").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame = order_win.rowsBetween(-(SEQ_LEN - 1), 0)
+    out = (
+        pv.withColumn("__rn", F.row_number().over(order_win))
+        .withColumn("m", pround(F.sum("value").over(frame), 2) / F.count(F.lit(1)).over(frame))
+        .withColumn("s", F.stddev_pop("value").over(frame))
+        .withColumn("mn", F.min("value").over(frame))
+        .withColumn("mx", F.max("value").over(frame))
     )
-    return stats.select(
+    is_end = (F.col("__rn") >= SEQ_LEN) & (((F.col("__rn") - SEQ_LEN) % STEP) == 0)
+    return out.filter(is_end).select(
         "attack",
         "state",
-        "window_id",
-        F.round("value_mean", 6).alias("value_mean"),
-        F.round("value_std", 6).alias("value_std"),
-        F.col("value_min"),
-        F.col("value_max"),
+        ((F.col("__rn") - F.lit(SEQ_LEN)) / F.lit(STEP)).cast("long").alias("window_id"),
+        pround("m", 6).alias("value_mean"),
+        pround("s", 6).alias("value_std"),
+        F.col("mn").alias("value_min"),
+        F.col("mx").alias("value_max"),
     )
 
 
@@ -146,10 +160,10 @@ def w5_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = apply_standardizer(tagged, stats)
     return scaled.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.avg("value"), 4).alias("scaled_mean"),
-        F.round(F.stddev_pop("value"), 4).alias("scaled_std"),
-        F.round(F.min("value"), 4).alias("scaled_min"),
-        F.round(F.max("value"), 4).alias("scaled_max"),
+        pround(F.avg("value"), 4).alias("scaled_mean"),
+        pround(F.stddev_pop("value"), 4).alias("scaled_std"),
+        pround(F.min("value"), 4).alias("scaled_min"),
+        pround(F.max("value"), 4).alias("scaled_max"),
     )
 
 
@@ -216,8 +230,8 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("episodes_total").cast("long").alias("episodes_total"),
         F.col("episodes_detected").cast("long").alias("episodes_detected"),
-        F.round("avg_ttd_seconds", 4).alias("avg_ttd_seconds"),
-        F.round("avg_ttd_hours", 6).alias("avg_ttd_hours"),
+        pround("avg_ttd_seconds", 4).alias("avg_ttd_seconds"),
+        pround("avg_ttd_hours", 6).alias("avg_ttd_hours"),
     )
 
 
@@ -257,13 +271,13 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w7_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     out = acf(ev, "value", ["ts", "event_id"], lags=[0, 1, 2, 5, 10])
-    return out.select(F.col("lag"), F.round("acf_value", 6).alias("acf_value"))
+    return out.select(F.col("lag"), pround("acf_value", 6).alias("acf_value"))
 
 
 @register(
     "w8_topk_by_score",
     oracle="""
-    SELECT p_brand, round(avg(p_retailprice), 4) AS mean_score
+    SELECT p_brand, round(round(sum(p_retailprice), 2) / count(*), 6) AS mean_score
     FROM part
     GROUP BY p_brand
     ORDER BY mean_score DESC, p_brand ASC
@@ -276,7 +290,9 @@ def w7_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part")
-    scores = part.groupBy("p_brand").agg(F.round(F.avg("p_retailprice"), 4).alias("mean_score"))
+    scores = part.groupBy("p_brand").agg(
+        pround(pround(F.sum("p_retailprice"), 2) / F.count(F.lit(1)), 6).alias("mean_score")
+    )
     return top_k(scores, [F.desc("mean_score"), F.asc("p_brand")], 5)
 
 
@@ -328,7 +344,7 @@ def a7_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = counts.crossJoin(F.broadcast(tot))
     weight = F.least(F.col("n") / (F.col("k") * F.col("n_c") * F.lit(1.0)), F.lit(10.0))
     return joined.select(
-        "label", F.col("n_c").alias("n_samples"), F.round(weight, 6).alias("class_weight")
+        "label", F.col("n_c").alias("n_samples"), pround(weight, 6).alias("class_weight")
     )
 
 

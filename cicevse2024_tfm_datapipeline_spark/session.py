@@ -25,8 +25,11 @@ def get_spark(app_name: str = "cicevse2024-tfm-spark", shuffle_partitions: str |
     - Arrow on: every pandas_udf / mapInPandas edge is Arrow-batched.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     builder = (
         SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.driver.bindAddress", "127.0.0.1")
+        .config("spark.driver.host", "127.0.0.1")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle_partitions or os.environ.get("SPARK_SHUFFLE_PARTITIONS", _DEF_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,65 @@
+"""W6 TTD semantics vs a direct reimplementation of the reference scan
+(/root/reference/func_aux/func_test.py:196-249)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def ref_ttd(y_true, y_pred, hop, episode_ids=None):
+    n = len(y_true)
+    total = detected = 0
+    delays = []
+    i = 0
+    while i < n:
+        if y_true[i] == 1:
+            total += 1
+            cur = episode_ids[i] if episode_ids is not None else None
+            start, j = i, i + 1
+            while j < n and y_true[j] == 1:
+                if episode_ids is not None and episode_ids[j] != cur:
+                    break
+                j += 1
+            det = next((t for t in range(start, j) if y_pred[t] == 1), None)
+            if det is not None:
+                detected += 1
+                delays.append((det - start) * hop)
+            i = j
+        else:
+            i += 1
+    avg = sum(delays) / len(delays) if delays else None
+    return total, detected, avg
+
+
+CASES = [
+    # (y_true, y_pred, episode_ids)
+    ([0, 1, 1, 0, 1, 1, 1, 0], [0, 0, 1, 0, 1, 0, 0, 0], None),
+    ([1, 1, 1, 1], [0, 0, 0, 0], None),
+    ([0, 0, 0], [1, 1, 1], None),
+    ([1, 1, 1, 1, 1], [0, 0, 1, 0, 1], ["a", "a", "b", "b", "b"]),  # id change splits run
+    ([1, 0, 1], [1, 1, 1], None),
+    ([0, 1, 1, 1, 0, 1], [0, 0, 1, 1, 0, 1], ["x", "e1", "e1", "e2", "x", "e3"]),
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_ttd_matches_reference_scan(spark, case):
+    from cicevse2024_tfm_datapipeline_spark.operators.sessionize import ttd_stats
+
+    y_true, y_pred, eps = case
+    rows = [
+        (i, int(t), int(p), (eps[i] if eps else "e"))
+        for i, (t, p) in enumerate(zip(y_true, y_pred))
+    ]
+    df = spark.createDataFrame(rows, ["idx", "yt", "yp", "ep"])
+    out = ttd_stats(
+        df, ["idx"], "yt", "yp", window_hop_seconds=2.0,
+        episode_id_col="ep" if eps else None,
+    ).collect()[0]
+    exp_total, exp_det, exp_avg = ref_ttd(y_true, y_pred, 2.0, eps)
+    assert out["episodes_total"] == exp_total
+    assert out["episodes_detected"] == exp_det
+    if exp_avg is None:
+        assert out["avg_ttd_seconds"] is None
+    else:
+        assert abs(out["avg_ttd_seconds"] - exp_avg) < 1e-9

@@ -1,0 +1,75 @@
+"""W3/W4/W5 semantics vs the reference behavior
+(/root/reference/func_aux/func_preproc.py:206-247): window k covers rows
+[k·step, k·step+L), label = last row of the window."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def make_series(spark, n=12):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("g", base + datetime.timedelta(seconds=i), i, float(i * 10), str(i % 3))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["grp", "ts", "rid", "x", "lab"])
+
+
+@pytest.mark.parametrize("seq_len,step", [(3, 1), (4, 2), (5, 5), (4, 3)])
+def test_window_count_and_label(spark, seq_len, step):
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import sliding_windows
+
+    n = 12
+    df = make_series(spark, n)
+    out = sliding_windows(
+        df, ["grp"], "ts", "rid", ["x"], seq_len, step, label_col="lab"
+    ).collect()
+    starts = list(range(0, n - seq_len + 1, step))
+    assert len(out) == len(starts)
+    by_id = {r["window_id"]: r for r in out}
+    for k, start in enumerate(starts):
+        r = by_id[k]
+        expected_seq = [float((start + j) * 10) for j in range(seq_len)]
+        assert r["x_seq"] == expected_seq, (k, r["x_seq"], expected_seq)
+        assert r["window_label"] == str((start + seq_len - 1) % 3)
+
+
+def test_windows_via_pandas_matches_frame_variant(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import (
+        sliding_windows,
+        windows_via_pandas,
+    )
+
+    df = make_series(spark, 15)
+    a = sliding_windows(df, ["grp"], "ts", "rid", ["x"], 4, 2, label_col="lab")
+    b = windows_via_pandas(df, ["grp"], "ts", "rid", ["x"], 4, 2, label_col="lab")
+    pa = {r["window_id"]: (r["x_seq"], r["window_label"]) for r in a.collect()}
+    pb = {r["window_id"]: (r["x_seq"], r["window_label"]) for r in b.collect()}
+    assert pa == pb
+
+
+def test_standardizer_population_std(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import (
+        apply_standardizer,
+        fit_standardizer,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], ["x"])
+    stats = fit_standardizer(df, ["x"])
+    mu, sigma = stats["x"]
+    assert mu == 2.5
+    assert abs(sigma - 1.118033988749895) < 1e-12  # ddof=0, not 1.2909...
+    out = [r["x"] for r in apply_standardizer(df, stats).collect()]
+    assert abs(sum(out)) < 1e-9
+
+
+def test_standardizer_constant_column_passthrough(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import fit_standardizer
+
+    df = spark.createDataFrame([(5.0,), (5.0,)], ["x"])
+    mu, sigma = fit_standardizer(df, ["x"])["x"]
+    assert sigma == 1.0  # sklearn zero-variance convention
