@@ -39,34 +39,48 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def _seeded_hasher(prefix: str):
+def _slice_taker(start: int, length: int):
     # MUST be a one-arg lambda: pyspark maps lambda ARITY to transform's
-    # (element[, index]) signature, so `lambda x, p=prefix` would bind the
-    # array index over the default — keep the prefix in a closure.
-    return lambda x: F.md5(F.concat(F.lit(prefix), x))
+    # (element[, index]) signature, so extra default args would bind the
+    # array index — keep parameters in a closure.
+    return lambda h: F.substring(h, start, length)
 
 
-def minhash_signature_exprs(shingles: Column, num_hashes: int) -> list[Column]:
-    """MinHash signature: per seed i, min over shingles of
-    md5('<i>:' || shingle). Empty shingle set → null signature."""
+def minhash_signature_exprs(hashed: Column, num_hashes: int, slice_len: int = 8) -> list[Column]:
+    """MinHash signatures from a pre-hashed shingle array: signature i is
+    the min over shingles of the i-th ``slice_len``-hex-char slice of the
+    per-shingle digest. Distinct bit-ranges of a strong hash act as
+    independent hash functions — ONE digest evaluation feeds all seeds
+    (8× fewer md5 calls than seeded re-hashing). Empty set → null."""
     sigs = []
     for i in range(num_hashes):
-        hashed = F.transform(shingles, _seeded_hasher(f"{i}:"))
-        sigs.append(F.array_min(hashed).alias(f"mh_{i}"))
+        sliced = F.transform(hashed, _slice_taker(i * slice_len + 1, slice_len))
+        sigs.append(F.array_min(sliced).alias(f"mh_{i}"))
     return sigs
+
+
+def shingle_digest_expr(shingles: Column) -> Column:
+    """64 hex chars per shingle: md5(s) || md5('x:'||s) — enough for 8
+    independent 32-bit slices."""
+    return F.transform(
+        shingles, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x:"), s)))
+    )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_k: int = 3
 ) -> DataFrame:
+    if num_hashes * 8 > 64:
+        raise ValueError("num_hashes > 8 needs more digest material")
     # Shingles are materialized in their own projection BEFORE the hashing
     # transforms: composing transform(transform(...)) lambdas in one
     # expression tree hits lambda-variable capture collisions (the inner
-    # `x` shadows the outer). Two selects, still one codegen stage.
+    # `x` shadows the outer). Chained selects, still one codegen stage.
     toks = tokens_expr(text_col)
     base = df.select(F.col(id_col), word_shingles_expr(toks, shingle_k).alias("__shingles"))
-    return base.select(
-        F.col(id_col), *minhash_signature_exprs(F.col("__shingles"), num_hashes)
+    hashed = base.select(F.col(id_col), shingle_digest_expr(F.col("__shingles")).alias("__hashed"))
+    return hashed.select(
+        F.col(id_col), *minhash_signature_exprs(F.col("__hashed"), num_hashes)
     )
 
 
@@ -95,7 +109,10 @@ def lsh_candidate_pairs(
     scale path: one signature pass + one self-equi-join on band keys."""
     assert num_hashes % bands == 0
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    keys = lsh_band_keys(sigs, id_col, bands, num_hashes // bands)
+    # persist the band keys: the self-join would otherwise recompute the
+    # whole tokenize→shingle→hash chain for BOTH sides (keys are tiny —
+    # id + 2 short strings per band)
+    keys = lsh_band_keys(sigs, id_col, bands, num_hashes // bands).persist()
     a = keys.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     b = keys.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
     return (

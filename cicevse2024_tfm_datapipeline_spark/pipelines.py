@@ -156,6 +156,68 @@ def run_power_pipeline(spark: SparkSession, events: DataFrame, cfg: PipelineConf
     return artifact
 
 
+def run_host_pipeline(
+    spark: SparkSession,
+    host_df: DataFrame,
+    importances: list[tuple[str, float]],
+    cfg: PipelineConfig,
+    top_k: int = 10,
+    drop_attacks: tuple[str, ...] = ("serice-detection", "icmp-fragmentation_old"),
+) -> dict:
+    """§3.2 host lifecycle: DROP_ATTACKS filter → W8 top-K feature
+    selection from a precomputed importance ranking (the M7 cross-stage
+    IR, pipelines_host/pipeline_trainingmodels_host.py:57-166) → the
+    shared split/scale/window/metric chain."""
+    ranked = [f for f, _ in sorted(importances, key=lambda kv: -kv[1])]
+    selected = [f for f in ranked if f in host_df.columns][:top_k]
+    df = host_df.filter(~F.col(cfg.attack_col).isin(*drop_attacks))
+    cfg2 = PipelineConfig(**{**cfg.__dict__, "num_features": tuple(selected)})
+    return run_power_pipeline(spark, df, cfg2)
+
+
+def run_network_pipeline(
+    spark: SparkSession,
+    raw_glob: str,
+    cfg: PipelineConfig,
+    evse: str = "B",
+) -> dict:
+    """§3.3 network lifecycle: S3 multi-file scan + F9 filename labels →
+    F7 broadcast label maps → P9 EVSE filter → P6/P7/P8 narrowing → the
+    shared chain (pipeline_trainingmodels_network.py:167-720)."""
+    from cicevse2024_tfm_datapipeline_spark.functions.network_maps import (
+        ATTACK_TO_SCENARIO,
+        LABEL_MAPPING,
+        apply_mapping,
+    )
+    from cicevse2024_tfm_datapipeline_spark.operators.narrowing import (
+        drop_blocklisted,
+        drop_constant_columns,
+        drop_high_null_columns,
+    )
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import scan_network_dir
+
+    df = scan_network_dir(spark, raw_glob)
+    df = df.filter(F.upper(F.trim(F.col("evse"))) == evse.upper())
+    df = apply_mapping(df, LABEL_MAPPING, "label_mul_raw", "attack")
+    df = apply_mapping(df, ATTACK_TO_SCENARIO, "attack", "scenario", F.lit("Benign"))
+    df = drop_blocklisted(df)
+    df = drop_high_null_columns(df, 0.95)
+    df = drop_constant_columns(df, [c for c in df.columns if c not in ("attack", "scenario")])
+    # file-order time axis (F12) within each source file
+    from pyspark.sql import Window as W
+
+    df = df.withColumn(
+        "ts", F.row_number().over(W.partitionBy("source_file").orderBy(F.monotonically_increasing_id())).cast("double")
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    df = df.withColumn("state", F.when(F.lower("label_mul_raw").contains("charging"), "charging").otherwise("idle"))
+    num_feats = [
+        c for c, t_ in df.dtypes
+        if t_ in ("double", "bigint", "int") and c not in ("ts", "event_id")
+    ][:4]
+    cfg2 = PipelineConfig(**{**cfg.__dict__, "num_features": tuple(num_feats), "cat_features": ()})
+    return run_power_pipeline(spark, df, cfg2)
+
+
 def _dump_json(path: str, obj: dict) -> None:
     """S6 + F14: JSON artifact sink with NaN/inf → null sanitization
     (func_aux/func_preproc.py:481-534)."""

@@ -52,15 +52,18 @@ BANDS = 4
 
 
 def _sig_sql() -> str:
-    """DuckDB CTE chain producing doc_id + mh_0..mh_7 signatures."""
+    """DuckDB CTE chain producing doc_id + mh_0..mh_7 signatures (slices
+    of a 64-hex two-md5 digest — keep in lockstep with
+    operators.dedup.minhash_signatures)."""
     sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, x -> md5('{i}:' || x))) AS mh_{i}"
+        f"list_min(list_transform(hashed, h -> substr(h, {i * 8 + 1}, 8))) AS mh_{i}"
         for i in range(NUM_HASHES)
     )
     return f"""
     toksd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM toksd),
-    sig AS (SELECT doc_id, {sig_cols} FROM sh)
+    hd AS (SELECT doc_id, list_transform(shingles, s -> md5(s) || md5('x:' || s)) AS hashed FROM sh),
+    sig AS (SELECT doc_id, {sig_cols} FROM hd)
     """
 
 
