@@ -109,10 +109,10 @@ def lsh_candidate_pairs(
     scale path: one signature pass + one self-equi-join on band keys."""
     assert num_hashes % bands == 0
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    # persist the band keys: the self-join would otherwise recompute the
-    # whole tokenize→shingle→hash chain for BOTH sides (keys are tiny —
-    # id + 2 short strings per band)
-    keys = lsh_band_keys(sigs, id_col, bands, num_hashes // bands).persist()
+    # both join sides recompute the tokenize→shingle→digest chain (cheap:
+    # one digest per shingle); at cluster scale persist() the keys instead
+    # of recomputing — in local mode pipelined recompute beats cache churn
+    keys = lsh_band_keys(sigs, id_col, bands, num_hashes // bands)
     a = keys.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     b = keys.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
     return (

@@ -297,6 +297,26 @@ def w8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a17_grid_mean",
+    oracle="""
+    SELECT p_size, count(*) AS n_parts,
+           round(round(sum(p_retailprice), 2) / count(*), 6) AS mean_price
+    FROM part
+    GROUP BY p_size
+    """,
+    doc="A17: grid mean over a config axis (groupby('seq_len').mean(), "
+    "func_aux/func_plot.py:871-876) — canonicalized decimal mean.",
+    tags=("A17",),
+)
+def a17_grid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.groupBy("p_size").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        pround(pround(F.sum("p_retailprice"), 2) / F.count(F.lit(1)), 6).alias("mean_price"),
+    )
+
+
+@register(
     "a5_group_mode",
     oracle=f"""
     WITH base AS ({POWER_BASE_SQL}),

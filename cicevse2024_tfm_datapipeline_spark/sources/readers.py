@@ -53,6 +53,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ingest TIMESTAMP_NS.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # the driver may hand us ITS session: pin the runtime-settable confs
+    # the oracle comparison depends on (UTC day-bucketing ≡ DuckDB's
+    # naive timestamps)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
