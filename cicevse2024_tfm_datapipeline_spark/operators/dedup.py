@@ -123,13 +123,6 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash_expr_components(text_col: str, bits: int = 32) -> tuple[Column, int]:
-    """Helper for 32-bit SimHash over whitespace tokens — see
-    :func:`simhash`. Returns the exploded-token hex column."""
-    assert bits % 4 == 0
-    return F.explode(tokens_expr(text_col)), bits // 4
-
-
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash: per-bit weighted majority over token md5 hashes.
 

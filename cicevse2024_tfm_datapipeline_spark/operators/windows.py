@@ -70,17 +70,6 @@ def apply_standardizer(df: DataFrame, stats: dict[str, tuple[float, float]]) -> 
     return df.select(*cols)
 
 
-def window_end_marker(
-    order_win: W, seq_len: int, step: int, rn_col: str = "__rn"
-) -> tuple[Column, Column]:
-    """Row-number column + boolean 'this row ends a window' predicate."""
-    rn = F.row_number().over(order_win)
-    is_end = (F.col(rn_col) >= F.lit(seq_len)) & (
-        ((F.col(rn_col) - F.lit(seq_len)) % F.lit(step)) == 0
-    )
-    return rn, is_end
-
-
 def sliding_windows(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -12,7 +12,6 @@ Exit code 0 iff every checked query matches (EXACT or CLOSE).
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import time
