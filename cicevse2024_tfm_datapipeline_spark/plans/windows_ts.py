@@ -83,6 +83,39 @@ def w3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w3_full_sequences",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    framed AS (
+        SELECT attack, state, label,
+               row_number() OVER (PARTITION BY attack, state ORDER BY ts, event_id) AS rn,
+               list(value) OVER ({_W3_FRAME}) AS value_seq
+        FROM base
+    )
+    SELECT attack, state,
+           CAST((rn - {SEQ_LEN}) / {STEP} AS BIGINT) AS window_id,
+           value_seq,
+           label AS window_label
+    FROM framed
+    WHERE rn >= {SEQ_LEN} AND (rn - {SEQ_LEN}) % {STEP} = 0
+    """,
+    doc="W3 with full per-window SEQUENCE ARRAYS (collect_list over the "
+    "trailing frame, order pinned by (ts, event_id)) — the tensor-IR "
+    "contract of make_sequences (func_aux/func_preproc.py:206-247), "
+    "value-checked element-by-element against the oracle.",
+    tags=("W3", "W4", "S5"),
+)
+def w3_full_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import sliding_windows
+
+    pv = power_view(spark, sf_dir)
+    out = sliding_windows(
+        pv, ["attack", "state"], "ts", "event_id", ["value"], SEQ_LEN, STEP, label_col="label"
+    )
+    return out.select("attack", "state", "window_id", "value_seq", "window_label")
+
+
+@register(
     "a6_window_summary_stats",
     oracle=f"""
     WITH base AS ({POWER_BASE_SQL}),

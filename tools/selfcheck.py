@@ -45,7 +45,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            import numpy as np
+
+            df[c] = df[c].map(
+                lambda v: tuple(v.tolist())
+                if isinstance(v, np.ndarray)
+                else (tuple(v) if isinstance(v, (list, tuple)) else v)
+            )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -86,6 +92,12 @@ def main() -> int:  # noqa: C901
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default="")
     ap.add_argument("--skip-rows-only", action="store_true", default=False)
+    ap.add_argument(
+        "--determinism",
+        action="store_true",
+        default=False,
+        help="re-run rows-only queries and require identical results",
+    )
     args = ap.parse_args()
 
     from cicevse2024_tfm_datapipeline_spark.plans import load_all
@@ -110,8 +122,19 @@ def main() -> int:  # noqa: C901
         dt_spark = time.time() - t0
         if q.oracle is None:
             nrows = len(spark_pdf)
-            status = "ROWS " if nrows >= 0 else "FAIL "
-            print(f"[{status}] {name}: rows-only, {nrows} rows ({dt_spark:.1f}s)", flush=True)
+            detail = ""
+            status = "ROWS "
+            if args.determinism and not name.startswith("stream_"):
+                # seeded/rows-only ops must reproduce bit-identically on rerun
+                rerun_pdf = q.spark(spark, args.sf).toPandas()
+                verdict, detail = compare(spark_pdf, rerun_pdf)
+                if verdict == "FAIL":
+                    status = "FAIL "
+                    failures += 1
+            print(
+                f"[{status}] {name}: rows-only, {nrows} rows ({dt_spark:.1f}s) {detail}",
+                flush=True,
+            )
             continue
         try:
             oracle_pdf = con.execute(q.oracle).fetchdf()
