@@ -444,7 +444,7 @@ def a16_tumbling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_quantity), 4) AS sum_qty,
            round(sum(l_extendedprice), 4) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
            round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
            round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
            round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
@@ -468,7 +468,11 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("l_quantity"), 4).alias("sum_qty"),
             pround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
             pround(F.sum(disc_price), 4).alias("sum_disc_price"),
-            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            # the true sum has 6 decimals — rounding AT the data precision
+            # keeps floor(x·10ⁿ+0.5) away from integer crossings (stable);
+            # rounding at 4 would sit exactly on a crossing when the 5th-6th
+            # decimals are '50'
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
             pround(pround(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
             pround(pround(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
             pround(pround(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
