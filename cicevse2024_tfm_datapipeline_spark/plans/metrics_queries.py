@@ -239,6 +239,52 @@ def a13_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a13_roc_curve_points",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_SCORED_SQL},
+    per AS (
+        SELECT score AS threshold,
+               sum(CASE WHEN y_true = 1 THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN y_true = 0 THEN 1 ELSE 0 END) AS neg
+        FROM scored GROUP BY score
+    )
+    SELECT round(threshold, 6) AS threshold,
+           CAST(sum(pos) OVER (ORDER BY threshold DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tp,
+           CAST(sum(neg) OVER (ORDER BY threshold DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_fp,
+           round(sum(neg) OVER (ORDER BY threshold DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+               / sum(neg) OVER (), 6) AS fpr,
+           round(sum(pos) OVER (ORDER BY threshold DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+               / sum(pos) OVER (), 6) AS tpr
+    FROM per
+    """,
+    doc="A13: the FULL ROC curve — one point per distinct threshold with "
+    "cumulative TP/FP over the descending-score order "
+    "(func_aux/func_test.py:429-458). Window input is |thresholds|, not "
+    "|rows| — bounded at any data scale.",
+    tags=("A13",),
+)
+def a13_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.metrics import roc_points
+
+    sc = _scored(spark, sf_dir)
+    pts = roc_points(sc, "y_true", "score")
+    return pts.select(
+        pround("threshold", 6).alias("threshold"),
+        F.col("cum_tp").cast("long").alias("cum_tp"),
+        F.col("cum_fp").cast("long").alias("cum_fp"),
+        pround("fpr", 6).alias("fpr"),
+        pround("tpr", 6).alias("tpr"),
+    )
+
+
+@register(
     "a13_roc_auc",
     oracle=f"""
     WITH base AS ({POWER_BASE_SQL}),
