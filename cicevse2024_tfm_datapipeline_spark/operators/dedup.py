@@ -60,11 +60,9 @@ def minhash_signature_exprs(hashed: Column, num_hashes: int, slice_len: int = 8)
 
 
 def shingle_digest_expr(shingles: Column) -> Column:
-    """64 hex chars per shingle: md5(s) || md5('x:'||s) — enough for 8
-    independent 32-bit slices."""
-    return F.transform(
-        shingles, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x:"), s)))
-    )
+    """64 hex chars per shingle from ONE sha-256 call — enough for 8
+    independent 32-bit slices (distinct bit-ranges of a strong hash)."""
+    return F.transform(shingles, lambda s: F.sha2(s, 256))
 
 
 def minhash_signatures(
@@ -109,9 +107,12 @@ def lsh_candidate_pairs(
     scale path: one signature pass + one self-equi-join on band keys."""
     assert num_hashes % bands == 0
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    # both join sides recompute the tokenize→shingle→digest chain (cheap:
-    # one digest per shingle); at cluster scale persist() the keys instead
-    # of recomputing — in local mode pipelined recompute beats cache churn
+    # Exchange barrier: without it Catalyst's projection collapse INLINES
+    # the tokenize→shingle→digest chain into every band-key expression
+    # (8+ copies per row, huge codegen) and again into both self-join
+    # sides. The repartition materializes the signatures once — tiny rows
+    # (id + 8 short strings) — and both join branches reuse the exchange.
+    sigs = sigs.repartition(F.col(id_col))
     keys = lsh_band_keys(sigs, id_col, bands, num_hashes // bands)
     a = keys.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     b = keys.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")

@@ -62,7 +62,7 @@ def _sig_sql() -> str:
     return f"""
     toksd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM toksd),
-    hd AS (SELECT doc_id, list_transform(shingles, s -> md5(s) || md5('x:' || s)) AS hashed FROM sh),
+    hd AS (SELECT doc_id, list_transform(shingles, s -> sha256(s)) AS hashed FROM sh),
     sig AS (SELECT doc_id, {sig_cols} FROM hd)
     """
 

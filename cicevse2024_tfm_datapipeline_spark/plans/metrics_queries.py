@@ -459,6 +459,46 @@ def a9_wll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_quantiles_exact",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated quantiles per group (quality-filtering staple; "
+    "Spark percentile ≡ DuckDB quantile_cont, linear interpolation). At "
+    "100 TB swap to approx_percentile — same call site, sketch-merged.",
+    tags=("quantiles", "text"),
+)
+def a_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        pround(F.percentile("value", 0.25), 6).alias("p25"),
+        pround(F.percentile("value", 0.5), 6).alias("p50"),
+        pround(F.percentile("value", 0.9), 6).alias("p90"),
+    )
+
+
+@register(
+    "a_approx_sketches",
+    oracle=None,  # sketch outputs are algorithm-specific → rows-only
+    doc="Approximate sketches — approx_count_distinct (HLL) and "
+    "approx_percentile (KLL-ish) — the 100 TB forms of A4/quantiles; "
+    "deterministic for fixed input, but not oracle-portable.",
+    tags=("sketch", "A4"),
+)
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+@register(
     "a14_clopper_pearson_ci",
     oracle=None,  # exact beta-quantile numerics — rows-only check
     doc="A14: exact Clopper-Pearson binomial CI on the FPR "

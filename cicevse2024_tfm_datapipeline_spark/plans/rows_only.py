@@ -301,3 +301,20 @@ def ml_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.na.fill(0.0, ["value_std"]), feature_cols, "window_label", max_depth=3
     )
     return preds.groupBy("window_label", "prediction").agg(F.count(F.lit(1)).alias("n"))
+
+@register(
+    "stream_sliding_window",
+    oracle=None,
+    doc="Streaming W3: sliding event-time windows (2h length, 1h hop) with "
+    "watermark over the parquet file source (SURVEY §2.9).",
+    tags=("streaming", "W3"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+        sliding_window_stream,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    agg = sliding_window_stream(stream, length_sec=7200, hop_sec=3600)
+    return run_to_completion(agg, "stream_sliding_out")
