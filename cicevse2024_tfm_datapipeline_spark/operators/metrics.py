@@ -161,12 +161,15 @@ def roc_points(df: DataFrame, y_true: str, score: str) -> DataFrame:
     allw = W.orderBy(F.desc("threshold")).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
+    total_pos = F.sum("pos").over(allw)
+    total_neg = F.sum("neg").over(allw)
+    # zero positives/negatives → null rates (sklearn emits NaN + warning)
     return per_score.select(
         "threshold",
         F.sum("pos").over(desc).alias("cum_tp"),
         F.sum("neg").over(desc).alias("cum_fp"),
-        (F.sum("neg").over(desc) / F.sum("neg").over(allw)).alias("fpr"),
-        (F.sum("pos").over(desc) / F.sum("pos").over(allw)).alias("tpr"),
+        F.when(total_neg > 0, F.sum("neg").over(desc) / total_neg).alias("fpr"),
+        F.when(total_pos > 0, F.sum("pos").over(desc) / total_pos).alias("tpr"),
     )
 
 
@@ -199,9 +202,10 @@ def average_precision(df: DataFrame, y_true: str, score: str) -> DataFrame:
     allw = W.orderBy(F.desc("threshold")).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
+    total_pos = F.sum("pos").over(allw)
     pts = pts_base.select(
         "threshold",
-        (F.sum("pos").over(desc) / F.sum("pos").over(allw)).alias("recall"),
+        F.when(total_pos > 0, F.sum("pos").over(desc) / total_pos).alias("recall"),
         (F.sum("pos").over(desc) / F.sum("cnt").over(desc)).alias("precision"),
     )
     # prev over DESCENDING threshold order — with recall ties the delta is

@@ -27,10 +27,8 @@ from cicevse2024_tfm_datapipeline_spark.functions.scalars import (
 )
 from cicevse2024_tfm_datapipeline_spark.functions.encoders import label_encode
 from cicevse2024_tfm_datapipeline_spark.operators.metrics import (
-    binary_confusion_rates,
     multiclass_point_metrics,
 )
-from cicevse2024_tfm_datapipeline_spark.operators.sessionize import ttd_stats
 from cicevse2024_tfm_datapipeline_spark.operators.split import chrono_split
 from cicevse2024_tfm_datapipeline_spark.operators.windows import (
     apply_standardizer,
@@ -112,22 +110,40 @@ def run_power_pipeline(spark: SparkSession, events: DataFrame, cfg: PipelineConf
     windows = windows.persist()
     n_windows = {r["split"]: r["n"] for r in windows.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
 
-    # stand-in detector at the window level (the ML edge plugs in here)
+    # stand-in detector at the window level (the ML edge plugs in here —
+    # swap the score expression for ml.models.predict_udf output)
     mean_col = f"{cfg.num_features[0]}_mean"
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(mean_col)))
     test = windows.filter(F.col("split") == "test").withColumn(
         "y_pred", (F.col(mean_col) > 0).cast("int")
     )
     hop = cfg.step * cfg.sample_period_seconds
 
     if cfg.task == "binary":
+        from cicevse2024_tfm_datapipeline_spark.evaluation import (
+            evaluate_binary_operational,
+        )
+
         # label code for 'attack' is 0 (alphabetical) → y_true = 1 - y
-        test_b = test.withColumn("y_true", (F.col("window_label") == 0).cast("int"))
-        rates = binary_confusion_rates(test_b, "y_true", "y_pred").collect()[0].asDict()
-        ttd = ttd_stats(
-            test_b, [cfg.time_col] if cfg.time_col in test_b.columns else ["window_id"],
-            "y_true", "y_pred", hop,
-        ).collect()[0].asDict()
-        metrics = {"binary": rates, "TTD_stats": ttd}
+        def _binify(frame: DataFrame) -> DataFrame:
+            return frame.withColumn(
+                "y_true", (F.col("window_label") == 0).cast("int")
+            ).withColumn("score", score)
+
+        val_b = _binify(windows.filter(F.col("split") == "val"))
+        test_b = _binify(windows.filter(F.col("split") == "test"))
+        metrics = {
+            "binary": evaluate_binary_operational(
+                val_b,
+                test_b,
+                "y_true",
+                "score",
+                fpr_target=cfg.extra.get("fpr_target", 1e-3),
+                window_hop_seconds=hop,
+                order_cols=(cfg.attack_col, cfg.state_col, "window_id"),
+                collect_curves=False,
+            )
+        }
     else:
         mc = multiclass_point_metrics(
             test.withColumn("yp_label", F.col("y_pred")), "window_label", "yp_label"
