@@ -53,7 +53,7 @@ BANDS = 4
 
 def _sig_sql() -> str:
     """DuckDB CTE chain producing doc_id + mh_0..mh_7 signatures (slices
-    of a 64-hex two-md5 digest — keep in lockstep with
+    of the 64-hex sha-256 digest — keep in lockstep with
     operators.dedup.minhash_signatures)."""
     sig_cols = ", ".join(
         f"list_min(list_transform(hashed, h -> substr(h, {i * 8 + 1}, 8))) AS mh_{i}"
@@ -115,8 +115,9 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM stacked GROUP BY seed
     """,
     doc="MinHash signatures (H=8, 3-word shingles): per-seed distinct/min/"
-    "max over all docs. Signature = lexicographic min of seeded md5 hex "
-    "strings — computed per-row with array expressions, zero shuffle.",
+    "max over all docs. Signature = lexicographic min of 32-bit slices of "
+    "the per-shingle sha-256 hex digest — per-row array expressions, zero "
+    "shuffle, ONE hash call per shingle.",
     tags=("dedup", "minhash"),
 )
 def dedup_minhash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,15 +341,15 @@ def sim_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, round(cosine, 6) AS cosine
-    FROM pairs WHERE cosine >= 0.5
+    FROM pairs WHERE cosine >= 0.35
     """,
-    doc="Embedding-cosine near-dup pairs (threshold 0.5) within sign "
+    doc="Embedding-cosine near-dup pairs (threshold 0.35) within sign "
     "buckets — LSH recall tradeoff, standard at scale.",
     tags=("similarity", "dedup"),
 )
 def sim_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    out = near_dup_pairs_cosine(emb, "vec_id", "embedding", threshold=0.5, n_bucket_dims=8)
+    out = near_dup_pairs_cosine(emb, "vec_id", "embedding", threshold=0.35, n_bucket_dims=8)
     return out.select("id_a", "id_b", pround("cosine", 6).alias("cosine"))
 
 

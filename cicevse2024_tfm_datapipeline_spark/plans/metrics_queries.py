@@ -459,6 +459,41 @@ def a9_wll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_per_state_metric_fanout",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    preds AS (
+        SELECT state, attack AS yt, {_MC_PRED_SQL} AS yp FROM base
+    )
+    SELECT coalesce(state, '__all__') AS state_group,
+           count(*) AS n_rows,
+           round(sum(CASE WHEN yt = yp THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS accuracy
+    FROM preds
+    GROUP BY GROUPING SETS ((state), ())
+    """,
+    doc="Per-state × overall metric fan-out as ONE grouping-sets "
+    "aggregation — the reference's manual 2-value loop "
+    "(pipeline_trainingmodels_power.py:233-311) collapsed into a single "
+    "pass (SURVEY §2.5 note).",
+    tags=("A11", "fanout"),
+)
+def a_per_state_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = power_view(spark, sf_dir).select(
+        "state", F.col("attack").alias("yt"), _mc_pred().alias("yp")
+    )
+    grouped = pv.groupingSets([["state"], []], "state")
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(
+            F.sum((F.col("yt") == F.col("yp")).cast("long")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("accuracy"),
+    ).select(
+        F.coalesce("state", F.lit("__all__")).alias("state_group"), "n_rows", "accuracy"
+    )
+
+
+@register(
     "a_quantiles_exact",
     oracle="""
     SELECT event_type,
