@@ -103,15 +103,24 @@ def predict_udf(
     captured in the closure and shipped once per executor."""
     import pandas as pd
 
-    @F.pandas_udf(output_type)
-    def infer(*cols: pd.Series) -> pd.Series:
+    cols = list(feature_cols)
+
+    # features travel as ONE struct column → arrives as a pd.DataFrame.
+    # No type hints: this module has `from __future__ import annotations`,
+    # which stringizes them beyond pyspark's signature inference — pass
+    # the functionType explicitly instead.
+    def _infer(features):
         import numpy as np
 
-        X = np.column_stack([c.to_numpy(dtype=float) for c in cols])
+        X = features[cols].to_numpy(dtype=float)
         return pd.Series(predict_fn(X))
 
+    from pyspark.sql.functions import PandasUDFType
+
+    infer = F.pandas_udf(_infer, output_type, PandasUDFType.SCALAR)
+
     def apply(df: DataFrame, out_col: str = "prediction") -> DataFrame:
-        return df.withColumn(out_col, infer(*[F.col(c) for c in feature_cols]))
+        return df.withColumn(out_col, infer(F.struct(*[F.col(c) for c in cols])))
 
     return apply
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cicevse2024_tfm_datapipeline_spark.functions.scalars import attack_group_expr, norm_str
+from cicevse2024_tfm_datapipeline_spark.functions.scalars import attack_group_expr
 from cicevse2024_tfm_datapipeline_spark.operators.split import chrono_split
 from cicevse2024_tfm_datapipeline_spark.plans.common import (
     pround,

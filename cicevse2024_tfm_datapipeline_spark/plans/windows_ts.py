@@ -17,7 +17,6 @@ from cicevse2024_tfm_datapipeline_spark.operators.topk import group_mode, top_k
 from cicevse2024_tfm_datapipeline_spark.operators.windows import (
     apply_standardizer,
     fit_standardizer,
-    window_summary_stats,
 )
 from cicevse2024_tfm_datapipeline_spark.plans.common import POWER_BASE_SQL, power_view, split_sql, t, pround
 from cicevse2024_tfm_datapipeline_spark.plans.registry import register
