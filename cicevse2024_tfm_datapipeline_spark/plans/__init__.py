@@ -12,6 +12,7 @@ _MODULES = [
     "metrics_queries",
     "extensions",
     "rows_only",
+    "advanced",
 ]
 
 

@@ -1,0 +1,166 @@
+"""Wave F: advanced join / set / pivot patterns — operators beyond the
+reference's surface that a Spark-native engine provides (as-of join,
+bucketized range join, INTERSECT/EXCEPT, pivot), each oracle-checked
+(DuckDB has native ASOF JOIN and inequality joins to verify against).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.operators.asof import (
+    asof_join_backward,
+    bucketized_range_join,
+)
+from cicevse2024_tfm_datapipeline_spark.plans.common import pround, t
+from cicevse2024_tfm_datapipeline_spark.plans.registry import register
+
+
+@register(
+    "j_asof_backward",
+    oracle="""
+    WITH rights AS (
+        SELECT o_custkey % 10 AS k, o_orderdate,
+               max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id % 10 AS k, r.o_orderkey AS asof_orderkey
+    FROM (SELECT * FROM events WHERE event_id < 500) e
+    ASOF LEFT JOIN rights r
+      ON (e.user_id % 10) = r.k AND e.ts >= r.o_orderdate
+    """,
+    doc="As-of join (keyed, backward, inclusive) — composed from a tagged "
+    "union + last(ignorenulls) carry-forward window (operators/asof.py): "
+    "one shuffle by key, no per-group Python. Verified against DuckDB's "
+    "native ASOF JOIN.",
+    tags=("asof", "J"),
+)
+def j_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    orders = t(spark, sf_dir, "orders")
+    rights = (
+        orders.withColumn("k", F.col("o_custkey") % 10)
+        .groupBy("k", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.withColumn("k", F.col("user_id") % 10)
+    joined = asof_join_backward(
+        left, rights, key="k", left_time="ts", right_time="o_orderdate",
+        right_value_cols=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id", "k", F.col("o_orderkey").alias("asof_orderkey")
+    )
+
+
+@register(
+    "j_range_join_bucketized",
+    oracle="""
+    SELECT a.event_id AS anchor_id,
+           count(*) AS n_following,
+           round(sum(b.value), 2) AS sum_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') a
+    JOIN events b
+      ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.event_id
+    """,
+    doc="Range join (events within 10 min after each error event) — "
+    "bucketized to an equi-join on time buckets + residual filter "
+    "(operators/asof.bucketized_range_join): candidates per row bounded "
+    "by bucket occupancy, never the O(n·m) theta join DuckDB can brute.",
+    tags=("rangejoin", "J"),
+)
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("anchor_id"), F.col("ts").alias("anchor_ts")
+    )
+    joined = bucketized_range_join(
+        ev.select(F.col("ts"), F.col("value")),
+        anchors,
+        left_time="ts",
+        right_start="anchor_ts",
+        width_expr=F.expr("INTERVAL 10 MINUTES"),
+        bucket_seconds=600,
+    )
+    return joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_following"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "u_set_intersect_except",
+    oracle="""
+    SELECT 'intersect' AS op, p_type FROM (
+        SELECT p_type FROM part WHERE p_size <= 10
+        INTERSECT
+        SELECT p_type FROM part WHERE p_size > 10
+    )
+    UNION ALL
+    SELECT 'except', p_type FROM (
+        SELECT p_type FROM part WHERE p_size <= 10
+        EXCEPT
+        SELECT p_type FROM part WHERE p_size > 10
+    )
+    """,
+    doc="INTERSECT / EXCEPT set semantics (beyond the reference's unions — "
+    "SURVEY §2.7 notes they come free in Spark).",
+    tags=("U",),
+)
+def u_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    small = part.filter(F.col("p_size") <= 10).select("p_type")
+    large = part.filter(F.col("p_size") > 10).select("p_type")
+    inter = small.intersect(large).select(F.lit("intersect").alias("op"), "p_type")
+    exc = small.subtract(large).select(F.lit("except").alias("op"), "p_type")
+    return inter.unionByName(exc)
+
+
+@register(
+    "a10_confusion_pivot",
+    oracle="""
+    WITH preds AS (
+        SELECT event_type AS true_label,
+               CASE WHEN value < 50 THEN 'view'
+                    WHEN value < 100 THEN 'click'
+                    WHEN value < 150 THEN 'signup'
+                    WHEN value < 200 THEN 'purchase'
+                    ELSE 'error' END AS pred
+        FROM events
+    )
+    SELECT true_label,
+           CAST(sum(CASE WHEN pred = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS pred_click,
+           CAST(sum(CASE WHEN pred = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS pred_error,
+           CAST(sum(CASE WHEN pred = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pred_purchase,
+           CAST(sum(CASE WHEN pred = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS pred_signup,
+           CAST(sum(CASE WHEN pred = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS pred_view
+    FROM preds GROUP BY true_label
+    """,
+    doc="A10 as a pivot: confusion matrix in wide form via "
+    "groupBy().pivot() with an explicit value list (bounded columns — "
+    "never pivot on unbounded cardinality at scale).",
+    tags=("A10", "pivot"),
+)
+def a10_confusion_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value")
+    pred = (
+        F.when(v < 50, "view")
+        .when(v < 100, "click")
+        .when(v < 150, "signup")
+        .when(v < 200, "purchase")
+        .otherwise("error")
+    )
+    labels = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.select(F.col("event_type").alias("true_label"), pred.alias("pred"))
+        .groupBy("true_label")
+        .pivot("pred", labels)
+        .count()
+    )
+    cols = [F.col("true_label")] + [
+        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"pred_{c}") for c in labels
+    ]
+    return wide.select(*cols)

@@ -1,0 +1,57 @@
+"""As-of and range join operators vs brute-force computation."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def ts(minutes: float) -> datetime.datetime:
+    return BASE + datetime.timedelta(minutes=minutes)
+
+
+def test_asof_backward_matches_bruteforce(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.asof import asof_join_backward
+
+    left_rows = [(k, ts(m), f"L{k}_{m}") for k in (0, 1) for m in (0, 5, 10, 17, 30)]
+    right_rows = [(0, ts(2), 100), (0, ts(10), 101), (0, ts(25), 102), (1, ts(40), 200)]
+    left = spark.createDataFrame(left_rows, ["k", "t", "lid"])
+    right = spark.createDataFrame(right_rows, ["k", "t", "rv"])
+    out = {
+        (r["k"], r["t"]): r["rv"]
+        for r in asof_join_backward(left, right, "k", "t", "t", ["rv"]).collect()
+    }
+
+    def brute(k, t):
+        cands = [(rt, rv) for rk, rt, rv in right_rows if rk == k and rt <= t]
+        return max(cands)[1] if cands else None
+
+    for k, t, _ in left_rows:
+        assert out[(k, t)] == brute(k, t), (k, t)
+    # inclusive tie: left at exactly ts(10) must see rv=101
+    assert out[(0, ts(10))] == 101
+
+
+def test_range_join_matches_bruteforce(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.asof import bucketized_range_join
+
+    events = [(i, ts(i * 3.5), float(i)) for i in range(40)]
+    anchors = [(100, ts(10)), (101, ts(50)), (102, ts(130))]
+    left = spark.createDataFrame(events, ["eid", "t", "v"])
+    right = spark.createDataFrame(anchors, ["aid", "start"])
+    out = bucketized_range_join(
+        left, right, "t", "start",
+        width_expr=F.expr("INTERVAL 10 MINUTES"), bucket_seconds=600,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["aid"], set()).add(r["eid"])
+    for aid, start in anchors:
+        expected = {
+            eid for eid, t, _ in events
+            if start <= t < start + datetime.timedelta(minutes=10)
+        }
+        assert got.get(aid, set()) == expected, aid
