@@ -164,3 +164,46 @@ def a10_confusion_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"pred_{c}") for c in labels
     ]
     return wide.select(*cols)
+
+
+@register(
+    "j_tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style 3-way fact-fact join + agg + top-N: the canonical "
+    "shuffle-join shape. customer is broadcast-able at any realistic dim "
+    "scale; orders joins lineitem shuffle-side (AQE picks SMJ/SHJ and "
+    "splits skew); the top-10 is TakeOrderedAndProject on unique "
+    "l_orderkey tiebreak (deterministic under ties).",
+    tags=("J", "tpch"),
+)
+def j_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -516,3 +516,35 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_utf"),
         F.md5("text").alias("content_hash"),
     )
+
+
+@register(
+    "dedup_latest_per_key",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, value
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Keep-latest-record-per-key compaction (SCD-1 / training-data "
+    "snapshot dedup): row_number over (key, ts desc, unique tiebreak) — "
+    "ONE shuffle by key; at 100 TB this is the standard log-compaction "
+    "shape and AQE splits hot keys. Deterministic under ts ties via "
+    "event_id tiebreak.",
+    tags=("dedup", "W"),
+)
+def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
