@@ -70,6 +70,39 @@ def apply_standardizer(df: DataFrame, stats: dict[str, tuple[float, float]]) -> 
     return df.select(*cols)
 
 
+def standardize_via_join(
+    df: DataFrame, features: Sequence[str], train_predicate: Column
+) -> DataFrame:
+    """W5 as ONE lazy plan: broadcast cross-join of the train-split
+    aggregate instead of a driver round-trip.
+
+    Both subtrees (stats and apply) hang off the same upstream plan, so
+    Spark reuses the split's shuffle (ReusedExchange) rather than
+    recomputing it — one pass over the data plus a KB-sized broadcast.
+    Semantics match :func:`fit_standardizer`/:func:`apply_standardizer`
+    (population std; zero/NULL variance → scale 1.0, NULL mean → 0.0).
+    """
+    aggs = []
+    for c in features:
+        aggs.append(F.coalesce(F.avg(c), F.lit(0.0)).alias(f"__mu_{c}"))
+        aggs.append(
+            F.coalesce(F.nullif(F.stddev_pop(c), F.lit(0.0)), F.lit(1.0)).alias(
+                f"__sigma_{c}"
+            )
+        )
+    stats = df.filter(train_predicate).agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats))
+    cols = []
+    for c in df.columns:
+        if c in features:
+            cols.append(
+                ((F.col(c) - F.col(f"__mu_{c}")) / F.col(f"__sigma_{c}")).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    return joined.select(*cols)
+
+
 def sliding_windows(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -17,6 +17,7 @@ from cicevse2024_tfm_datapipeline_spark.operators.topk import group_mode, top_k
 from cicevse2024_tfm_datapipeline_spark.operators.windows import (
     apply_standardizer,
     fit_standardizer,
+    standardize_via_join,
 )
 from cicevse2024_tfm_datapipeline_spark.plans.common import POWER_BASE_SQL, power_view, split_sql, t, pround
 from cicevse2024_tfm_datapipeline_spark.plans.registry import register
@@ -188,8 +189,9 @@ def a6_window_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w5_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = power_view(spark, sf_dir)
     tagged = chrono_split(pv, ["attack", "state"], "ts", "event_id")
-    stats = fit_standardizer(tagged.filter(F.col("split") == "train"), ["value"])
-    scaled = apply_standardizer(tagged, stats)
+    # one lazy plan (broadcast stats join → ReusedExchange on the split
+    # shuffle) instead of a driver fit round-trip recomputing the split
+    scaled = standardize_via_join(tagged, ["value"], F.col("split") == "train")
     return scaled.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_rows"),
         pround(F.avg("value"), 4).alias("scaled_mean"),

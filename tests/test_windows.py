@@ -73,3 +73,34 @@ def test_standardizer_constant_column_passthrough(spark):
     df = spark.createDataFrame([(5.0,), (5.0,)], ["x"])
     mu, sigma = fit_standardizer(df, ["x"])["x"]
     assert sigma == 1.0  # sklearn zero-variance convention
+
+
+def test_standardize_via_join_matches_fit_apply(spark):
+    from pyspark.sql import functions as F
+
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import (
+        apply_standardizer,
+        fit_standardizer,
+        standardize_via_join,
+    )
+
+    rows = [
+        ("train", 1.0, 10.0),
+        ("train", 2.0, 10.0),
+        ("train", 3.0, 10.0),  # y constant on train → sigma 1.0 passthrough
+        ("val", 10.0, 7.0),
+        ("test", -4.0, 11.0),
+    ]
+    df = spark.createDataFrame(rows, ["split", "x", "y"])
+    pred = F.col("split") == "train"
+
+    stats = fit_standardizer(df.filter(pred), ["x", "y"])
+    want = {
+        (r["split"], r["x"], r["y"])
+        for r in apply_standardizer(df, stats).collect()
+    }
+    got = {
+        (r["split"], r["x"], r["y"])
+        for r in standardize_via_join(df, ["x", "y"], pred).collect()
+    }
+    assert got == want
