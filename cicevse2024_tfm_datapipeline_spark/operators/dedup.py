@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cicevse2024_tfm_datapipeline_spark.operators.skew import ensure_min_parallelism
 from cicevse2024_tfm_datapipeline_spark.operators.text import tokens_expr, word_shingles_expr
 
 
@@ -70,6 +71,7 @@ def minhash_signatures(
 ) -> DataFrame:
     if num_hashes * 8 > 64:
         raise ValueError("num_hashes > 8 needs more digest material")
+    df = ensure_min_parallelism(df)
     # Shingles are materialized in their own projection BEFORE the hashing
     # transforms: composing transform(transform(...)) lambdas in one
     # expression tree hits lambda-variable capture collisions (the inner
@@ -132,6 +134,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     weight the majority (standard SimHash with term frequency)."""
     assert bits % 4 == 0
     n_nibbles = bits // 4
+    df = ensure_min_parallelism(df)
     tok = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok"))
     h = F.md5(F.col("__tok"))
     nib_cols = [

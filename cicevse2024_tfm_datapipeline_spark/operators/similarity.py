@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from cicevse2024_tfm_datapipeline_spark.operators.skew import ensure_min_parallelism
+
 
 def as_double_array(c: Column | str) -> Column:
     col = F.col(c) if isinstance(c, str) else c
@@ -65,7 +67,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
-    c = embeddings.select(
+    c = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
     )
     scored = (
@@ -94,7 +96,7 @@ def bucketed_topk(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
     ).withColumn("bucket", sign_bucket_expr(F.col("qv"), n_bucket_dims))
-    c = embeddings.select(
+    c = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
     ).withColumn("bucket", sign_bucket_expr(F.col("cv"), n_bucket_dims))
@@ -116,7 +118,7 @@ def near_dup_pairs_cosine(
 ) -> DataFrame:
     """Embedding-cosine near-dup detection, bucketed: only same-bucket
     pairs are scored (sign-LSH recall tradeoff, standard at scale)."""
-    e = embeddings.select(
+    e = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
     ).withColumn("bucket", sign_bucket_expr(F.col("v"), n_bucket_dims))
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
