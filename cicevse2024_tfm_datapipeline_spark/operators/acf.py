@@ -25,11 +25,22 @@ def acf(
     lags: Sequence[int],
     partition_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Rows (lag, acf_value) per partition group. lag 0 → 1.0."""
-    mean_val = df.agg(F.avg(value_col)).collect()[0][0] or 0.0
-    x = (F.col(value_col) - F.lit(float(mean_val))).alias("__x")
+    """Rows (lag, acf_value) per partition group. lag 0 → 1.0.
+
+    Demeaning is per series: with ``partition_cols`` each group subtracts
+    its OWN mean (a frame-less window avg over the same partitioning — no
+    extra shuffle, no driver round-trip); without, the reference's single
+    global series demeans by the global mean (one tiny scalar job).
+    """
     order = [F.col(c).asc() for c in order_cols]
-    win = W.partitionBy(*partition_cols).orderBy(*order) if partition_cols else W.orderBy(*order)
+    if partition_cols:
+        win = W.partitionBy(*partition_cols).orderBy(*order)
+        mean_win = W.partitionBy(*partition_cols)
+        x = (F.col(value_col) - F.avg(value_col).over(mean_win)).alias("__x")
+    else:
+        win = W.orderBy(*order)
+        mean_val = df.agg(F.avg(value_col)).collect()[0][0] or 0.0
+        x = (F.col(value_col) - F.lit(float(mean_val))).alias("__x")
 
     demeaned = df.select(*df.columns, x)
     aggs = [F.sum(F.col("__x") * F.col("__x")).alias("__e0")]
