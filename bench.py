@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_exact_group_sizes",
     "sim_bruteforce_cosine_topk",
     "text_token_stats",
+    "j_tpch_q3_shipping_priority",
+    "dedup_latest_per_key",
 ]
 
 
