@@ -129,3 +129,94 @@ def near_dup_pairs_cosine(
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``n_clusters`` cells; each query probes its
+    ``nprobe`` nearest centroids and scores only those cells.
+
+    The 100-TB shape: one ML fit (sampled/streamed by Spark ML), one
+    assignment pass over the corpus (model.transform — no shuffle), then
+    candidate scoring is an equi-join on cell id — exactly the LSH-bucket
+    plan but with LEARNED cells, so recall tracks the data distribution
+    instead of axis signs. Centroids (n_clusters × dim floats) broadcast
+    anywhere. Deterministic given the seed and input.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    raw = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    # fit on the scan's natural partitioning (iterative ML jobs pay per-task
+    # scheduling every iteration — fanning out a tiny input hurts); only the
+    # single assignment+scoring pass benefits from the parallelism floor
+    fit_vec = raw.withColumn("__features", array_to_vector("cv"))
+    # random init + bounded iterations: a coarse quantizer needs balanced
+    # cells, not converged centroids — k-means|| init alone costs more
+    # passes than the whole fit this way
+    model = KMeans(
+        k=n_clusters,
+        seed=seed,
+        featuresCol="__features",
+        initMode="random",
+        maxIter=8,
+    ).fit(fit_vec)
+    cand = ensure_min_parallelism(raw).withColumn("__features", array_to_vector("cv"))
+    assigned = model.transform(cand).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+
+    # centroids as a tiny broadcast table (cell, centroid array<double>)
+    centroids = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = embeddings.sparkSession.createDataFrame(
+        centroids, schema="cell int, centroid array<double>"
+    )
+
+    # each query probes its nprobe nearest centroids (L2)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    probe_win = W.partitionBy("query_id").orderBy(F.asc("__l2"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("__l2", l2)
+        .withColumn("__pr", F.row_number().over(probe_win))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("__rk").alias("rank"))
+    )

@@ -26,6 +26,7 @@ from cicevse2024_tfm_datapipeline_spark.operators.dedup import (
 from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
     brute_force_topk,
     bucketed_topk,
+    ivf_topk,
     near_dup_pairs_cosine,
 )
 from cicevse2024_tfm_datapipeline_spark.operators.text import (
@@ -547,4 +548,28 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,
+    doc="IVF ANN top-3: KMeans(k=8, seed=7) coarse quantizer over the "
+    "embeddings; each query probes its 2 nearest centroids and scores "
+    "only those cells (equi-join on cell id — LSH-bucket plan with "
+    "LEARNED cells). Rows-only: the quantizer is an ML fit, not "
+    "SQL-expressible; determinism via fixed seed is covered by pytest.",
+    tags=("similarity", "ann", "ml"),
+)
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, n_clusters=8, nprobe=2, seed=7
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        pround("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )

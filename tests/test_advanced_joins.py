@@ -55,3 +55,32 @@ def test_range_join_matches_bruteforce(spark):
             if start <= t < start + datetime.timedelta(minutes=10)
         }
         assert got.get(aid, set()) == expected, aid
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=3)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, n_clusters=8, nprobe=2, seed=7
+    )
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+
+    # IVF is approximate: require reasonable recall of the exact top-3
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
+
+    # same seed + same data → identical result set (distributed determinism)
+    again = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, n_clusters=8, nprobe=2, seed=7
+    )
+    assert {(r["query_id"], r["neighbor_id"]) for r in again.collect()} == got
