@@ -1,0 +1,62 @@
+"""Deterministic stratified sampling for training-data pipelines.
+
+The reference balances classes with capped class weights
+(func_aux/func_models.py:55-62); the data-side counterpart at 100 TB is
+downsampling dominant classes BEFORE featurization. Seeded `rand()` is
+partitioning-dependent in a distributed engine, so we rank rows within
+each class by a salted content hash instead: the sample is a pure
+function of (row identity, seed) — identical on any cluster layout,
+resumable, and oracle-checkable in SQL.
+
+One shuffle by class (the ranking window); the hash is computed in the
+scan stage. Skewed classes are exactly the case this operator exists
+for — the dominant class's partition carries the bulk, and AQE's skew
+splitting applies to the surrounding stages.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    class_cols: Sequence[str],
+    id_col: str,
+    n_per_class: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``n_per_class`` rows per class, chosen by md5-hash
+    rank of (seed, id) — deterministic, uniform within class, portable
+    (md5 is identical across engines, unlike seeded rand())."""
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    win = W.partitionBy(*class_cols).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__srk", F.row_number().over(win))
+        .filter(F.col("__srk") <= n_per_class)
+        .drop("__srk")
+    )
+
+
+def stratified_sample_frac(
+    df: DataFrame,
+    class_cols: Sequence[str],
+    id_col: str,
+    frac: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep ``floor(frac * n_class)`` rows per class (exact allocation,
+    same hash-rank order as :func:`stratified_sample_n`)."""
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    win = W.partitionBy(*class_cols).orderBy(key.asc(), F.col(id_col).asc())
+    cnt = W.partitionBy(*class_cols)
+    return (
+        df.withColumn("__srk", F.row_number().over(win))
+        .withColumn("__sn", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("__srk") <= F.floor(F.lit(frac) * F.col("__sn")))
+        .drop("__srk", "__sn")
+    )

@@ -573,3 +573,41 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register(
+    "sample_stratified_per_class",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5('7|' || CAST(event_id AS VARCHAR)) ASC,
+                            event_id ASC
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           round(avg(value), 6) AS avg_value
+    FROM ranked WHERE rn <= 500
+    GROUP BY event_type
+    """,
+    doc="Deterministic stratified downsample (≤500/class): hash-rank of "
+    "(seed,id) within class — partitioning-independent (md5, not seeded "
+    "rand), identical on any cluster layout, the data-side counterpart of "
+    "A7 class weights. One shuffle by class.",
+    tags=("sampling", "A7"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.sampling import (
+        stratified_sample_n,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    kept = stratified_sample_n(ev, ["event_type"], "event_id", 500, seed=7)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        pround(F.avg("value"), 6).alias("avg_value"),
+    )
