@@ -60,3 +60,32 @@ def stratified_sample_frac(
         .filter(F.col("__srk") <= F.floor(F.lit(frac) * F.col("__sn")))
         .drop("__srk", "__sn")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    total: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Dataset mixing: draw ``floor(total * w_s)`` rows from each source
+    (capped at the source's size), selected by the same deterministic
+    hash-rank as :func:`stratified_sample_n`. The weights table is a
+    literal broadcast join — the standard way a training run upweights
+    curated sources and downweights crawl data. Sources absent from
+    ``weights`` contribute nothing."""
+    spark = df.sparkSession
+    quota = spark.createDataFrame(
+        [(s, int(total * w)) for s, w in weights.items()],
+        schema=f"{source_col} string, __quota int",
+    )
+    key = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    win = W.partitionBy(source_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(quota), source_col, "inner")
+        .withColumn("__srk", F.row_number().over(win))
+        .filter(F.col("__srk") <= F.col("__quota"))
+        .drop("__srk", "__quota")
+    )

@@ -611,3 +611,50 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("sum_ids"),
         pround(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_TOTAL = 40
+
+
+def _mix_quota_sql() -> str:
+    rows = ", ".join(
+        f"('{s}', {int(_MIX_TOTAL * w)})" for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"(VALUES {rows}) AS quota(source, q)"
+
+
+@register(
+    "sample_mixture_by_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT d.source, d.doc_id, d.n_chars, quota.q,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('7|' || CAST(d.doc_id AS VARCHAR)) ASC,
+                            d.doc_id ASC
+               ) AS rn
+        FROM documents d JOIN {_mix_quota_sql()} ON d.source = quota.source
+    )
+    SELECT source, count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rn <= q
+    GROUP BY source
+    """,
+    doc="Dataset mixture sampling: per-source quotas floor(total*w_s) "
+    "drawn by deterministic hash-rank (broadcast quota join + one window "
+    "shuffle by source) — the dataset-mixing step of a training-data "
+    "pipeline, upweighting curated sources over crawl.",
+    tags=("sampling", "mixture"),
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.sampling import mixture_sample
+
+    docs = t(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, "source", "doc_id", _MIX_WEIGHTS, _MIX_TOTAL, seed=7)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

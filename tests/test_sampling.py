@@ -57,3 +57,24 @@ def test_sample_seed_changes_selection(spark):
     assert a != b  # md5 rank reshuffles with the seed
     # class-c rows (only 3) always survive either way
     assert {137, 138, 139} <= a and {137, 138, 139} <= b
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.sampling import mixture_sample
+
+    pdf = pd.DataFrame(
+        {
+            "src": ["web"] * 60 + ["books"] * 30 + ["code"] * 5 + ["junk"] * 20,
+            "id": range(115),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = {"web": 0.5, "books": 0.3, "code": 0.2}
+    out = mixture_sample(df, "src", "id", w, total=40, seed=2)
+    counts = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # quotas floor(40*w): web 20, books 12; code capped at its 5 rows;
+    # junk excluded (no weight)
+    assert counts == {"web": 20, "books": 12, "code": 5}
+
+    again = mixture_sample(df.repartition(9), "src", "id", w, total=40, seed=2)
+    assert {r["id"] for r in again.collect()} == {r["id"] for r in out.collect()}
