@@ -1,0 +1,96 @@
+"""Physical-plan contracts: the scale properties SCALE.md promises,
+asserted so a plan regression fails the suite (not just the manual
+`tools/explain_audit.py` pass).
+
+Checked per query: join strategy (dimension lookups must broadcast, no
+accidental CartesianProduct), filter pushdown into the parquet scan,
+column pruning (no full-width reads for narrow projections), and an
+exchange (shuffle) budget.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    df = load_all()[name].spark(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _exchanges(plan: str) -> int:
+    # count in the operator tree only (header section before the node
+    # details), mirroring tools/explain_audit.py
+    return len(re.findall(r"\bExchange\b", plan.split("\n\n")[0]))
+
+
+def test_j1_lookup_join_broadcasts(spark):
+    plan = _plan(spark, "j1_broadcast_lookup_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), "date filter not pushed"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert "l_comment" not in cols and len(cols) <= 7, cols
+    # single hash-agg over one scan: exactly one shuffle (partial → final)
+    assert _exchanges(plan) == 1, plan.split("\n\n")[0]
+
+
+def test_q3_broadcasts_dimension_and_pushes_filters(spark):
+    plan = _plan(spark, "j_tpch_q3_shipping_priority")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*c_mktsegment", plan), "dim filter not pushed"
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), "fact filter not pushed"
+
+
+def test_w1_split_single_exchange(spark):
+    # row_number + count over the same (attack, state) window partitioning
+    # must share ONE shuffle (SCALE.md §W1)
+    plan = _plan(spark, "w1_chrono_split_counts")
+    assert _exchanges(plan) <= 2, plan.split("\n\n")[0]  # window + final agg
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    plan = _plan(spark, "w8_topk_by_score")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_minhash_lsh_no_cartesian(spark):
+    plan = _plan(spark, "dedup_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    # band-key equi-join, never a nested-loop over doc pairs
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_rowwise_python_udf_in_relational_queries(spark):
+    # the relational surface stays JVM-side: BatchEvalPython (row-at-a-time
+    # Python UDF) must not appear in any oracle-checked plan
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    qs = load_all()
+    offenders = []
+    for name, q in qs.items():
+        if q.oracle is None:
+            continue  # rows-only ops may use Arrow/pandas edges
+        df = q.spark(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
