@@ -106,18 +106,15 @@ def predict_udf(
     cols = list(feature_cols)
 
     # features travel as ONE struct column → arrives as a pd.DataFrame.
-    # No type hints: this module has `from __future__ import annotations`,
-    # which stringizes them beyond pyspark's signature inference — pass
-    # the functionType explicitly instead.
+    # Type-hint style (pd.DataFrame → pd.Series); the hints are attached
+    # as real type objects because `from __future__ import annotations`
+    # stringizes inline ones beyond pyspark's signature inference.
     def _infer(features):
-        import numpy as np
-
         X = features[cols].to_numpy(dtype=float)
         return pd.Series(predict_fn(X))
 
-    from pyspark.sql.functions import PandasUDFType
-
-    infer = F.pandas_udf(_infer, output_type, PandasUDFType.SCALAR)
+    _infer.__annotations__ = {"features": pd.DataFrame, "return": pd.Series}
+    infer = F.pandas_udf(_infer, output_type)
 
     def apply(df: DataFrame, out_col: str = "prediction") -> DataFrame:
         return df.withColumn(out_col, infer(F.struct(*[F.col(c) for c in cols])))

@@ -3,15 +3,16 @@
 The reference computes these with sklearn/NumPy on driver arrays
 (func_aux/func_test.py). Here every point metric is a Spark aggregation —
 confusion cells via conditional sums, the multiclass battery via per-class
-TP/FP/FN algebra, ROC/PR machinery via cumulative window sums over the
-score ordering. Only the exact Clopper-Pearson bound needs scalar numerics
+TP/FP/FN algebra, ROC/PR machinery via the two-phase range-partitioned
+prefix sum (operators.scan) over the score ordering — no unpartitioned
+window anywhere, so the curves stay parallel even when |distinct scores|
+≈ |rows|. Only the exact Clopper-Pearson bound needs scalar numerics
 (pure-NumPy bisection; scipy optional).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 EPS = 1e-12  # reference smoothing (func_aux/func_test.py:356-360)
@@ -145,31 +146,46 @@ def multiclass_point_metrics(df: DataFrame, y_true: str, y_pred: str) -> DataFra
     )
 
 
+def _threshold_cum_counts(df: DataFrame, y_true: str, score: str) -> DataFrame:
+    """Shared A13 core: one row per distinct score (descending-threshold
+    order) with per-threshold counts (pos, neg, cnt), running totals
+    (cum_pos, cum_neg, cum_cnt) and grand totals (tot_pos, tot_neg).
+
+    Scale shape: with continuous double scores |distinct scores| ≈ |rows|,
+    so the cumulative sums run through operators.scan.global_cumsum — the
+    two-phase range-partitioned prefix sum — instead of a single-task
+    unpartitioned window. Grand totals are a 1-row broadcast cross-join.
+    """
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
+
+    per_score = df.groupBy(F.col(score).alias("threshold")).agg(
+        F.sum((F.col(y_true) == 1).cast("long")).alias("pos"),
+        F.sum((F.col(y_true) == 0).cast("long")).alias("neg"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cum = global_cumsum(per_score, ["threshold"], ["pos", "neg", "cnt"], descending=True)
+    totals = per_score.agg(
+        F.sum("pos").alias("tot_pos"), F.sum("neg").alias("tot_neg")
+    )
+    return cum.crossJoin(F.broadcast(totals))
+
+
 def roc_points(df: DataFrame, y_true: str, score: str) -> DataFrame:
     """A13: ROC curve points at every distinct score threshold.
 
     Cumulative TP/FP over the descending-score order with ties grouped
     (each distinct score is one threshold, as in sklearn ``roc_curve``
     without intermediate dropping). Returns (threshold, cum_tp, cum_fp,
-    fpr, tpr) — totals via window over the whole frame.
+    fpr, tpr).
     """
-    per_score = df.groupBy(F.col(score).alias("threshold")).agg(
-        F.sum((F.col(y_true) == 1).cast("long")).alias("pos"),
-        F.sum((F.col(y_true) == 0).cast("long")).alias("neg"),
-    )
-    desc = W.orderBy(F.desc("threshold")).rowsBetween(W.unboundedPreceding, 0)
-    allw = W.orderBy(F.desc("threshold")).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    total_pos = F.sum("pos").over(allw)
-    total_neg = F.sum("neg").over(allw)
+    cum = _threshold_cum_counts(df, y_true, score)
     # zero positives/negatives → null rates (sklearn emits NaN + warning)
-    return per_score.select(
+    return cum.select(
         "threshold",
-        F.sum("pos").over(desc).alias("cum_tp"),
-        F.sum("neg").over(desc).alias("cum_fp"),
-        F.when(total_neg > 0, F.sum("neg").over(desc) / total_neg).alias("fpr"),
-        F.when(total_pos > 0, F.sum("pos").over(desc) / total_pos).alias("tpr"),
+        F.col("cum_pos").alias("cum_tp"),
+        F.col("cum_neg").alias("cum_fp"),
+        F.when(F.col("tot_neg") > 0, F.col("cum_neg") / F.col("tot_neg")).alias("fpr"),
+        F.when(F.col("tot_pos") > 0, F.col("cum_pos") / F.col("tot_pos")).alias("tpr"),
     )
 
 
@@ -193,49 +209,40 @@ def threshold_at_fpr(df: DataFrame, y_true: str, score: str, fpr_target: float) 
 
 def average_precision(df: DataFrame, y_true: str, score: str) -> DataFrame:
     """A13/PR: AP = Σ (recall_i − recall_{i−1}) · precision_i over
-    descending thresholds (sklearn ``average_precision_score``)."""
-    pts_base = df.groupBy(F.col(score).alias("threshold")).agg(
-        F.sum((F.col(y_true) == 1).cast("long")).alias("pos"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    desc = W.orderBy(F.desc("threshold")).rowsBetween(W.unboundedPreceding, 0)
-    allw = W.orderBy(F.desc("threshold")).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    total_pos = F.sum("pos").over(allw)
-    pts = pts_base.select(
-        "threshold",
-        F.when(total_pos > 0, F.sum("pos").over(desc) / total_pos).alias("recall"),
-        (F.sum("pos").over(desc) / F.sum("cnt").over(desc)).alias("precision"),
-    )
-    # prev over DESCENDING threshold order — with recall ties the delta is
-    # 0 regardless, and the jump is attributed to the threshold where it
-    # actually happens (matching the sklearn iteration order).
-    ordered = W.orderBy(F.desc("threshold"))
-    with_prev = pts.withColumn("prev_recall", F.coalesce(F.lag("recall").over(ordered), F.lit(0.0)))
-    return with_prev.agg(
-        F.sum((F.col("recall") - F.col("prev_recall")) * F.col("precision")).alias(
-            "average_precision"
-        )
-    )
+    descending thresholds (sklearn ``average_precision_score``).
+
+    No lag window: over the descending-threshold cumulative curve,
+    recall_i − recall_{i−1} = pos_i / tot_pos exactly (the previous
+    cumulative is this row's cumulative minus this row's own count), so
+    the whole integral is a plain aggregation over the scan output.
+    """
+    cum = _threshold_cum_counts(df, y_true, score)
+    # tot_pos=0 guard → null AP (sklearn NaN); cum_cnt ≥ 1 by construction
+    d_recall = F.when(F.col("tot_pos") > 0, F.col("pos") / F.col("tot_pos"))
+    precision = F.col("cum_pos") / F.col("cum_cnt")
+    return cum.agg(F.sum(d_recall * precision).alias("average_precision"))
 
 
 def roc_auc_trapezoid(df: DataFrame, y_true: str, score: str) -> DataFrame:
     """A13: ROC-AUC by trapezoid over the (fpr, tpr) curve with the (0,0)
     anchor — matches sklearn ``roc_auc_score`` (which integrates the same
-    curve; collinear interior points don't change the integral)."""
-    pts = roc_points(df, y_true, score).select("fpr", "tpr")
-    ordered = W.orderBy(F.asc("fpr"), F.asc("tpr"))
-    with_prev = pts.select(
-        "fpr",
-        "tpr",
-        F.coalesce(F.lag("fpr").over(ordered), F.lit(0.0)).alias("pfpr"),
-        F.coalesce(F.lag("tpr").over(ordered), F.lit(0.0)).alias("ptpr"),
-    )
-    area = F.sum(
-        (F.col("fpr") - F.col("pfpr")) * (F.col("tpr") + F.col("ptpr")) / F.lit(2.0)
-    )
-    return with_prev.agg(area.alias("roc_auc"))
+    curve; collinear interior points don't change the integral).
+
+    No lag window: walking thresholds descending, the previous curve point
+    is (cum_fp − neg_i, cum_tp − pos_i) — each trapezoid is expressible
+    from the current scan row alone (the first row's predecessor is the
+    (0,0) anchor by construction).
+    """
+    cum = _threshold_cum_counts(df, y_true, score)
+    # degenerate single-class input → null AUC (ANSI-safe: the guarded
+    # branch never evaluates the division, matching the old curve's nulls)
+    ok = (F.col("tot_neg") > 0) & (F.col("tot_pos") > 0)
+    fpr = F.col("cum_neg") / F.col("tot_neg")
+    pfpr = (F.col("cum_neg") - F.col("neg")) / F.col("tot_neg")
+    tpr = F.col("cum_pos") / F.col("tot_pos")
+    ptpr = (F.col("cum_pos") - F.col("pos")) / F.col("tot_pos")
+    area = F.sum(F.when(ok, (fpr - pfpr) * (tpr + ptpr) / F.lit(2.0)))
+    return cum.agg(area.alias("roc_auc"))
 
 
 def weighted_log_loss(df: DataFrame, weight: str, p_true: str) -> DataFrame:

@@ -1,0 +1,104 @@
+"""Scalable global ordered scans — the two-phase prefix-sum pattern.
+
+A single ``Window.orderBy(...)`` with no partition key funnels every row
+through ONE task ("No Partition Defined for Window operation"): correct on
+a laptop, serialized at 100 TB. The classic distributed fix (MPI scan /
+Pregel prefix) maps onto Spark as:
+
+  1. ``repartitionByRange`` on the scan order → partition *i* holds a
+     contiguous, ordered slice of the key domain, and partition ids are
+     monotone in the scan order.
+  2. per-partition window functions ``partitionBy(__pid)`` — parallel.
+  3. a per-partition summary frame (one row per partition — hundreds to
+     thousands of rows, never data-sized) joined triangularly to turn
+     partition totals into prefix offsets, broadcast back.
+
+No unbounded-input unpartitioned window appears anywhere: the only
+cross-partition combine is over the partition-summary frame, whose size is
+the shuffle-partition count, via joins (not windows).
+
+Used by operators/metrics.py (ROC/PR cumulative curves) and
+operators/sessionize.py (global gaps-and-islands) — the two places the
+reference's semantics genuinely demand a total order
+(func_aux/func_test.py:196-249, :429-458).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+PID = "__scan_pid"
+
+
+def _ordering(order_cols: Sequence[str], descending: bool) -> list[Column]:
+    return [F.col(c).desc() if descending else F.col(c).asc() for c in order_cols]
+
+
+def range_bucketed(df: DataFrame, order_cols: Sequence[str], descending: bool = False) -> DataFrame:
+    """Range-repartition on the scan order and tag each row with its
+    partition id. Because range partitions are contiguous and ordered,
+    ``PID`` is monotone in the scan order — the bucket key for phase-2
+    windows and the join key for prefix offsets."""
+    rp = df.repartitionByRange(*_ordering(order_cols, descending))
+    return rp.withColumn(PID, F.spark_partition_id())
+
+
+def prefix_offsets(bucketed: DataFrame, sum_cols: Sequence[str]) -> DataFrame:
+    """One row per partition id with ``__off_<c>`` = sum of ``c`` over all
+    STRICTLY EARLIER partitions. Triangle join over the partition-summary
+    frame (|partitions| rows) — tiny, broadcastable, window-free."""
+    totals = bucketed.groupBy(PID).agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    a = totals.select(F.col(PID), *[F.col(f"__tot_{c}") for c in sum_cols])
+    b = totals.select(
+        F.col(PID).alias("__bpid"), *[F.col(f"__tot_{c}").alias(f"__btot_{c}") for c in sum_cols]
+    )
+    return (
+        a.join(b, F.col("__bpid") < F.col(PID), "left")
+        .groupBy(PID)
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__btot_{c}"), F.lit(0)).alias(f"__off_{c}")
+                for c in sum_cols
+            ]
+        )
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    descending: bool = False,
+    keep_pid: bool = False,
+) -> DataFrame:
+    """Running sum of each ``sum_cols`` entry over the global
+    ``order_cols`` order (ties summed in one step is the caller's job —
+    pre-aggregate to one row per distinct key for sklearn-style threshold
+    semantics). Adds ``cum_<c>`` columns; all input columns pass through.
+
+    Equivalent to ``F.sum(c).over(Window.orderBy(...).rowsBetween(
+    unboundedPreceding, 0))`` but with no unpartitioned window: per-range-
+    partition cumsums plus broadcast prefix offsets.
+    """
+    bucketed = range_bucketed(df, order_cols, descending)
+    w = (
+        W.partitionBy(PID)
+        .orderBy(*_ordering(order_cols, descending))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = bucketed.select(
+        "*", *[F.sum(c).over(w).alias(f"__loc_{c}") for c in sum_cols]
+    )
+    offs = prefix_offsets(bucketed, sum_cols)
+    out = local.join(F.broadcast(offs), PID)
+    keep = list(df.columns) + ([PID] if keep_pid else [])
+    return out.select(
+        *keep,
+        *[(F.col(f"__loc_{c}") + F.col(f"__off_{c}")).alias(f"cum_{c}") for c in sum_cols],
+    )

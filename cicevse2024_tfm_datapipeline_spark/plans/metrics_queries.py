@@ -296,24 +296,25 @@ def a13_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored GROUP BY score
     ),
     cum AS (
-        SELECT sum(neg) OVER (ORDER BY threshold DESC
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
-                   / sum(neg) OVER () AS fpr,
+        SELECT pos, neg,
                sum(pos) OVER (ORDER BY threshold DESC
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
-                   / sum(pos) OVER () AS tpr
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+               sum(neg) OVER (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_fp,
+               sum(pos) OVER () AS tot_pos,
+               sum(neg) OVER () AS tot_neg
         FROM per
-    ),
-    seg AS (
-        SELECT fpr, tpr,
-               coalesce(lag(fpr) OVER (ORDER BY fpr ASC, tpr ASC), 0.0) AS pfpr,
-               coalesce(lag(tpr) OVER (ORDER BY fpr ASC, tpr ASC), 0.0) AS ptpr
-        FROM cum
     )
-    SELECT round(sum((fpr - pfpr) * (tpr + ptpr) / 2.0), 6) AS roc_auc FROM seg
+    SELECT round(sum(
+               (cum_fp * 1.0 / tot_neg - (cum_fp - neg) * 1.0 / tot_neg)
+             * (cum_tp * 1.0 / tot_pos + (cum_tp - pos) * 1.0 / tot_pos) / 2.0), 6)
+               AS roc_auc
+    FROM cum
     """,
     doc="A13: ROC-AUC by trapezoid integration of the cumulative curve "
-    "(func_aux/func_test.py:429-458 / roc_auc_score).",
+    "(func_aux/func_test.py:429-458 / roc_auc_score). Lag-free form: the "
+    "previous curve point is (cum_fp − neg, cum_tp − pos) — identical "
+    "arithmetic to the engine's scan-based plan.",
     tags=("A13",),
 )
 def a13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,25 +336,22 @@ def a13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored GROUP BY score
     ),
     cum AS (
-        SELECT threshold,
+        SELECT pos,
                sum(pos) OVER (ORDER BY threshold DESC
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
-                   / sum(pos) OVER () AS recall,
-               sum(pos) OVER (ORDER BY threshold DESC
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
-                   / sum(cnt) OVER (ORDER BY threshold DESC
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS precision
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+               sum(cnt) OVER (ORDER BY threshold DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+               sum(pos) OVER () AS tot_pos
         FROM per
-    ),
-    seg AS (
-        SELECT recall, precision,
-               coalesce(lag(recall) OVER (ORDER BY threshold DESC), 0.0) AS prev_recall
-        FROM cum
     )
-    SELECT round(sum((recall - prev_recall) * precision), 6) AS average_precision FROM seg
+    SELECT round(sum((pos * 1.0 / tot_pos) * (cum_tp * 1.0 / cum_n)), 6)
+               AS average_precision
+    FROM cum
     """,
     doc="A13/PR: average precision Σ Δrecall·precision over descending "
-    "thresholds (average_precision_score at func_aux/func_test.py:455).",
+    "thresholds (average_precision_score at func_aux/func_test.py:455). "
+    "Lag-free form: Δrecall_i = pos_i / tot_pos — identical arithmetic to "
+    "the engine's scan-based plan.",
     tags=("A13",),
 )
 def a13_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +528,50 @@ def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+@register(
+    "a14_normal_approx_ci",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_SCORED_SQL},
+    cells AS (
+        SELECT CAST(sum(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN y_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        FROM scored
+    )
+    SELECT fp, n_neg,
+           round(fp * 1.0 / n_neg, 6) AS fpr,
+           round(greatest(0.0, fp * 1.0 / n_neg
+               - 1.96 * sqrt((fp * 1.0 / n_neg) * (1 - fp * 1.0 / n_neg) / n_neg)), 6)
+               AS fpr_ci_low_norm,
+           round(least(1.0, fp * 1.0 / n_neg
+               + 1.96 * sqrt((fp * 1.0 / n_neg) * (1 - fp * 1.0 / n_neg) / n_neg)), 6)
+               AS fpr_ci_high_norm
+    FROM cells
+    """,
+    doc="A14 (normal approximation): Wald CI on the FPR, fpr ± "
+    "z·sqrt(fpr(1−fpr)/n_neg) clipped to [0,1] — the reference's "
+    "closed-form CI (func_aux/func_test.py:366-373), fully "
+    "SQL-expressible (the exact Clopper-Pearson twin below is rows-only).",
+    tags=("A14",),
+)
+def a14_normal_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    cells = sc.agg(
+        F.sum(((F.col("y_true") == 0) & (F.col("y_pred") == 1)).cast("long")).alias("fp"),
+        F.sum((F.col("y_true") == 0).cast("long")).alias("n_neg"),
+    )
+    fpr = F.col("fp") / F.col("n_neg")
+    se = F.sqrt(fpr * (1 - fpr) / F.col("n_neg"))
+    z = F.lit(1.96)
+    return cells.select(
+        "fp",
+        "n_neg",
+        pround(fpr, 6).alias("fpr"),
+        pround(F.greatest(F.lit(0.0), fpr - z * se), 6).alias("fpr_ci_low_norm"),
+        pround(F.least(F.lit(1.0), fpr + z * se), 6).alias("fpr_ci_high_norm"),
     )
 
 

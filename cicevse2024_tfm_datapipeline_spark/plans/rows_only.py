@@ -41,7 +41,22 @@ def _windows_df(spark: SparkSession, sf_dir: str, seq_len: int = 4) -> DataFrame
         .withColumn("matrix", F.collect_list(step_row).over(frame))
         .filter(F.col("__rn") >= seq_len)
     )
-    win_id = F.dense_rank().over(W.orderBy("attack", "state")) * 100000 + F.col("__rn")
+    # unique deterministic window id = group_code·100000 + within-group rn.
+    # The group code is a lexicographic rank over the DISTINCT (attack,
+    # state) frame, computed window-free (triangle count join on the tiny
+    # domain) and broadcast back — no unpartitioned dense_rank over rows.
+    pairs = pv.select("attack", "state").distinct()
+    b = pairs.select(F.col("attack").alias("__ba"), F.col("state").alias("__bs"))
+    lex_lt = (F.col("__ba") < F.col("attack")) | (
+        (F.col("__ba") == F.col("attack")) & (F.col("__bs") < F.col("state"))
+    )
+    codes = (
+        pairs.join(b, lex_lt, "left")
+        .groupBy("attack", "state")
+        .agg(F.count("__ba").alias("__gcode"))
+    )
+    out = out.join(F.broadcast(codes), ["attack", "state"])
+    win_id = (F.col("__gcode") + 1) * 100000 + F.col("__rn")
     return out.select(
         "attack", "state", win_id.cast("long").alias("window_id"), "matrix"
     )

@@ -94,7 +94,10 @@ def w3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT attack, state,
            CAST((rn - {SEQ_LEN}) / {STEP} AS BIGINT) AS window_id,
-           value_seq,
+           array_to_string(
+               list_transform(value_seq,
+                              x -> CAST(CAST(floor(x * 100.0 + 0.5) AS BIGINT) AS VARCHAR)),
+               '|') AS value_seq_str,
            label AS window_label
     FROM framed
     WHERE rn >= {SEQ_LEN} AND (rn - {SEQ_LEN}) % {STEP} = 0
@@ -102,7 +105,10 @@ def w3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="W3 with full per-window SEQUENCE ARRAYS (collect_list over the "
     "trailing frame, order pinned by (ts, event_id)) — the tensor-IR "
     "contract of make_sequences (func_aux/func_preproc.py:206-247), "
-    "value-checked element-by-element against the oracle.",
+    "value-checked element-by-element against the oracle. The sequence is "
+    "emitted as a canonical '|'-joined string of exact cent integers (the "
+    "data is 2-dp, so the encoding is lossless): array cells are "
+    "unhashable for pandas-based result canonicalizers.",
     tags=("W3", "W4", "S5"),
 )
 def w3_full_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +118,18 @@ def w3_full_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sliding_windows(
         pv, ["attack", "state"], "ts", "event_id", ["value"], SEQ_LEN, STEP, label_col="label"
     )
-    return out.select("attack", "state", "window_id", "value_seq", "window_label")
+    # element-level parity, hashable row: encode each element as its exact
+    # cent integer and join — one-arg lambda (arity-2 binds the array index)
+    seq_str = F.array_join(
+        F.transform(
+            F.col("value_seq"),
+            lambda x: F.floor(x * F.lit(100.0) + F.lit(0.5)).cast("bigint").cast("string"),
+        ),
+        "|",
+    )
+    return out.select(
+        "attack", "state", "window_id", seq_str.alias("value_seq_str"), "window_label"
+    )
 
 
 @register(

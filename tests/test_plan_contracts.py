@@ -77,6 +77,37 @@ def test_minhash_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_no_unpartitioned_window_in_oracle_queries(spark):
+    """SCALE.md's strongest claim, enforced: no oracle-checked plan may
+    contain a WindowExec with an empty partition spec (the 'No Partition
+    Defined for Window operation — moving all data to a single partition'
+    shape). Global scans must go through operators.scan (range-bucketed
+    two-phase prefix sums) or partition on real keys.
+
+    A windowspecdefinition whose first argument is an ORDER-BY expression
+    (no partition columns) renders as `windowspecdefinition(<col> ASC|DESC
+    ...` — partitioned specs list the partition cols first, without a
+    sort direction."""
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    unpartitioned = re.compile(
+        r"windowspecdefinition\([^(),]*(?: ASC| DESC)[^)]*NULLS (?:FIRST|LAST)"
+    )
+    offenders = []
+    for name, q in load_all().items():
+        if q.oracle is None:
+            continue
+        df = q.spark(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition" not in line:
+                continue
+            if unpartitioned.search(line):
+                offenders.append((name, line.strip()[:120]))
+                break
+    assert not offenders, offenders
+
+
 def test_no_rowwise_python_udf_in_relational_queries(spark):
     # the relational surface stays JVM-side: BatchEvalPython (row-at-a-time
     # Python UDF) must not appear in any oracle-checked plan
