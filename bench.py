@@ -32,9 +32,11 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_exact_group_sizes",
     "sim_bruteforce_cosine_topk",
+    "sim_ivf_topk",
     "text_token_stats",
     "j_tpch_q3_shipping_priority",
     "dedup_latest_per_key",
+    "sample_mixture_by_source",
 ]
 
 

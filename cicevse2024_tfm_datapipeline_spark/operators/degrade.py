@@ -29,7 +29,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 KINDS = ("packet_loss", "missing_variables", "clock_offset", "drift")
@@ -125,12 +124,20 @@ def permute_feature_globally(
     """R5: global permutation of one column's values — breaks row↔value
     alignment everywhere. Pure DataFrame: rank rows by seeded rand, rank
     a projected copy of the values by an independent seeded rand, join on
-    rank. Two shuffles, no driver materialization, any scale."""
-    w_rows = W.orderBy(F.rand(seed), F.col(order_tiebreak))
-    w_vals = W.orderBy(F.rand(seed + 1), F.col(order_tiebreak))
-    rows = df.withColumn("__slot", F.row_number().over(w_rows))
-    vals = df.select(F.col(value_col).alias("__pv"), F.col(order_tiebreak)).withColumn(
-        "__slot", F.row_number().over(w_vals)
+    rank. The ranks come from the two-phase scan (operators.scan), not an
+    unpartitioned row_number window, so both rankings parallelize at any
+    scale; no driver materialization."""
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_row_number
+
+    rows = global_row_number(
+        df.withColumn("__k", F.rand(seed)), ["__k", order_tiebreak], "__slot"
+    ).drop("__k")
+    vals = global_row_number(
+        df.select(F.col(value_col).alias("__pv"), order_tiebreak).withColumn(
+            "__k", F.rand(seed + 1)
+        ),
+        ["__k", order_tiebreak],
+        "__slot",
     ).select("__slot", "__pv")
     return (
         rows.join(vals, "__slot")

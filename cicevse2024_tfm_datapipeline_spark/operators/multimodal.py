@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(clearly marked) — but the Spark-side plumbing is real and tested:
-schema, Arrow batch shape, partition sizing, UDF signatures. Swap
-``_decode_stub`` for a real decoder (PIL/torchaudio/ffmpeg) in
-production; nothing else changes.
+Decode is REAL for uncompressed containers — pure-NumPy/struct parsers
+for RIFF/WAV PCM (8/16-bit) and BMP (24bpp BITMAPINFOHEADER), both with
+matching encoders so the path is roundtrip-tested without codec
+libraries. Compressed formats (JPEG/PNG/MP3/MP4) still raise a
+clearly-marked ``NotImplementedError`` — those genuinely need
+PIL/torchaudio/ffmpeg, absent from this container; swapping them in
+changes nothing else (same UDF signature and schema).
 
 Scale notes: payloads stay in the executor (never collected); decode is
 ``mapInPandas`` so each Arrow batch amortizes Python overhead; batch
@@ -15,6 +17,7 @@ large payloads (set it down for video).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -46,16 +49,114 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB: real deployments decode image/audio here. Raises for media
-    types that would need codecs; text payloads get a deterministic fake
-    'decode' (byte array) so the downstream plumbing is testable."""
+# --- real containers: RIFF/WAV PCM and BMP 24bpp (pure struct+NumPy) ----
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """PCM16 RIFF/WAVE writer (canonical 44-byte header). ``samples`` is
+    int16, interleaved if multi-channel."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = n_channels * 2
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Chunk-walking RIFF/WAVE PCM parser (8- and 16-bit). Returns
+    (samples float64 in [-1, 1] shaped (n_frames, n_channels),
+    sample_rate, n_channels)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format {audio_format}/{bits}-bit needs codec libraries "
+            "not present in this environment"
+        )
+    if bits == 16:
+        raw = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        x = raw.astype(np.float64) / 32768.0
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+    n_frames = len(x) // n_channels
+    return x[: n_frames * n_channels].reshape(n_frames, n_channels), sample_rate, n_channels
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """24bpp bottom-up BMP writer; ``pixels`` is (H, W, 3) uint8 RGB."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_size), dtype=np.uint8)
+    # BMP stores BGR, bottom row first
+    img[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    data = img.tobytes()
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24bpp uncompressed BMP parser → (H, W, 3) uint8 RGB (handles
+    bottom-up and top-down row order and 4-byte row padding)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bits, compression = struct.unpack_from("<HHI", payload, 26)
+    if header_size < 40 or bits != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP {bits}bpp/compression={compression} needs codec libraries "
+            "not present in this environment"
+        )
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * row_size, offset=data_offset)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def decode_payload(payload: bytes, media_type: str) -> np.ndarray:
+    """Decode a payload to a flat uint8 sample array for featurization.
+    text → raw bytes; audio/wav → PCM bytes re-quantized to uint8;
+    image/bmp → RGB bytes. Compressed media raise NotImplementedError
+    (the only remaining stub — needs PIL/torchaudio/ffmpeg)."""
     if media_type.startswith("text/"):
         return np.frombuffer(payload, dtype=np.uint8)
+    if media_type in ("audio/wav", "audio/x-wav"):
+        samples, _, _ = decode_wav(payload)
+        return np.clip((samples.ravel() + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    if media_type in ("image/bmp", "image/x-bmp"):
+        return decode_bmp(payload).ravel()
     raise NotImplementedError(
         f"decoder for {media_type!r} requires codec libraries not present "
         "in this environment (PIL / torchaudio / ffmpeg)"
     )
+
+
+# backwards-compatible alias (the pre-codec name)
+_decode_stub = decode_payload
 
 
 def extract_features(media: DataFrame, n_feature_bins: int = 16) -> DataFrame:
@@ -70,7 +171,7 @@ def extract_features(media: DataFrame, n_feature_bins: int = 16) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r["payload"])
-                arr = _decode_stub(payload, r["media_type"])
+                arr = decode_payload(payload, r["media_type"])
                 hist = np.bincount(arr % n_feature_bins, minlength=n_feature_bins).astype(float)
                 p = hist / max(1.0, hist.sum())
                 nz = p[p > 0]
@@ -89,6 +190,60 @@ def extract_features(media: DataFrame, n_feature_bins: int = 16) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV/BMP payload generator over an id column — even
+    ids become a PCM16 sine tone (frequency/length keyed on the id), odd
+    ids a gradient BMP. Built per Arrow batch executor-side (payloads are
+    never driver-materialized); gives the REAL decoders a distributed
+    roundtrip surface without codec libraries."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf[id_col].tolist():
+                i = int(i)
+                if i % 2 == 0:
+                    rate = 8000
+                    n = 256 + (i % 7) * 64
+                    t = np.arange(n, dtype=np.float64)
+                    freq = 200.0 + (i % 13) * 50.0
+                    wave = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "payload": encode_wav(wave, rate),
+                            "media_type": "audio/wav",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": int(n * 1000 / rate),
+                        }
+                    )
+                else:
+                    w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    px = np.stack(
+                        [
+                            (xx * 255 // max(1, w - 1)).astype(np.uint8),
+                            (yy * 255 // max(1, h - 1)).astype(np.uint8),
+                            np.full((h, w), i % 256, dtype=np.uint8),
+                        ],
+                        axis=-1,
+                    )
+                    rows.append(
+                        {
+                            "media_id": i,
+                            "payload": encode_bmp(px),
+                            "media_type": "image/bmp",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

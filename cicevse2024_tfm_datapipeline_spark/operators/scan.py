@@ -102,3 +102,18 @@ def global_cumsum(
         *keep,
         *[(F.col(f"__loc_{c}") + F.col(f"__off_{c}")).alias(f"cum_{c}") for c in sum_cols],
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "__rn",
+    descending: bool = False,
+) -> DataFrame:
+    """Global 1-based row number over ``order_cols`` with no unpartitioned
+    window — the two-phase scan over a constant-1 column. The order should
+    be total (add a tiebreak column) for a deterministic assignment."""
+    cum = global_cumsum(
+        df.withColumn("__one", F.lit(1)), order_cols, ["__one"], descending
+    )
+    return cum.withColumnRenamed("cum___one", out_col).drop("__one")

@@ -44,6 +44,7 @@ _PRIORITY = [
     "text_fingerprint_stats",
     "mm_binary_metadata",
     "mm_fake_decode_features",
+    "mm_decode_wav_bmp",
     "dedup_latest_per_key",
     "sample_stratified_per_class",
     "sample_mixture_by_source",
@@ -83,7 +84,6 @@ _PRIORITY = [
     "a12_binary_rates_ci",
     "dedup_exact_group_sizes",
     "dedup_exact_survivors",
-    "dedup_minhash_signature_stats",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
 ]

@@ -279,8 +279,8 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_fake_decode_features",
     oracle=None,
     doc="Multimodal decode → feature-extract over Arrow batches "
-    "(operators.multimodal; codec decode STUBBED, plumbing real): byte "
-    "histogram + entropy per payload, aggregated.",
+    "(operators.multimodal) on the text-bytes adapter: byte histogram + "
+    "entropy per payload, aggregated.",
     tags=("multimodal", "M6"),
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +292,30 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.avg("byte_entropy"), 4).alias("avg_entropy"),
         pround(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
         F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+@register(
+    "mm_decode_wav_bmp",
+    oracle=None,
+    doc="Multimodal REAL decode: deterministic PCM16 WAV tones and 24bpp "
+    "BMP gradients generated executor-side (operators.multimodal."
+    "synthetic_media), decoded by the pure-NumPy RIFF/BMP parsers, "
+    "featurized over Arrow batches and aggregated per media type — the "
+    "decode step is an actual byte-format roundtrip, not a stub.",
+    tags=("multimodal", "M6"),
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import synthetic_media
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = synthetic_media(docs)
+    feats = extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        pround(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+        pround(F.avg("byte_entropy"), 4).alias("avg_entropy"),
     )
 
 

@@ -91,8 +91,9 @@ def scan_host_csv(spark: SparkSession, path: str, state_col: str = "State") -> D
 
     The reference uses the pandas row index as time
     (``func_preproc.py:584``); a distributed engine has no global row
-    order on read, so the scan materializes one with a window over a
-    monotonic file-position key — done once, at ingest.
+    order on read, so the scan materializes one over a monotonic
+    file-position key — done once, at ingest, via the two-phase prefix
+    scan (no unpartitioned window even here).
     """
     df = spark.read.csv(path, header=True)
     cols = df.columns
@@ -102,13 +103,13 @@ def scan_host_csv(spark: SparkSession, path: str, state_col: str = "State") -> D
     keep = [F.col(c).try_cast("double").alias(c) for c in feature_cols]
     keep += [F.col(c) for c in cols[cols.index(state_col):]]
     df = df.select(*keep).withColumn("__file_pos", F.monotonically_increasing_id())
-    from pyspark.sql import Window as W
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_row_number
 
-    df = df.withColumn(
-        "timestamp",
-        (F.row_number().over(W.orderBy("__file_pos")) - F.lit(1)).cast("double"),
-    ).drop("__file_pos")
-    return df
+    df = global_row_number(df, ["__file_pos"], "__ingest_rn")
+    return (
+        df.withColumn("timestamp", (F.col("__ingest_rn") - F.lit(1)).cast("double"))
+        .drop("__file_pos", "__ingest_rn")
+    )
 
 
 # --- S3: multi-file scan with filename labels (network) -----------------

@@ -1,0 +1,82 @@
+"""Multimodal binary-column path: REAL pure-NumPy WAV/BMP codecs
+(roundtrip-exact), the Arrow decode/featurize plumbing, and the
+distributed synthetic-media surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def test_wav_roundtrip_exact():
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    samples = (rng.integers(-32768, 32767, size=500)).astype(np.int16)
+    payload = encode_wav(samples, sample_rate=16000)
+    out, rate, ch = decode_wav(payload)
+    assert rate == 16000 and ch == 1 and out.shape == (500, 1)
+    # float [-1,1] → exact int16 recovery
+    assert np.array_equal((out[:, 0] * 32768.0).astype(np.int16), samples)
+
+
+def test_wav_stereo_and_chunk_walk():
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    stereo = np.arange(-100, 100, dtype=np.int16)  # interleaved L/R
+    payload = encode_wav(stereo, sample_rate=8000, n_channels=2)
+    # splice an unknown chunk between fmt and data: parsers must skip it
+    hdr, data = payload[:36], payload[36:]
+    spliced = hdr + b"LIST\x04\x00\x00\x00junk" + data
+    out, rate, ch = decode_wav(spliced)
+    assert ch == 2 and out.shape == (100, 2)
+    assert np.array_equal((out.ravel() * 32768.0).astype(np.int16), stereo)
+
+
+def test_bmp_roundtrip_exact_with_padding():
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    # width 7 → rows need 4-byte padding (7*3=21 → 24)
+    px = rng.integers(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+def test_decode_payload_rejects_compressed():
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+    with pytest.raises(ValueError):
+        decode_payload(b"not a riff", "audio/wav")
+
+
+def test_synthetic_media_decodes_distributed(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = synthetic_media(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == 40
+    by_type = {}
+    for r in feats:
+        by_type.setdefault(r["media_type"], []).append(r)
+    assert len(by_type["audio/wav"]) == 20 and len(by_type["image/bmp"]) == 20
+    # deterministic: same ids → same content hashes on rerun
+    again = {r["media_id"]: r["content_hash"] for r in extract_features(media).collect()}
+    for r in feats:
+        assert again[r["media_id"]] == r["content_hash"]
+    # decoded features are real (non-degenerate entropy from sine/gradient)
+    assert all(r["byte_entropy"] > 0.5 for r in feats)
