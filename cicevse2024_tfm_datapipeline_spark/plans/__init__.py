@@ -64,7 +64,10 @@ _PRIORITY = [
     "u_set_intersect_except",
     "a10_confusion_pivot",
     "j_tpch_q3_shipping_priority",
-    # --- block 2: changed this round ---
+    # --- block 2: new or changed this round ---
+    "text_top_ngrams",
+    "text_tfidf_topk",
+    "pack_concat_chunks",
     "w3_full_sequences",
     "a13_roc_curve_points",
     "a13_roc_auc",
@@ -73,19 +76,16 @@ _PRIORITY = [
     "w6_sessionize_ttd",
     "a14_normal_approx_ci",
     "a14_clopper_pearson_ci",
+    "w7_acf_fixed_lags",
+    "f10_category_codes",
+    "f11_label_encode",
     # --- block 3: green anchors ---
     "w1_chrono_split_counts",
-    "a1_split_distribution_by_group",
-    "w3_sliding_window_stats",
-    "a6_window_summary_stats",
     "w5_train_only_standardize",
     "tpch_q1_pricing_summary",
     "j1_broadcast_lookup_join",
-    "a12_binary_rates_ci",
     "dedup_exact_group_sizes",
-    "dedup_exact_survivors",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
 ]
 
 

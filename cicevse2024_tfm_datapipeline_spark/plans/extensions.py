@@ -658,3 +658,152 @@ def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_ids"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# --- corpus n-gram statistics (training-data analysis staple) ------------
+
+
+@register(
+    "text_top_ngrams",
+    oracle=f"""
+    WITH toksd AS (SELECT {_TOKS} AS toks FROM documents),
+    gramlists AS (
+        SELECT list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        FROM toksd WHERE len(toks) >= 2
+    ),
+    grams AS (SELECT unnest(grams) AS bigram FROM gramlists)
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+    doc="Corpus-wide top-20 word bigrams: per-row gram arrays (codegen'd "
+    "element_at chain, zero shuffle) → explode → ONE hash aggregation "
+    "(map-side combined; bigram keys are near-uniform) → "
+    "TakeOrderedAndProject heap. The n-gram frequency pass of a "
+    "training-data analysis pipeline — never materializes a sorted "
+    "global result.",
+    tags=("text", "ngrams"),
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr("text").alias("toks")).filter(F.size("toks") >= 2)
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("bigram")).limit(20)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toksd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    terms AS (
+        SELECT doc_id, unnest(toks) AS term FROM toksd
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(n_docs * 1.0 / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term), n
+    ORDER BY tfidf DESC, tf.doc_id ASC, tf.term ASC
+    LIMIT 20
+    """,
+    doc="TF-IDF scoring (top-20 doc/term pairs): term frequencies and "
+    "document frequencies are two hash aggregations off ONE token "
+    "explode; idf joins back on term (near-uniform keys, AQE-replannable) "
+    "and the 1-row corpus count broadcasts. The relevance/keyword-"
+    "extraction pass of a text pipeline.",
+    tags=("text", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            pround(F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term")).limit(20)
+
+
+# --- sequence packing (training-batch construction) ----------------------
+
+PACK_CAPACITY = 512
+
+
+@register(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH toksd AS (
+        SELECT doc_id, len({_TOKS}) AS n_tok FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tok
+        FROM toksd
+    ),
+    binned AS (
+        SELECT doc_id, n_tok,
+               CAST(floor((cum_tok - n_tok) / {PACK_CAPACITY}.0) AS BIGINT) AS chunk_id
+        FROM cum
+    )
+    SELECT chunk_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM binned GROUP BY chunk_id
+    """,
+    doc="Sequence packing for training batches (concat-and-chunk, the GPT "
+    "pretraining layout): documents concatenated in doc_id order and cut "
+    "into fixed 512-token context windows; each doc is assigned the chunk "
+    "containing its first token. The running token offset comes from "
+    "operators.scan.global_cumsum — range-partitioned two-phase prefix "
+    "sum, no unpartitioned window, any corpus size.",
+    tags=("text", "packing"),
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
+
+    docs = t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", F.size(tokens_expr("text")).alias("n_tok")
+    )
+    cum = global_cumsum(per_doc, ["doc_id"], ["n_tok"])
+    chunk = F.floor(
+        (F.col("cum_n_tok") - F.col("n_tok")) / F.lit(float(PACK_CAPACITY))
+    ).cast("long")
+    return (
+        cum.select("doc_id", "n_tok", chunk.alias("chunk_id"))
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -177,10 +177,19 @@ def p6_p7_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s7_metrics_lake_flatten",
-    oracle=None,
+    oracle="""
+    SELECT * FROM (VALUES
+        ('run_a', 0.91, 0.89, CAST(5 AS BIGINT), 'xgb'),
+        ('run_b', 0.88, 0.86, CAST(10 AS BIGINT), 'xgb'),
+        ('run_c', 0.93, 0.91, CAST(15 AS BIGINT), 'xgb')
+    ) AS v(run, accuracy, f1_macro, seq_len, model)
+    """,
     doc="S7/J2: recursive JSON artifact scan + metrics⋈config equi-join on "
     "run_dir + nested-struct flatten (func_aux/func_plot.py:648-697). "
-    "Writes a tiny artifact lake under .scratch/ then scans it.",
+    "Writes a tiny artifact lake under .scratch/ then scans it; the "
+    "expected flattened rows are a static VALUES oracle (the lake "
+    "contents are fixed), so the JSON-scan→join→flatten path is "
+    "hash-checked, not just row-counted.",
     tags=("S7", "J2", "S6"),
 )
 def s7_metrics_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,8 +214,10 @@ def s7_metrics_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = join_metrics_with_configs(metrics, configs)
     return joined.select(
         F.element_at(F.split("run_dir", "/"), -1).alias("run"),
-        F.col("global.accuracy").alias("accuracy"),
-        F.col("global.f1_macro").alias("f1_macro"),
+        # float-literal arithmetic (acc − 0.02) leaves 1-ulp residue in the
+        # stored JSON; canonicalize to 6 dp to match the static oracle
+        pround(F.col("global.accuracy"), 6).alias("accuracy"),
+        pround(F.col("global.f1_macro"), 6).alias("f1_macro"),
         "seq_len",
         "model",
     ).orderBy("run")
@@ -238,22 +249,40 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_tumbling_avg",
-    oracle=None,
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS ws
+        FROM events
+    )
+    SELECT ws AS window_start_epoch, event_type,
+           round(round(sum(value), 2) / count(*), 6) AS avg_value,
+           count(*) AS n_rows
+    FROM e GROUP BY 1, 2
+    """,
     doc="Streaming A16: tumbling event-time window aggregation with "
     "watermark, driven to completion over the parquet file source "
-    "(memory sink). Extension beyond reference parity (SURVEY §2.9).",
+    "(memory sink, complete mode) — ORACLE-CHECKED against the batch SQL "
+    "of the same window spec, the streaming↔batch equivalence contract "
+    "(SURVEY §2.9). Epoch-second window keys avoid timestamp-format "
+    "parity risk.",
     tags=("streaming", "A16"),
 )
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
     from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
         run_to_completion,
-        tumbling_avg_stream,
+        tumbling_sums_stream,
     )
 
     stream = _events_stream(spark, sf_dir)
-    agg = tumbling_avg_stream(stream, window_sec=86400)
-    return run_to_completion(agg, "stream_tumbling_out")
+    agg = tumbling_sums_stream(stream, window_sec=86400)
+    out = run_to_completion(agg, "stream_tumbling_out", output_mode="complete")
+    return out.select(
+        "window_start_epoch",
+        "event_type",
+        pround(pround(F.col("sum_value"), 2) / F.col("n_rows"), 6).alias("avg_value"),
+        "n_rows",
+    )
 
 
 @register(
@@ -343,17 +372,43 @@ def ml_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_sliding_window",
-    oracle=None,
+    oracle="""
+    WITH e AS (
+        SELECT value,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS hr
+        FROM events
+    ),
+    cand AS (
+        SELECT value, hr - k.o AS ws
+        FROM e, (VALUES (0), (3600)) AS k(o)
+    )
+    SELECT ws AS window_start_epoch,
+           round(round(sum(value), 2) / count(*), 6) AS value_mean,
+           min(value) AS value_min,
+           max(value) AS value_max,
+           count(*) AS n_rows
+    FROM cand GROUP BY 1
+    """,
     doc="Streaming W3: sliding event-time windows (2h length, 1h hop) with "
-    "watermark over the parquet file source (SURVEY §2.9).",
+    "watermark over the parquet file source, complete mode — "
+    "ORACLE-CHECKED: each event belongs to exactly the two hop-aligned "
+    "windows covering it (floor-hour and floor-hour − 3600), which the "
+    "SQL twin materializes with a 2-row VALUES cross join (SURVEY §2.9).",
     tags=("streaming", "W3"),
 )
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
         run_to_completion,
-        sliding_window_stream,
+        sliding_sums_stream,
     )
 
     stream = _events_stream(spark, sf_dir)
-    agg = sliding_window_stream(stream, length_sec=7200, hop_sec=3600)
-    return run_to_completion(agg, "stream_sliding_out")
+    agg = sliding_sums_stream(stream, length_sec=7200, hop_sec=3600)
+    out = run_to_completion(agg, "stream_sliding_out", output_mode="complete")
+    return out.select(
+        "window_start_epoch",
+        pround(pround(F.col("sum_value"), 2) / F.col("n_rows"), 6).alias("value_mean"),
+        "value_min",
+        "value_max",
+        "n_rows",
+    )

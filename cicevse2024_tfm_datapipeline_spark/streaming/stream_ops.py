@@ -68,6 +68,49 @@ def sliding_window_stream(
     )
 
 
+def tumbling_sums_stream(events: DataFrame, window_sec: int = 86400, watermark: str = "1 day") -> DataFrame:
+    """A16 streaming twin in ORACLE-CANONICAL form: window start as epoch
+    seconds (no timestamp-formatting parity risk) and sum+count instead of
+    avg (the caller derives the canonicalized decimal mean — see
+    plans.common.pround). Drive with complete output mode for a full,
+    batch-equal result set."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{window_sec} seconds"), F.col("event_type"))
+        .agg(F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("window.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "sum_value",
+            "n_rows",
+        )
+    )
+
+
+def sliding_sums_stream(
+    events: DataFrame, length_sec: int, hop_sec: int, watermark: str = "1 day"
+) -> DataFrame:
+    """W3 streaming twin in oracle-canonical form (epoch-second window
+    starts, sums not means)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{length_sec} seconds", f"{hop_sec} seconds"))
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("window_start_epoch"),
+            "sum_value",
+            "value_min",
+            "value_max",
+            "n_rows",
+        )
+    )
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day") -> DataFrame:
     """W6 streaming twin: session windows per user with inactivity gap."""
     return (
@@ -84,11 +127,17 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark:
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
     """Drive a streaming plan over the available files and return the
-    result as a batch DataFrame (memory sink; test/smoke harness)."""
+    result as a batch DataFrame (memory sink; test/smoke harness).
+
+    ``append`` emits only watermark-finalized windows (production shape);
+    ``complete`` emits the full aggregate state — use it when comparing
+    the stream against a batch/SQL oracle over the whole input."""
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)
