@@ -145,3 +145,47 @@ def permute_feature_globally(
         .withColumn(value_col, F.col("__pv"))
         .drop("__pv")
     )
+
+
+def degrade_windows_hash(
+    df: DataFrame,
+    matrix_col: str,
+    window_id_col: str,
+    severity: float,
+    kind: str,
+    seed: int,
+) -> DataFrame:
+    """Hash-keyed degradation twin of :func:`degrade_windows` for the
+    Bernoulli-mask kinds — pure Column expressions, no Python edge at all.
+
+    The per-site uniform is md5-derived: u(key) = first 8 hex digits of
+    md5(seed|window_id|axis-index) as a 32-bit integer / 2³². md5 is the
+    one hash both Spark and DuckDB (and any engine) compute identically,
+    so the ENTIRE degradation is SQL-oracle-checkable — and it is
+    partition/order-independent by construction, with zero serialization
+    cost (stays in whole-stage codegen). The numpy-Generator variant
+    remains for bit-parity with the reference's streams; this is the
+    100 TB-native form.
+    """
+    if kind not in ("packet_loss", "missing_variables"):
+        raise ValueError("hash twin covers the Bernoulli-mask kinds only")
+    axis = "t" if kind == "packet_loss" else "fi"
+    # SQL lambdas with explicit distinct variable names (nested Python
+    # Column-lambdas risk NamedLambdaVariable capture collisions)
+    u = (
+        f"cast(conv(substr(md5(concat('{int(seed)}|', cast({window_id_col} as string), "
+        f"'|{axis}|', cast({{i}} as string))), 1, 8), 16, 10) as bigint) / 4294967296.0"
+    )
+    if kind == "packet_loss":
+        expr = (
+            f"transform({matrix_col}, (row, t) -> "
+            f"case when {u.format(i='t')} < {float(severity)}d "
+            f"then transform(row, v -> 0.0d) else row end)"
+        )
+    else:
+        expr = (
+            f"transform({matrix_col}, row -> "
+            f"transform(row, (v, fi) -> "
+            f"case when {u.format(i='fi')} < {float(severity)}d then 0.0d else v end))"
+        )
+    return df.withColumn(matrix_col, F.expr(expr))

@@ -52,6 +52,7 @@ _PRIORITY = [
     "r_degrade_missing_variables",
     "r_degrade_clock_offset",
     "r_degrade_drift",
+    "r_degrade_hash_packet_loss",
     "r5_global_permutation",
     "p6_p7_schema_profile",
     "s7_metrics_lake_flatten",
@@ -82,7 +83,6 @@ _PRIORITY = [
     # --- block 3: green anchors ---
     "w1_chrono_split_counts",
     "w5_train_only_standardize",
-    "tpch_q1_pricing_summary",
     "j1_broadcast_lookup_join",
     "dedup_exact_group_sizes",
     "dedup_minhash_lsh_pairs",

@@ -103,6 +103,67 @@ for _kind, _sev in (
     _register_degrade(_kind, _sev)
 
 
+from cicevse2024_tfm_datapipeline_spark.plans.common import POWER_BASE_SQL  # noqa: E402
+
+
+@register(
+    "r_degrade_hash_packet_loss",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    framed AS (
+        SELECT attack, state,
+               row_number() OVER w AS rn,
+               list([value, CASE WHEN value >= 100.0 THEN 1.0 ELSE 0.0 END])
+                   OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+        FROM base
+        WINDOW w AS (PARTITION BY attack, state ORDER BY ts, event_id)
+    ),
+    codes AS (
+        SELECT attack, state, dense_rank() OVER (ORDER BY attack, state) AS gc
+        FROM (SELECT DISTINCT attack, state FROM base)
+    ),
+    wins AS (
+        SELECT c.gc * 100000 + f.rn AS window_id, f.m
+        FROM framed f JOIN codes c USING (attack, state)
+        WHERE f.rn >= 4
+    ),
+    deg AS (
+        SELECT window_id,
+               list_transform(range(0, len(m)), i ->
+                   CASE WHEN ('0x' || substr(md5('42|' || CAST(window_id AS VARCHAR)
+                                  || '|t|' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                             / 4294967296.0 < 0.3
+                        THEN list_transform(m[i + 1], v -> 0.0)
+                        ELSE m[i + 1] END) AS m2
+        FROM wins
+    ),
+    cells AS (SELECT unnest(flatten(m2)) AS v FROM deg)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_windows,
+           CAST(sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cells,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+    doc="R1 hash twin, ORACLE-CHECKED end to end: packet-loss masking with "
+    "md5-derived per-(seed, window, timestep) uniforms — pure Column "
+    "expressions (operators.degrade.degrade_windows_hash), "
+    "partition-independent by construction, and reproducible in ANY "
+    "engine (the property the numpy-stream variant can only assert via "
+    "pytest). The SQL twin rebuilds the same window matrices and mask.",
+    tags=("R", "packet_loss", "hash"),
+)
+def r_degrade_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import degrade_windows_hash
+
+    w = _windows_df(spark, sf_dir)
+    deg = degrade_windows_hash(w, "matrix", "window_id", 0.3, "packet_loss", seed=42)
+    out = _degrade_summary(deg)
+    return out.select(
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_zero_cells").cast("long").alias("n_zero_cells"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+    )
+
+
 @register(
     "r5_global_permutation",
     oracle=None,
@@ -287,13 +348,33 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_window",
-    oracle=None,
-    doc="Streaming W6: session_window(ts, 30 min) per user with watermark "
-    "— the streaming sessionization twin (SURVEY §2.9).",
+    oracle="""
+    WITH e AS (SELECT user_id, value, ts, epoch(ts) AS es FROM events),
+    b AS (
+        SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                         OR es - lag(es) OVER w >= 1800 THEN 1 ELSE 0 END AS boundary
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+        SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM b
+    )
+    SELECT CAST(floor(min(es)) AS BIGINT) AS session_start_epoch,
+           CAST(floor(max(es)) + 1800 AS BIGINT) AS session_end_epoch,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Streaming W6: session_window(ts, 30 min) per user with watermark, "
+    "complete mode — ORACLE-CHECKED against the gaps-and-islands SQL "
+    "formulation (boundary at inter-event gap ≥ 30 min; session end = "
+    "last event + gap), the sessionization equivalence contract "
+    "(SURVEY §2.9). Epoch-second keys; 2-dp-exact sum canonicalization.",
     tags=("streaming", "W6"),
 )
 def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
     from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
         run_to_completion,
         session_window_stream,
@@ -301,7 +382,14 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _events_stream(spark, sf_dir)
     agg = session_window_stream(stream, gap="30 minutes")
-    return run_to_completion(agg, "stream_sessions_out")
+    out = run_to_completion(agg, "stream_sessions_out", output_mode="complete")
+    return out.select(
+        F.col("session_start").cast("long").alias("session_start_epoch"),
+        F.col("session_end").cast("long").alias("session_end_epoch"),
+        "user_id",
+        "n_events",
+        pround(F.col("sum_value"), 2).alias("sum_value"),
+    )
 
 
 @register(
