@@ -163,11 +163,11 @@ def _threshold_cum_counts(df: DataFrame, y_true: str, score: str) -> DataFrame:
         F.sum((F.col(y_true) == 0).cast("long")).alias("neg"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    cum = global_cumsum(per_score, ["threshold"], ["pos", "neg", "cnt"], descending=True)
-    totals = per_score.agg(
-        F.sum("pos").alias("tot_pos"), F.sum("neg").alias("tot_neg")
+    # grand totals ride on the scan's own per-partition totals frame —
+    # no separate full aggregation pass over per_score
+    return global_cumsum(
+        per_score, ["threshold"], ["pos", "neg", "cnt"], descending=True, with_totals=True
     )
-    return cum.crossJoin(F.broadcast(totals))
 
 
 def roc_points(df: DataFrame, y_true: str, score: str) -> DataFrame:

@@ -47,26 +47,36 @@ def range_bucketed(df: DataFrame, order_cols: Sequence[str], descending: bool = 
     return rp.withColumn(PID, F.spark_partition_id())
 
 
-def prefix_offsets(bucketed: DataFrame, sum_cols: Sequence[str]) -> DataFrame:
-    """One row per partition id with ``__off_<c>`` = sum of ``c`` over all
-    STRICTLY EARLIER partitions. Triangle join over the partition-summary
-    frame (|partitions| rows) — tiny, broadcastable, window-free."""
-    totals = bucketed.groupBy(PID).agg(
-        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
-    )
-    a = totals.select(F.col(PID), *[F.col(f"__tot_{c}") for c in sum_cols])
+def offsets_from_totals(totals: DataFrame, tot_cols: Sequence[str], prefix: str = "__off_") -> DataFrame:
+    """Turn a per-partition totals frame (one row per ``PID``) into prefix
+    offsets: ``<prefix><c>`` = sum of ``<c>`` over all STRICTLY EARLIER
+    partitions. Triangle join over the |partitions|-sized frame — tiny,
+    broadcastable, window-free."""
+    a = totals.select(F.col(PID), *[F.col(c) for c in tot_cols])
     b = totals.select(
-        F.col(PID).alias("__bpid"), *[F.col(f"__tot_{c}").alias(f"__btot_{c}") for c in sum_cols]
+        F.col(PID).alias("__bpid"), *[F.col(c).alias(f"__b_{c}") for c in tot_cols]
     )
     return (
         a.join(b, F.col("__bpid") < F.col(PID), "left")
         .groupBy(PID)
         .agg(
             *[
-                F.coalesce(F.sum(f"__btot_{c}"), F.lit(0)).alias(f"__off_{c}")
-                for c in sum_cols
+                F.coalesce(F.sum(f"__b_{c}"), F.lit(0)).alias(f"{prefix}{c}")
+                for c in tot_cols
             ]
         )
+    )
+
+
+def prefix_offsets(bucketed: DataFrame, sum_cols: Sequence[str]) -> DataFrame:
+    """One row per partition id with ``__off_<c>`` = sum of ``c`` over all
+    strictly earlier partitions (groupBy + :func:`offsets_from_totals`)."""
+    totals = bucketed.groupBy(PID).agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    offs = offsets_from_totals(totals, [f"__tot_{c}" for c in sum_cols], prefix="__o_")
+    return offs.select(
+        PID, *[F.col(f"__o___tot_{c}").alias(f"__off_{c}") for c in sum_cols]
     )
 
 
@@ -76,15 +86,25 @@ def global_cumsum(
     sum_cols: Sequence[str],
     descending: bool = False,
     keep_pid: bool = False,
+    with_totals: bool = False,
 ) -> DataFrame:
     """Running sum of each ``sum_cols`` entry over the global
     ``order_cols`` order (ties summed in one step is the caller's job —
     pre-aggregate to one row per distinct key for sklearn-style threshold
     semantics). Adds ``cum_<c>`` columns; all input columns pass through.
+    With ``with_totals``, also broadcasts grand totals as ``tot_<c>`` —
+    derived from the same per-partition totals frame, so callers get the
+    denominator without a separate full pass over ``df``.
 
     Equivalent to ``F.sum(c).over(Window.orderBy(...).rowsBetween(
     unboundedPreceding, 0))`` but with no unpartitioned window: per-range-
     partition cumsums plus broadcast prefix offsets.
+
+    Cost model: the offsets branch re-executes the (column-pruned,
+    map-side-combined) input aggregation once — the price of staying a
+    fully lazy plan without caching. That second pass scans only the
+    order/sum columns and shuffles |partitions| rows; the data-sized
+    shuffle happens exactly once (the range exchange).
     """
     bucketed = range_bucketed(df, order_cols, descending)
     w = (
@@ -95,13 +115,25 @@ def global_cumsum(
     local = bucketed.select(
         "*", *[F.sum(c).over(w).alias(f"__loc_{c}") for c in sum_cols]
     )
-    offs = prefix_offsets(bucketed, sum_cols)
+    totals = bucketed.groupBy(PID).agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    offs = offsets_from_totals(totals, [f"__tot_{c}" for c in sum_cols], prefix="__o_")
     out = local.join(F.broadcast(offs), PID)
     keep = list(df.columns) + ([PID] if keep_pid else [])
-    return out.select(
+    out = out.select(
         *keep,
-        *[(F.col(f"__loc_{c}") + F.col(f"__off_{c}")).alias(f"cum_{c}") for c in sum_cols],
+        *[
+            (F.col(f"__loc_{c}") + F.col(f"__o___tot_{c}")).alias(f"cum_{c}")
+            for c in sum_cols
+        ],
     )
+    if with_totals:
+        grand = totals.agg(
+            *[F.sum(f"__tot_{c}").alias(f"tot_{c}") for c in sum_cols]
+        )
+        out = out.crossJoin(F.broadcast(grand))
+    return out
 
 
 def global_row_number(

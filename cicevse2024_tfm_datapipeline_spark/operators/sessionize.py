@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from cicevse2024_tfm_datapipeline_spark.operators.scan import (
     PID,
-    prefix_offsets,
+    offsets_from_totals,
     range_bucketed,
 )
 
@@ -56,36 +56,65 @@ def _global_islands(
     episode_id_col: str | None,
 ) -> DataFrame:
     """Global-order islands without an unpartitioned window: adds ``__idx``
-    (global 1-based row number) and ``episode`` (island id on attack rows,
-    null elsewhere). Two-phase scan:
+    (global 1-based row number) and ``__island`` (island id on attack
+    rows, null elsewhere).
 
-      phase 1: range-bucket on the order; per-bucket row_number + lag.
-      fill:    a bucket's first row takes its "previous row" from the last
-               row of the nearest earlier NON-EMPTY bucket — computed on
-               the |buckets|-sized summary frame via a max_by anti-triangle
-               join (window-free, broadcastable).
-      phase 2: boundary flags → per-bucket cumsum + prefix offsets.
+    Single-window design — exactly TWO executions of the bucketed window
+    subtree (the output pass and one per-bucket summary aggregation);
+    everything that crosses buckets happens on the |buckets|-sized summary
+    frame with window-free joins:
+
+      big pass:   per-bucket row_number, lags, INTERIOR boundary flags
+                  (rows 2..n — these see their true previous row) and
+                  their running sum.
+      summary:    per bucket: row count, interior-boundary count, first
+                  and last (y, episode-id) — one groupBy.
+      tiny logic: each bucket's FIRST-row boundary needs the last row of
+                  the nearest earlier non-empty bucket (empty range
+                  partitions leave pid gaps, so pid−1 is not enough) —
+                  an argmax triangle join; row-number and island offsets
+                  are prefix triangles over (count, interior+first).
+      combine:    one broadcast join;
+                  island = interior-cumsum + own-first-boundary + offset.
     """
     ordering = [F.col(c).asc() for c in order_cols]
     ordstruct = F.struct(*[F.col(c) for c in order_cols])
-    bucketed = range_bucketed(df, order_cols).withColumn("__one", F.lit(1))
+    bucketed = range_bucketed(df, order_cols)
 
     w = W.partitionBy(PID).orderBy(*ordering)
+    wcum = w.rowsBetween(W.unboundedPreceding, 0)
     lag_cols = [F.lag(y_true_col).over(w).alias("__lp_y")]
     if episode_id_col is not None:
         lag_cols.append(F.lag(episode_id_col).over(w).alias("__lp_ep"))
     local = bucketed.select(
         "*", F.row_number().over(w).alias("__lrn"), *lag_cols
     )
+    interior = _boundary_expr(
+        y_true_col,
+        episode_id_col,
+        F.col("__lp_y"),
+        F.col("__lp_ep") if episode_id_col is not None else None,
+    ) & (F.col("__lrn") > 1)
+    local = local.withColumn("__int_b", interior.cast("int")).withColumn(
+        "__lisl", F.sum("__int_b").over(wcum)
+    )
 
-    # |buckets|-sized summary: last row's y/ep per bucket, for boundary fill
-    summ_aggs = [F.max_by(F.col(y_true_col), ordstruct).alias("__last_y")]
+    # ONE per-bucket summary aggregation (the only re-execution of the
+    # window subtree): counts + interior-boundary totals + edge rows
+    summ_aggs = [
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__int_b").alias("__int_bsum"),
+        F.max_by(F.col(y_true_col), ordstruct).alias("__last_y"),
+        F.min_by(F.col(y_true_col), ordstruct).alias("__first_y"),
+    ]
     if episode_id_col is not None:
-        summ_aggs.append(F.max_by(F.col(episode_id_col), ordstruct).alias("__last_ep"))
-    summ = bucketed.groupBy(PID).agg(*summ_aggs)
-    # previous non-empty bucket per bucket (empty range partitions leave
-    # pid gaps, so "pid − 1" is not enough): argmax-by-pid triangle join
-    a = summ.select(F.col(PID))
+        summ_aggs += [
+            F.max_by(F.col(episode_id_col), ordstruct).alias("__last_ep"),
+            F.min_by(F.col(episode_id_col), ordstruct).alias("__first_ep"),
+        ]
+    summ = local.groupBy(PID).agg(*summ_aggs)
+
+    # nearest earlier non-empty bucket's last row → fill for first-row lag
     b = summ.select(
         F.col(PID).alias("__bpid"),
         F.col("__last_y").alias("__by"),
@@ -95,35 +124,35 @@ def _global_islands(
     if episode_id_col is not None:
         fill_aggs.append(F.max_by("__bep", "__bpid").alias("__pp_ep"))
     fills = (
-        a.join(b, F.col("__bpid") < F.col(PID), "left").groupBy(PID).agg(*fill_aggs)
+        summ.select(PID)
+        .join(b, F.col("__bpid") < F.col(PID), "left")
+        .groupBy(PID)
+        .agg(*fill_aggs)
     )
 
-    rn_off = prefix_offsets(bucketed, ["__one"])
-    cur = local.join(F.broadcast(rn_off), PID).join(F.broadcast(fills), PID)
-
-    first = F.col("__lrn") == 1
-    prev_y = F.when(first, F.col("__pp_y")).otherwise(F.col("__lp_y"))
-    prev_ep = (
-        F.when(first, F.col("__pp_ep")).otherwise(F.col("__lp_ep"))
-        if episode_id_col is not None
-        else None
+    # first-row boundary per bucket, computed entirely on the tiny frame
+    first_b = _boundary_expr(
+        "__first_y",
+        "__first_ep" if episode_id_col is not None else None,
+        F.col("__pp_y"),
+        F.col("__pp_ep") if episode_id_col is not None else None,
     )
-    boundary = _boundary_expr(y_true_col, episode_id_col, prev_y, prev_ep)
-    with_b = cur.withColumn("__b", boundary.cast("int"))
+    enriched = (
+        summ.join(fills, PID)
+        .withColumn("__first_b", first_b.cast("int"))
+        .withColumn("__bsum", F.col("__int_bsum") + F.col("__first_b"))
+    )
+    offs = offsets_from_totals(enriched, ["__cnt", "__bsum"])
+    side = enriched.select(PID, "__first_b").join(offs, PID)
 
-    # phase 2: island = global cumsum of boundary flags. Reuses the same
-    # PID bucketing — the per-bucket window needs no new shuffle, and the
-    # offsets are another |buckets|-sized triangle join.
-    wcum = w.rowsBetween(W.unboundedPreceding, 0)
-    local2 = with_b.withColumn("__lisl", F.sum("__b").over(wcum))
-    b_off = prefix_offsets(with_b.select(PID, "__b"), ["__b"])
-    out = local2.join(F.broadcast(b_off), PID)
-
+    out = local.join(F.broadcast(side), PID)
     is_attack = F.col(y_true_col) == 1
     return out.select(
         *df.columns,
-        (F.col("__lrn") + F.col("__off___one")).alias("__idx"),
-        F.when(is_attack, F.col("__lisl") + F.col("__off___b")).alias("__island"),
+        (F.col("__lrn") + F.col("__off___cnt")).alias("__idx"),
+        F.when(
+            is_attack, F.col("__lisl") + F.col("__first_b") + F.col("__off___bsum")
+        ).alias("__island"),
     )
 
 
