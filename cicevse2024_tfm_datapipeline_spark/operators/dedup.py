@@ -187,3 +187,42 @@ def ngram_jaccard_pairs(
         "doc_b",
         F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
     )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Train/eval DECONTAMINATION: ids of training documents sharing at
+    least one k-word shingle with any evaluation document (the benchmark-
+    leakage filter every LLM training pipeline runs before training).
+
+    Scale shape: eval shingles are DISTINCT'd and broadcast (eval suites
+    are tiny next to a training corpus — benchmarks are MBs, corpora are
+    TBs); the training side streams through explode → broadcast-hash
+    semi-join with no shuffle of the corpus, then a distinct on the
+    surviving ids. If the eval side ever outgrows broadcast, the same
+    plan degrades gracefully to a shuffle semi-join on the shingle key.
+    """
+    from cicevse2024_tfm_datapipeline_spark.operators.text import (
+        tokens_expr,
+        word_shingles_expr,
+    )
+
+    eval_sh = (
+        eval_df.select(
+            F.explode(word_shingles_expr(tokens_expr(text_col), k)).alias("__sh")
+        )
+        .distinct()
+    )
+    train_sh = train.select(
+        F.col(id_col), F.explode(word_shingles_expr(tokens_expr(text_col), k)).alias("__sh")
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "__sh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

@@ -69,6 +69,7 @@ _PRIORITY = [
     "text_top_ngrams",
     "text_tfidf_topk",
     "pack_concat_chunks",
+    "dedup_decontaminate_train",
     "w3_full_sequences",
     "a13_roc_curve_points",
     "a13_roc_auc",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "w1_chrono_split_counts",
     "w5_train_only_standardize",
     "j1_broadcast_lookup_join",
-    "dedup_exact_group_sizes",
     "dedup_minhash_lsh_pairs",
 ]
 

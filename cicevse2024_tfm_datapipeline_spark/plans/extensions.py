@@ -807,3 +807,60 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- train/eval decontamination (benchmark-leakage filter) ---------------
+
+
+@register(
+    "dedup_decontaminate_train",
+    oracle=f"""
+    WITH toksd AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+        FROM toksd WHERE len(toks) >= 3
+    ),
+    eval_sh AS (
+        SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0
+    ),
+    train_sh AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 <> 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM train_sh WHERE s IN (SELECT s FROM eval_sh)
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean
+    FROM (SELECT doc_id, source FROM toksd WHERE doc_id % 10 <> 0) t
+    LEFT JOIN contaminated c USING (doc_id)
+    GROUP BY t.source
+    """,
+    doc="Train/eval DECONTAMINATION (operators.dedup.contaminated_ids): "
+    "eval docs (doc_id % 10 = 0) contribute a broadcast distinct 3-word-"
+    "shingle set; training docs sharing any shingle are flagged via a "
+    "broadcast semi-join (corpus never shuffles). Per-source "
+    "contamination counts — the benchmark-leakage filter of an LLM "
+    "training-data pipeline, hash-checked end to end.",
+    tags=("dedup", "decontamination"),
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import contaminated_ids
+
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    bad = contaminated_ids(train, eval_df, "doc_id", "text", k=3).withColumn(
+        "__bad", F.lit(1)
+    )
+    tagged = train.select("doc_id", "source").join(bad, "doc_id", "left")
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.sum(F.coalesce("__bad", F.lit(0))).cast("long").alias("n_contaminated"),
+        F.sum((F.col("__bad").isNull()).cast("int")).cast("long").alias("n_clean"),
+    )
