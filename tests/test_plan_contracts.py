@@ -77,6 +77,19 @@ def test_minhash_lsh_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    # the training corpus must NEVER shuffle on the shingle key: the eval
+    # side broadcasts into a BroadcastHashJoin (left_semi)
+    plan = _plan(spark, "dedup_decontaminate_train")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_ngrams_uses_heap_not_global_sort(spark):
+    plan = _plan(spark, "text_top_ngrams")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_no_unpartitioned_window_in_oracle_queries(spark):
     """SCALE.md's strongest claim, enforced: no oracle-checked plan may
     contain a WindowExec with an empty partition spec (the 'No Partition

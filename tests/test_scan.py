@@ -1,0 +1,88 @@
+"""operators/scan: the two-phase global prefix scan must equal the naive
+unpartitioned-window computation on ANY input and partitioning — this is
+the correctness contract that lets the engine ban unpartitioned windows.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _random_rows(seed: int, n: int):
+    rng = random.Random(seed)
+    # duplicate-free order key (scan requires a total order), signed values
+    keys = rng.sample(range(n * 3), n)
+    return [(k, rng.randint(-50, 50), rng.randint(0, 5)) for k in keys]
+
+
+@pytest.mark.parametrize("seed,n,parts", [(1, 7, 1), (2, 100, 7), (3, 257, 32)])
+def test_global_cumsum_matches_window(spark, seed, n, parts):
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
+
+    df = spark.createDataFrame(_random_rows(seed, n), ["k", "v", "g"]).repartition(parts)
+    for descending in (False, True):
+        got = {
+            r["k"]: (r["cum_v"], r["tot_v"])
+            for r in global_cumsum(
+                df, ["k"], ["v"], descending=descending, with_totals=True
+            ).collect()
+        }
+        order = F.col("k").desc() if descending else F.col("k").asc()
+        w = W.orderBy(order).rowsBetween(W.unboundedPreceding, 0)
+        want = {
+            r["k"]: r["cum"]
+            for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+        }
+        total = sum(v for _, v, _ in _random_rows(seed, n))
+        assert len(got) == n
+        for k, (cum, tot) in got.items():
+            assert cum == want[k], (descending, k)
+            assert tot == total
+
+
+@pytest.mark.parametrize("seed,n,parts", [(4, 50, 3), (5, 200, 16)])
+def test_global_row_number_matches_window(spark, seed, n, parts):
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_row_number
+
+    df = spark.createDataFrame(_random_rows(seed, n), ["k", "v", "g"]).repartition(parts)
+    got = {r["k"]: r["rn"] for r in global_row_number(df, ["k"], "rn").collect()}
+    want = {
+        r["k"]: r["rn"]
+        for r in df.select(
+            "k", F.row_number().over(W.orderBy(F.asc("k"))).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed,n,parts", [(6, 40, 5), (7, 150, 32)])
+def test_global_islands_matches_sequential_scan(spark, seed, n, parts):
+    """mark_episodes with NO partition cols (the scan path) must reproduce
+    the reference's sequential island numbering for random y/episode
+    sequences under any input partitioning."""
+    from cicevse2024_tfm_datapipeline_spark.operators.sessionize import mark_episodes
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 1), rng.choice(["a", "b", "c"])) for i in range(n)
+    ]
+    # sequential reference scan
+    want: dict[int, int | None] = {}
+    island = 0
+    prev_y, prev_ep = None, None
+    for i, y, ep in rows:
+        if y == 1 and (prev_y is None or prev_y != 1 or prev_ep != ep):
+            island += 1
+        want[i] = island if y == 1 else None
+        prev_y, prev_ep = y, ep
+
+    df = spark.createDataFrame(rows, ["idx", "y", "ep"]).repartition(parts)
+    got = {
+        r["idx"]: r["episode"]
+        for r in mark_episodes(df, ["idx"], "y", episode_id_col="ep").collect()
+    }
+    assert got == want
