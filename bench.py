@@ -34,9 +34,12 @@ HEADLINE = [
     "sim_bruteforce_cosine_topk",
     "sim_ivf_topk",
     "text_token_stats",
+    "text_tfidf_topk",
     "j_tpch_q3_shipping_priority",
     "dedup_latest_per_key",
+    "dedup_decontaminate_train",
     "sample_mixture_by_source",
+    "pack_concat_chunks",
 ]
 
 

@@ -70,6 +70,7 @@ _PRIORITY = [
     "text_tfidf_topk",
     "pack_concat_chunks",
     "dedup_decontaminate_train",
+    "text_quality_filter_p25",
     "w3_full_sequences",
     "a13_roc_curve_points",
     "a13_roc_auc",
@@ -83,7 +84,6 @@ _PRIORITY = [
     "f11_label_encode",
     # --- block 3: green anchors ---
     "w1_chrono_split_counts",
-    "w5_train_only_standardize",
     "j1_broadcast_lookup_join",
     "dedup_minhash_lsh_pairs",
 ]

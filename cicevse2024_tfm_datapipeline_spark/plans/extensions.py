@@ -864,3 +864,55 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("__bad", F.lit(0))).cast("long").alias("n_contaminated"),
         F.sum((F.col("__bad").isNull()).cast("int")).cast("long").alias("n_clean"),
     )
+
+
+# --- corpus-percentile quality filtering ---------------------------------
+
+_QUALITY_SQL = """
+               0.4 * least(1.0, len(toks) / 100.0)
+             + 0.3 * (1.0 - CASE WHEN n_chars > 0
+                   THEN length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / n_chars
+                   ELSE 0.0 END)
+             + 0.3 * CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) * 1.0 / len(toks)
+                   ELSE 0.0 END
+"""
+
+
+@register(
+    "text_quality_filter_p25",
+    oracle=f"""
+    WITH toksd AS (
+        SELECT source, text, length(text) AS n_chars, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (SELECT source, round({_QUALITY_SQL}, 6) AS q FROM toksd),
+    thr AS (SELECT round(quantile_cont(q, 0.25), 6) AS t FROM scored)
+    SELECT source,
+           CAST(sum(CASE WHEN q >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN q < t THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round(avg(CASE WHEN q >= t THEN q END), 6) AS avg_kept_quality
+    FROM scored, thr
+    GROUP BY source
+    """,
+    doc="Corpus-percentile quality filtering: drop the bottom quartile of "
+    "the quality distribution. The p25 threshold is a 1-row aggregate "
+    "broadcast back as a cross-join — filter-by-global-statistic with no "
+    "driver round-trip (at 100 TB swap percentile → approx_percentile at "
+    "the same call site). Scores and threshold are canonicalized to 6 dp "
+    "so the boundary is engine-stable.",
+    tags=("text", "quality", "filter"),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    scored = docs.select(
+        "source", pround(quality_score_expr(F.col("text"), toks), 6).alias("q")
+    )
+    thr = scored.agg(pround(F.percentile("q", 0.25), 6).alias("t"))
+    tagged = scored.crossJoin(F.broadcast(thr))
+    keep = F.col("q") >= F.col("t")
+    return tagged.groupBy("source").agg(
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.sum((~keep).cast("int")).cast("long").alias("n_dropped"),
+        pround(F.avg(F.when(keep, F.col("q"))), 6).alias("avg_kept_quality"),
+    )
