@@ -68,18 +68,6 @@ def offsets_from_totals(totals: DataFrame, tot_cols: Sequence[str], prefix: str 
     )
 
 
-def prefix_offsets(bucketed: DataFrame, sum_cols: Sequence[str]) -> DataFrame:
-    """One row per partition id with ``__off_<c>`` = sum of ``c`` over all
-    strictly earlier partitions (groupBy + :func:`offsets_from_totals`)."""
-    totals = bucketed.groupBy(PID).agg(
-        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
-    )
-    offs = offsets_from_totals(totals, [f"__tot_{c}" for c in sum_cols], prefix="__o_")
-    return offs.select(
-        PID, *[F.col(f"__o___tot_{c}").alias(f"__off_{c}") for c in sum_cols]
-    )
-
-
 def global_cumsum(
     df: DataFrame,
     order_cols: Sequence[str],

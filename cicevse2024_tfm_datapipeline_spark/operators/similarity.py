@@ -160,7 +160,10 @@ def ivf_topk(
     )
     # fit on the scan's natural partitioning (iterative ML jobs pay per-task
     # scheduling every iteration — fanning out a tiny input hurts); only the
-    # single assignment+scoring pass benefits from the parallelism floor
+    # single assignment+scoring pass benefits from the parallelism floor.
+    # At corpus scale, fit the quantizer on a deterministic sample (id-hash
+    # filter) — not done here because the synthetic corpora are small
+    # enough that sampling visibly costs recall.
     fit_vec = raw.withColumn("__features", array_to_vector("cv"))
     # random init + bounded iterations: a coarse quantizer needs balanced
     # cells, not converged centroids — k-means|| init alone costs more
