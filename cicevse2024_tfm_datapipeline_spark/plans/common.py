@@ -112,6 +112,9 @@ POWER_BASE_SQL = """
 
 #: shared split CTE chain (W1 arithmetic) parameterized by fractions.
 def split_sql(train_frac: float = 0.7, val_frac: float = 0.15) -> str:
+    # fractions MUST be double: DuckDB parses 0.7 as exact DECIMAL, and
+    # decimal 0.7·n disagrees with the reference's Python-float int(0.7·n)
+    # at sizes like n=2610 (1827 vs 1826). Spark lit() is already double.
     return f"""
     ranked AS (
         SELECT *,
@@ -120,7 +123,9 @@ def split_sql(train_frac: float = 0.7, val_frac: float = 0.15) -> str:
         FROM base
     ),
     sized AS (
-        SELECT *, floor({train_frac} * n) AS ntr0, floor({val_frac} * n) AS nva0 FROM ranked
+        SELECT *, floor(CAST({train_frac} AS DOUBLE) * n) AS ntr0,
+                  floor(CAST({val_frac} AS DOUBLE) * n) AS nva0
+        FROM ranked
     ),
     guarded AS (
         SELECT *,
