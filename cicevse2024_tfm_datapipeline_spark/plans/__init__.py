@@ -71,6 +71,7 @@ _PRIORITY = [
     "pack_concat_chunks",
     "dedup_decontaminate_train",
     "text_quality_filter_p25",
+    "w_rolling_zscore_anomalies",
     "w3_full_sequences",
     "a13_roc_curve_points",
     "a13_roc_auc",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "f11_label_encode",
     # --- block 3: green anchors ---
     "w1_chrono_split_counts",
-    "j1_broadcast_lookup_join",
     "dedup_minhash_lsh_pairs",
 ]
 

@@ -483,3 +483,71 @@ def f12_row_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
     win = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return ev.select("event_id", (F.row_number().over(win) - 1).alias("t_idx"))
+
+
+_ZW = "PARTITION BY attack, state ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+
+
+@register(
+    "w_rolling_zscore_anomalies",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    stats AS (
+        SELECT attack, state, value, label,
+               row_number() OVER (PARTITION BY attack, state ORDER BY ts, event_id) AS rn,
+               round(sum(value) OVER ({_ZW}), 2) / count(*) OVER ({_ZW}) AS mu,
+               round(stddev_pop(value) OVER ({_ZW}), 6) AS sigma
+        FROM base
+    ),
+    flagged AS (
+        SELECT attack, state, label,
+               CASE WHEN rn > 20 AND sigma > 0
+                         AND abs(value - mu) / sigma > 3.0
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM stats
+    )
+    SELECT attack, state,
+           CAST(sum(is_anomaly) AS BIGINT) AS n_anomalies,
+           CAST(sum(CASE WHEN is_anomaly = 1 AND label = 'attack'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies_in_attack,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM flagged GROUP BY attack, state
+    """,
+    doc="Rolling z-score anomaly detection per (attack, state) series: "
+    "each point scored against the TRAILING 20-row window (1 PRECEDING "
+    "excludes the point itself — no self-contamination), flagged at "
+    "|z| > 3 once the window is full. The classic online-detection "
+    "baseline next to the reference's ML detectors, on the same window "
+    "machinery as W3 (one shuffle by the series key, frame aggregates, "
+    "never materializes window arrays).",
+    tags=("W3", "A6", "anomaly"),
+)
+def w_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = power_view(spark, sf_dir)
+    order_win = W.partitionBy("attack", "state").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    frame = order_win.rowsBetween(-20, -1)
+    stats = pv.select(
+        "attack",
+        "state",
+        "value",
+        "label",
+        F.row_number().over(order_win).alias("rn"),
+        (pround(F.sum("value").over(frame), 2) / F.count(F.lit(1)).over(frame)).alias("mu"),
+        # 6-dp canonical sigma: stddev_pop leaves engine-specific float
+        # dust on near-constant windows, which flips both the sigma>0
+        # guard and knife-edge |z|>3 comparisons
+        pround(F.stddev_pop("value").over(frame), 6).alias("sigma"),
+    )
+    is_anom = (
+        (F.col("rn") > 20)
+        & (F.col("sigma") > 0)
+        & (F.abs(F.col("value") - F.col("mu")) / F.col("sigma") > 3.0)
+    ).cast("int")
+    flagged = stats.select("attack", "state", "label", is_anom.alias("is_anomaly"))
+    return flagged.groupBy("attack", "state").agg(
+        F.sum("is_anomaly").cast("long").alias("n_anomalies"),
+        F.sum(
+            ((F.col("is_anomaly") == 1) & (F.col("label") == "attack")).cast("int")
+        ).cast("long").alias("n_anomalies_in_attack"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
