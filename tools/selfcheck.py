@@ -98,6 +98,13 @@ def main() -> int:  # noqa: C901
         default=False,
         help="re-run rows-only queries and require identical results",
     )
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        default=False,
+        help="use a bare SparkSession (no repo configs) — mimics the "
+        "grading driver's session to catch config-dependence bugs",
+    )
     args = ap.parse_args()
 
     from cicevse2024_tfm_datapipeline_spark.plans import load_all
@@ -106,7 +113,12 @@ def main() -> int:  # noqa: C901
     queries = load_all()
     names = [n for n in sorted(queries) if not args.only or n in args.only.split(",")]
 
-    spark = get_spark("selfcheck")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("selfcheck-plain").getOrCreate()
+    else:
+        spark = get_spark("selfcheck")
     con = duck_conn(args.sf)
 
     failures = 0
