@@ -59,6 +59,7 @@ _PRIORITY = [
     "stream_tumbling_avg",
     "stream_session_window",
     "stream_sliding_window",
+    "stream_stateful_episodes",
     "ml_surrogate_tree",
     "j_asof_backward",
     "j_range_join_bucketized",
@@ -85,7 +86,6 @@ _PRIORITY = [
     "f11_label_encode",
     # --- block 3: green anchors ---
     "w1_chrono_split_counts",
-    "dedup_minhash_lsh_pairs",
 ]
 
 

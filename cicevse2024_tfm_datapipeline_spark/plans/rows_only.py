@@ -393,6 +393,72 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_episodes",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS y,
+               CASE WHEN value > 150.0 THEN 1 ELSE 0 END AS p
+        FROM events
+    ),
+    b AS (
+        SELECT *, CASE WHEN y = 1 AND coalesce(lag(y) OVER w, 0) <> 1
+                       THEN 1 ELSE 0 END AS s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    i AS (
+        SELECT *, sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+        FROM b
+    ),
+    eps AS (
+        SELECT user_id, ep, max(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS det
+        FROM i WHERE y = 1 GROUP BY user_id, ep
+    ),
+    summary AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS episodes_total,
+               CAST(sum(det) AS BIGINT) AS episodes_detected
+        FROM eps GROUP BY user_id
+    )
+    SELECT u.user_id,
+           coalesce(s.episodes_total, 0) AS episodes_total,
+           coalesce(s.episodes_detected, 0) AS episodes_detected
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN summary s USING (user_id)
+    """,
+    doc="CUSTOM STATEFUL streaming operator, ORACLE-CHECKED: per-user "
+    "episode counting (contiguous charging runs, detected = any "
+    "high-power event inside the run) via applyInPandasWithState with "
+    "vectorized per-batch folds and carried state — semantics "
+    "session_window cannot express. The last update-mode emission per "
+    "user must equal the batch gaps-and-islands SQL (SURVEY §2.9).",
+    tags=("streaming", "W6", "stateful"),
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+        stateful_episode_counts,
+    )
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") >= 100.0).cast("int").alias("y"),
+        (F.col("value") > 150.0).cast("int").alias("p"),
+    )
+    counts = stateful_episode_counts(stream, "user_id", "ts", "event_id", "y", "p")
+    out = run_to_completion(counts, "stream_stateful_out", output_mode="update")
+    # update mode re-emits per batch; the LAST emission per user is final.
+    # The single-file source yields one batch, but guard with a max-agg so
+    # multi-batch replays stay correct (totals are monotone).
+    return out.groupBy("user_id").agg(
+        F.max("episodes_total").alias("episodes_total"),
+        F.max("episodes_detected").alias("episodes_detected"),
+    )
+
+
+@register(
     "mm_fake_decode_features",
     oracle=None,
     doc="Multimodal decode → feature-extract over Arrow batches "

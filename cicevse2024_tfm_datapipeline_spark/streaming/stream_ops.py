@@ -10,7 +10,8 @@ All with watermarks for late data; append-mode compatible.
 
 These operate on event-time (the reference's row-index time becomes real
 timestamps upstream). For custom stateful logic beyond these,
-``applyInPandasWithState`` is the escape hatch — see ``stateful_ttd``.
+``applyInPandasWithState`` is the escape hatch — see
+``stateful_episode_counts``.
 """
 
 from __future__ import annotations
@@ -146,3 +147,81 @@ def run_to_completion(
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stateful_episode_counts(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    y_true_col: str,
+    y_pred_col: str,
+):
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState): the
+    W6 episode scan as arbitrary per-group state — the escape hatch for
+    semantics session_window can't express (episode = contiguous y=1 run;
+    detected = any y_pred=1 inside the run).
+
+    Per group the state carries (prev_y, episodes_total, episodes_
+    detected, current-episode-detected); each micro-batch is sorted by
+    event time and folded in VECTORIZED NumPy (no per-row Python), then
+    the running totals are emitted (update mode — last emission per group
+    is the final answer). Counting an episode at its START makes a drained
+    single-source run equal the batch gaps-and-islands computation,
+    including a trailing open episode.
+
+    Ordering contract: rows must arrive in event-time order ACROSS
+    batches (within a batch they are sorted here); production sources
+    need watermark-ordered replay or a session-gap timeout design.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{group_col} long, episodes_total long, episodes_detected long"
+    state_schema = "prev_y integer, total long, detected long, cur_det integer"
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            prev_y, total, detected, cur_det = state.get
+        else:
+            prev_y, total, detected, cur_det = 0, 0, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+            y = pdf[y_true_col].to_numpy(dtype=np.int64)
+            p = pdf[y_pred_col].to_numpy(dtype=np.int64)
+            if len(y) == 0:
+                continue
+            prev = np.concatenate(([prev_y], y[:-1]))
+            starts = (y == 1) & (prev != 1)
+            ep = np.cumsum(starts)  # 0 = episode carried from prior batch
+            total += int(starts.sum())
+            hit = (y == 1) & (p == 1)
+            # carried episode: detect once if not already detected
+            if cur_det == 0 and bool(hit[ep == 0].any()):
+                detected += 1
+                cur_det = 1
+            n_local = int(ep[-1])
+            det_local = np.zeros(n_local + 1, dtype=bool)
+            if n_local:
+                np.logical_or.at(det_local, ep[hit & (ep > 0)], True)
+                detected += int(det_local[1:].sum())
+            # roll state to the batch tail
+            prev_y = int(y[-1])
+            if prev_y == 1:
+                tail_ep = int(ep[-1])
+                cur_det = int(det_local[tail_ep]) if tail_ep > 0 else cur_det
+            else:
+                cur_det = 0
+        state.update((prev_y, total, detected, cur_det))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "episodes_total": [total],
+                "episodes_detected": [detected],
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

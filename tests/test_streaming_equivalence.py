@@ -92,3 +92,77 @@ def test_stream_sessions_rows_match_batch(spark):
         assert key in want, key
         assert r["n_events"] == want[key][0], key
         assert abs(r["sum_value"] - want[key][1]) < 1e-9, key
+
+
+def test_stateful_episode_counts_multi_batch(spark, tmp_path):
+    """applyInPandasWithState must carry episode state ACROSS micro-batches:
+    split a small ordered dataset into 3 files (maxFilesPerTrigger=1 → 3
+    batches) with episodes spanning the file boundaries, and require the
+    final per-group totals to equal a sequential scan."""
+    import pyspark.sql.types as T
+
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+        stateful_episode_counts,
+    )
+
+    # g=1: one episode spanning files 1-2 (detected in file 2); a second
+    # episode in file 3 (undetected). g=2: episode starts at file-1 end,
+    # continues through file 2 (detected at its first row), benign tail.
+    rows = [
+        # (g, ts, id, y, p)
+        (1, 1, 1, 1, 0), (1, 2, 2, 1, 0), (2, 1, 3, 0, 0), (2, 2, 4, 1, 0),
+        (1, 3, 5, 1, 1), (1, 4, 6, 0, 0), (2, 3, 7, 1, 1), (2, 4, 8, 1, 0),
+        (1, 5, 9, 1, 0), (1, 6, 10, 0, 0), (2, 5, 11, 0, 0), (2, 6, 12, 0, 1),
+    ]
+    chunks = [rows[0:4], rows[4:8], rows[8:12]]
+    schema = "g long, ts long, event_id long, y int, p int"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+    stream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("g", T.LongType()),
+                    T.StructField("ts", T.LongType()),
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("y", T.IntegerType()),
+                    T.StructField("p", T.IntegerType()),
+                ]
+            )
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    counts = stateful_episode_counts(stream, "g", "ts", "event_id", "y", "p")
+    out = run_to_completion(counts, "t_stateful_multi", output_mode="update")
+    final = {
+        r["g"]: (r["episodes_total"], r["episodes_detected"])
+        for r in out.groupBy("g")
+        .agg(
+            F.max("episodes_total").alias("episodes_total"),
+            F.max("episodes_detected").alias("episodes_detected"),
+        )
+        .collect()
+    }
+    # sequential reference per group
+    want = {}
+    for g in (1, 2):
+        seq = sorted((r for r in rows if r[0] == g), key=lambda r: (r[1], r[2]))
+        total = detected = 0
+        prev_y, cur_det = 0, 0
+        for _, _, _, y, p in seq:
+            if y == 1 and prev_y != 1:
+                total += 1
+                cur_det = 0
+            if y == 1 and p == 1 and cur_det == 0:
+                detected += 1
+                cur_det = 1
+            prev_y = y
+        want[g] = (total, detected)
+    assert final == want, (final, want)
