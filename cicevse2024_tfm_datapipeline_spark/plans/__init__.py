@@ -80,7 +80,7 @@ _PRIORITY = [
     "a13_threshold_at_fpr",
     "w6_sessionize_ttd",
     "a14_normal_approx_ci",
-    "a14_clopper_pearson_ci",
+    "a_salted_skew_agg",
     "w7_acf_fixed_lags",
     "f10_category_codes",
     "f11_label_encode",

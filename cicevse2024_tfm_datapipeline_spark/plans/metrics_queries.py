@@ -594,3 +594,33 @@ def a14_clopper_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(row["fp"]), int(row["n_neg"]), float(lo), float(hi))],
         "fp long, n_neg long, fpr_ci_low_cp double, fpr_ci_high_cp double",
     )
+
+
+@register(
+    "a_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS qty_sum,
+           count(*) AS n_rows,
+           round(round(sum(l_quantity), 2) / count(*), 6) AS qty_avg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Skew-proof aggregation (operators.skew.salted_sum_count): the "
+    "3-key l_returnflag domain is the pathological hot-key case — the "
+    "salt spreads each key over 16 partial groups (phase 1) before the "
+    "tiny combine (phase 2). The salt is random and the result is "
+    "salt-invariant, which is exactly what the oracle verifies: algebraic "
+    "aggregates compose across phases to the plain groupBy answer.",
+    tags=("A1", "skew"),
+)
+def a_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.skew import salted_sum_count
+
+    li = t(spark, sf_dir, "lineitem")
+    agg = salted_sum_count(li, ["l_returnflag"], "l_quantity", n_salts=16)
+    return agg.select(
+        "l_returnflag",
+        pround(F.col("l_quantity_sum"), 2).alias("qty_sum"),
+        "n_rows",
+        pround(pround(F.col("l_quantity_sum"), 2) / F.col("n_rows"), 6).alias("qty_avg"),
+    )
