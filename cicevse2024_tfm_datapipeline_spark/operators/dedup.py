@@ -189,6 +189,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair edge set by
+    Pregel-style min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbors; fixpoint = component
+    labels (label = smallest vertex id in the component).
+
+    This is the missing last step of fuzzy dedup at corpus scale: LSH
+    emits candidate PAIRS, but survivor selection needs PER-CLUSTER
+    groups — duplicates form chains (A~B, B~C with A!~C), so the
+    transitive closure is required, not the pair list.
+    [ref: the reference dedups eagerly in pandas `drop_duplicates`
+    (Clean_Data.py); chained near-dup grouping has no reference twin —
+    scale extension.]
+
+    Scale shape: each round is ONE shuffle join of the edge frame with
+    the |V|-sized label frame on vertex id (uniform keys) plus a
+    min-groupBy — no driver-side graph, no n² anything. Rounds needed =
+    graph diameter; near-dup graphs are bundles of tight quasi-cliques
+    (diameter 2-4 in practice). ``localCheckpoint`` truncates the
+    per-round lineage so plan depth stays O(1) instead of O(rounds);
+    the fixpoint test is a LIMIT-1 count on the changed-label frame,
+    not a full materialization.
+
+    Vertices with no edge are their own singleton component and are NOT
+    emitted (callers union them back if needed) — keeps the frame
+    edge-bounded, which at 100 TB is millions of rows, not billions.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    sym = sym.localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
+def fuzzy_dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """End-to-end fuzzy dedup: LSH candidate pairs → connected
+    components → keep one survivor per cluster (the min-id member, i.e.
+    the row whose component label equals its own id) plus every
+    untouched singleton.
+
+    The removed set is ``components where node != label`` — bounded by
+    the number of duplicate members (millions at 100 TB, not billions),
+    so the final step is an anti-join of the corpus against a small
+    frame; AQE turns it into a broadcast anti-join when it fits.
+    [ref: Clean_Data.py dedups eagerly with pandas drop_duplicates;
+    transitive near-dup survivor selection has no reference twin —
+    scale extension.]
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    removed = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(removed, id_col, "left_anti")
+
+
 def contaminated_ids(
     train: DataFrame,
     eval_df: DataFrame,

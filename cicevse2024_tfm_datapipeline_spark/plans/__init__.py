@@ -82,8 +82,8 @@ _PRIORITY = [
     "a14_normal_approx_ci",
     "a_salted_skew_agg",
     "w7_acf_fixed_lags",
-    "f10_category_codes",
-    "f11_label_encode",
+    "dedup_lsh_components",
+    "text_repetition_signals",
     # --- block 3: green anchors ---
     "w1_chrono_split_counts",
 ]

@@ -170,6 +170,219 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
 
 
+@register(
+    "dedup_lsh_components",
+    oracle=f"""
+    WITH RECURSIVE {_sig_sql()},
+    bands AS ({_band_sql()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+    doc="Fuzzy-dedup CLUSTERS: transitive closure of the LSH candidate "
+    "pairs via Pregel-style min-label propagation (component label = "
+    "smallest member id). The last mile of near-dup dedup — duplicates "
+    "chain (A~B~C without A~C), so survivor selection needs components, "
+    "not pairs. Each round = one edge⋈label shuffle join + min-groupBy; "
+    "rounds = graph diameter (2-4 for near-dup quasi-cliques). Oracle = "
+    "DuckDB recursive CTE over the same band-key pair SQL.",
+    tags=("dedup", "lsh", "graph"),
+)
+def dedup_lsh_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
+    return connected_components(pairs, "doc_a", "doc_b")
+
+
+@register(
+    "dedup_fuzzy_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_sig_sql()},
+    bands AS ({_band_sql()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    removed AS (SELECT node FROM comp WHERE node != component)
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(d.doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM removed)
+    GROUP BY d.source
+    """,
+    doc="END-TO-END fuzzy dedup: LSH candidate pairs → connected "
+    "components → one survivor per cluster (min-id member) + all "
+    "singletons, as a corpus anti-join against the edge-bounded removed "
+    "set (duplicate members only — AQE broadcasts it when small). The "
+    "full corpus-dedup pipeline a training run actually executes; "
+    "per-source survivor aggregates prove the composition end to end.",
+    tags=("dedup", "lsh", "graph", "anti-join"),
+)
+def dedup_fuzzy_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import (
+        fuzzy_dedup_survivors,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
+    kept = fuzzy_dedup_survivors(docs, pairs, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "sample_weighted_by_length",
+    oracle="""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln((('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   + 0.5) / 4294967296.0) / n_chars AS k
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rn
+        FROM keyed
+    )
+    SELECT source, count(*) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rn <= 120
+    GROUP BY source
+    """,
+    doc="Weighted sampling without replacement (Efraimidis–Spirakis "
+    "A-Res): key = ln(u)/weight with md5-derived deterministic uniforms, "
+    "top-n keys kept — inclusion probability ∝ document length, i.e. "
+    "uniform over TOKENS (the token-budget corpus subsample). Selection "
+    "is TakeOrderedAndProject (per-partition heaps, no global sort, no "
+    "unpartitioned window); the draw is a pure function of (seed, id), "
+    "partitioning-independent and fully SQL-reproducible.",
+    tags=("sampling", "weighted"),
+)
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.sampling import (
+        weighted_sample_n,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    kept = weighted_sample_n(docs, "n_chars", "doc_id", 120, seed=11)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toksd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN
+                 list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS bigrams
+        FROM toksd
+    ),
+    word_counts AS (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM grams) GROUP BY doc_id, tok
+    ),
+    bigram_counts AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS bg FROM grams) GROUP BY doc_id, bg
+    ),
+    word_stats AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types, max(c) AS top_word
+        FROM word_counts GROUP BY doc_id
+    ),
+    bigram_stats AS (
+        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+        FROM bigram_counts GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(w.n_tokens AS BIGINT) AS n_tokens,
+           round(w.n_types * 1.0 / w.n_tokens, 6) AS type_token_ratio,
+           round(w.top_word * 1.0 / w.n_tokens, 6) AS top_word_frac,
+           round(coalesce(b.top_bigram * 1.0 / b.n_bigrams, 0.0), 6) AS top_bigram_frac
+    FROM word_stats w LEFT JOIN bigram_stats b ON w.doc_id = b.doc_id
+    """,
+    doc="Gopher-style repetition/quality signals per document: type-token "
+    "ratio, most-frequent-word fraction, most-frequent-bigram fraction — "
+    "the repetition rules LLM corpus cleaning applies before training. "
+    "One explode + two-level groupBy per signal family; all counting is "
+    "map-side combinable, keys are (doc_id, gram) — uniform, no skew.",
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), tokens_expr("text").alias("toks"))
+    from cicevse2024_tfm_datapipeline_spark.operators.text import word_shingles_expr
+
+    grams = toks.select(
+        "doc_id", "toks", word_shingles_expr(F.col("toks"), 2).alias("bigrams")
+    )
+    word_counts = (
+        grams.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigram_counts = (
+        grams.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    word_stats = word_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.max("c").alias("top_word"),
+    )
+    bigram_stats = bigram_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    joined = word_stats.join(bigram_stats, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        pround(F.col("n_types") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+        pround(F.col("top_word") / F.col("n_tokens"), 6).alias("top_word_frac"),
+        pround(
+            F.coalesce(F.col("top_bigram") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
 def _simhash_sql(limit_id: int) -> str:
     n_nibbles = 8
     nib_cols = ", ".join(
