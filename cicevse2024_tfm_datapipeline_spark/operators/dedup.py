@@ -204,9 +204,7 @@ def connected_components(
     emits candidate PAIRS, but survivor selection needs PER-CLUSTER
     groups — duplicates form chains (A~B, B~C with A!~C), so the
     transitive closure is required, not the pair list.
-    [ref: the reference dedups eagerly in pandas `drop_duplicates`
-    (Clean_Data.py); chained near-dup grouping has no reference twin —
-    scale extension.]
+    Chained near-dup grouping has no reference twin — scale extension.
 
     Scale shape: each round is ONE shuffle join of the edge frame with
     the |V|-sized label frame on vertex id (uniform keys) plus a
@@ -267,9 +265,8 @@ def fuzzy_dedup_survivors(
     the number of duplicate members (millions at 100 TB, not billions),
     so the final step is an anti-join of the corpus against a small
     frame; AQE turns it into a broadcast anti-join when it fits.
-    [ref: Clean_Data.py dedups eagerly with pandas drop_duplicates;
-    transitive near-dup survivor selection has no reference twin —
-    scale extension.]
+    Transitive near-dup survivor selection has no reference twin —
+    scale extension.
     """
     comp = connected_components(pairs, a_col, b_col)
     removed = comp.filter(F.col("node") != F.col("component")).select(

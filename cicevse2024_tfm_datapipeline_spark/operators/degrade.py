@@ -166,26 +166,65 @@ def degrade_windows_hash(
     cost (stays in whole-stage codegen). The numpy-Generator variant
     remains for bit-parity with the reference's streams; this is the
     100 TB-native form.
+
+    All four R1-R4 kinds are covered:
+      packet_loss        — Bernoulli(severity) mask over timesteps
+      missing_variables  — Bernoulli(severity) mask over features
+      clock_offset       — circular roll by floor(u·(2·ms+1)) − ms steps,
+                           ms = int(severity·T)  (uniform on [−ms, ms])
+      drift              — per-feature ramp t/(T−1)·coef, coef =
+                           Box–Muller normal(0, severity) from two
+                           md5 uniforms (u + ½)/2³² (never 0 → ln safe)
     """
-    if kind not in ("packet_loss", "missing_variables"):
-        raise ValueError("hash twin covers the Bernoulli-mask kinds only")
-    axis = "t" if kind == "packet_loss" else "fi"
+    if kind not in KINDS:
+        raise ValueError(f"kind must be one of {KINDS}")
     # SQL lambdas with explicit distinct variable names (nested Python
     # Column-lambdas risk NamedLambdaVariable capture collisions)
     u = (
         f"cast(conv(substr(md5(concat('{int(seed)}|', cast({window_id_col} as string), "
-        f"'|{axis}|', cast({{i}} as string))), 1, 8), 16, 10) as bigint) / 4294967296.0"
+        f"'|{{axis}}|', cast({{i}} as string))), 1, 8), 16, 10) as bigint) / 4294967296.0"
     )
+    u_half = (
+        f"(cast(conv(substr(md5(concat('{int(seed)}|', cast({window_id_col} as string), "
+        f"'|{{axis}}|', cast({{i}} as string))), 1, 8), 16, 10) as bigint) + 0.5d) "
+        f"/ 4294967296.0"
+    )
+    sev = f"{float(severity)}d"
+    m = matrix_col
     if kind == "packet_loss":
         expr = (
-            f"transform({matrix_col}, (row, t) -> "
-            f"case when {u.format(i='t')} < {float(severity)}d "
+            f"transform({m}, (row, t) -> "
+            f"case when {u.format(axis='t', i='t')} < {sev} "
             f"then transform(row, v -> 0.0d) else row end)"
         )
-    else:
+    elif kind == "missing_variables":
         expr = (
-            f"transform({matrix_col}, row -> "
+            f"transform({m}, row -> "
             f"transform(row, (v, fi) -> "
-            f"case when {u.format(i='fi')} < {float(severity)}d then 0.0d else v end))"
+            f"case when {u.format(axis='fi', i='fi')} < {sev} then 0.0d else v end))"
+        )
+    elif kind == "clock_offset":
+        # ms and the drawn shift are integer arithmetic — exact in any
+        # engine; floor (not cast) so the SQL twin can't diverge (DuckDB
+        # CAST(double AS INT) rounds, Spark truncates)
+        ms = f"cast(floor({sev} * size({m})) as int)"
+        shift = (
+            f"(cast(floor({u.format(axis='s', i='0')} * (2 * {ms} + 1)) as int) - {ms})"
+        )
+        expr = (
+            f"case when {ms} > 0 then "
+            f"transform(sequence(0, size({m}) - 1), t -> "
+            f"{m}[pmod(t - {shift}, size({m}))]) "
+            f"else {m} end"
+        )
+    else:  # drift
+        z = (
+            f"(sqrt(-2.0d * ln({u_half.format(axis='d1', i='fi')})) "
+            f"* cos(2.0d * pi() * {u_half.format(axis='d2', i='fi')}))"
+        )
+        ramp = f"(case when size({m}) > 1 then cast(t as double) / (size({m}) - 1) else 0.0d end)"
+        expr = (
+            f"transform({m}, (row, t) -> "
+            f"transform(row, (v, fi) -> v + {ramp} * {z} * {sev}))"
         )
     return df.withColumn(matrix_col, F.expr(expr))

@@ -245,6 +245,86 @@ def roc_auc_trapezoid(df: DataFrame, y_true: str, score: str) -> DataFrame:
     return cum.agg(area.alias("roc_auc"))
 
 
+def _grouped_threshold_cum_counts(
+    df: DataFrame, class_col: str, y_true: str, score: str
+) -> DataFrame:
+    """Per-class A13 core: one row per (class, distinct score) with
+    per-threshold counts, running totals within the class (descending-
+    threshold order) and per-class grand totals.
+
+    Scale shape: operators.scan.grouped_cumsum range-partitions on
+    (class, threshold), so even ONE class's full curve spreads across
+    partitions — per-class OVR curves are embarrassingly parallel and no
+    class is ever a single task (reference computes these with sklearn on
+    a driver-sized array, func_aux/func_test.py:61-171)."""
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import grouped_cumsum
+
+    per_score = df.groupBy(F.col(class_col), F.col(score).alias("threshold")).agg(
+        F.sum((F.col(y_true) == 1).cast("long")).alias("pos"),
+        F.sum((F.col(y_true) == 0).cast("long")).alias("neg"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return grouped_cumsum(
+        per_score,
+        [class_col],
+        ["threshold"],
+        ["pos", "neg", "cnt"],
+        descending=True,
+        with_totals=True,
+    )
+
+
+def ovr_auc_per_class(df: DataFrame, class_col: str, y_true: str, score: str) -> DataFrame:
+    """A11 one-vs-rest probability AUCs: per-class ROC-AUC (trapezoid)
+    and average precision over a LONG frame of (class, indicator, score)
+    rows — the distributed twin of the reference's per-class
+    ``roc_auc_score`` / ``average_precision_score`` loop
+    (func_aux/func_test.py:61-171, AUC block ~:120-171).
+
+    Same lag-free trapezoid/AP arithmetic as the binary operators, summed
+    per class — one grouped scan, one groupBy; classes evaluate in
+    parallel."""
+    cum = _grouped_threshold_cum_counts(df, class_col, y_true, score)
+    ok = (F.col("tot_neg") > 0) & (F.col("tot_pos") > 0)
+    fpr = F.col("cum_neg") / F.col("tot_neg")
+    pfpr = (F.col("cum_neg") - F.col("neg")) / F.col("tot_neg")
+    tpr = F.col("cum_pos") / F.col("tot_pos")
+    ptpr = (F.col("cum_pos") - F.col("pos")) / F.col("tot_pos")
+    d_recall = F.when(F.col("tot_pos") > 0, F.col("pos") / F.col("tot_pos"))
+    precision = F.col("cum_pos") / F.col("cum_cnt")
+    return df.select(class_col).distinct().join(
+        # zero-pos/neg classes → null AUC/AP (sklearn NaN + warning)
+        cum.groupBy(class_col).agg(
+            F.sum(F.when(ok, (fpr - pfpr) * (tpr + ptpr) / F.lit(2.0))).alias("roc_auc"),
+            F.sum(d_recall * precision).alias("average_precision"),
+        ),
+        class_col,
+        "left",
+    )
+
+
+def ovr_auc_summary(df: DataFrame, class_col: str, y_true: str, score: str) -> DataFrame:
+    """A11 multiclass probability-AUC battery: macro ROC-AUC / PR-AUC
+    (mean of per-class values) and micro ROC-AUC / PR-AUC (binary metrics
+    over the flattened (class, indicator, score) frame) — the reference's
+    ``average='macro'/'micro'`` variants (func_aux/func_test.py:120-171).
+
+    One row out; the micro side reuses the binary scan operators on the
+    long frame unchanged."""
+    per_class = ovr_auc_per_class(df, class_col, y_true, score)
+    macro = per_class.agg(
+        F.avg("roc_auc").alias("roc_auc_macro"),
+        F.avg("average_precision").alias("pr_auc_macro"),
+    )
+    micro_roc = roc_auc_trapezoid(df, y_true, score).select(
+        F.col("roc_auc").alias("roc_auc_micro")
+    )
+    micro_ap = average_precision(df, y_true, score).select(
+        F.col("average_precision").alias("pr_auc_micro")
+    )
+    return macro.crossJoin(F.broadcast(micro_roc)).crossJoin(F.broadcast(micro_ap))
+
+
 def weighted_log_loss(df: DataFrame, weight: str, p_true: str) -> DataFrame:
     """A9: sum(w · −log(clip(p))) / sum(w)
     (pipelines_host/pipeline_host_importance.py:128-151; clip at 1e-7)."""

@@ -62,6 +62,44 @@ def stratified_sample_frac(
     )
 
 
+def weighted_sample_n(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each row gets key ``ln(u) / w`` with ``u`` a deterministic uniform
+    derived from md5(seed, id); the ``n`` largest keys are the sample, so
+    inclusion probability is proportional to ``weight_col`` (e.g. length
+    → uniform over tokens, the token-budget corpus subsample).
+
+    The uniform is the first 8 hex digits of the md5 mapped to (0,1) —
+    identical in any engine, partitioning-independent, SQL-reproducible.
+    Selection is ``orderBy().limit(n)`` = TakeOrderedAndProject:
+    per-partition top-n heaps then a driver merge of n·P candidates — no
+    global sort, no unpartitioned window, safe at any corpus size for
+    bounded n."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__wkey")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     source_col: str,

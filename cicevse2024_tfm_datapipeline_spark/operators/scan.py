@@ -124,6 +124,74 @@ def global_cumsum(
     return out
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    descending: bool = False,
+    with_totals: bool = False,
+) -> DataFrame:
+    """Per-group running sums over the global ``order_cols`` order WITHIN
+    each group — ``F.sum(c).over(Window.partitionBy(group).orderBy(...))``
+    semantics, but no partition is ever a single task regardless of group
+    size: rows are range-partitioned on (group, order), so one huge group
+    (e.g. one class's million-point ROC curve) spreads over many
+    contiguous partitions, and per-(partition, group) offsets are combined
+    through the tiny partition-summary frame exactly as
+    :func:`global_cumsum` does.
+
+    With ``with_totals``, per-GROUP grand totals are joined back as
+    ``tot_<c>`` (broadcast — |groups| rows).
+    """
+    gcols = list(group_cols)
+    rp = df.repartitionByRange(
+        *[F.col(c).asc() for c in gcols], *_ordering(order_cols, descending)
+    )
+    bucketed = rp.withColumn(PID, F.spark_partition_id())
+    w = (
+        W.partitionBy(PID, *gcols)
+        .orderBy(*_ordering(order_cols, descending))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = bucketed.select(
+        "*", *[F.sum(c).over(w).alias(f"__loc_{c}") for c in sum_cols]
+    )
+    totals = bucketed.groupBy(PID, *gcols).agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    b = totals.select(
+        F.col(PID).alias("__bpid"),
+        *[F.col(c).alias(f"__bg_{c}") for c in gcols],
+        *[F.col(f"__tot_{c}").alias(f"__b_{c}") for c in sum_cols],
+    )
+    same_group = [F.col(f"__bg_{c}") == F.col(c) for c in gcols]
+    offs = (
+        totals.join(b, [F.col("__bpid") < F.col(PID), *same_group], "left")
+        .groupBy(PID, *gcols)
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__b_{c}"), F.lit(0)).alias(f"__o_{c}")
+                for c in sum_cols
+            ]
+        )
+    )
+    out = local.join(F.broadcast(offs), [PID, *gcols])
+    out = out.select(
+        *df.columns,
+        *[
+            (F.col(f"__loc_{c}") + F.col(f"__o_{c}")).alias(f"cum_{c}")
+            for c in sum_cols
+        ],
+    )
+    if with_totals:
+        grand = totals.groupBy(*gcols).agg(
+            *[F.sum(f"__tot_{c}").alias(f"tot_{c}") for c in sum_cols]
+        )
+        out = out.join(F.broadcast(grand), gcols)
+    return out
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: Sequence[str],

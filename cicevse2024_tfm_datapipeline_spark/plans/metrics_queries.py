@@ -361,6 +361,153 @@ def a13_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OVR_CLS_SQL = ", ".join(f"('{e}', {i})" for i, e in enumerate(EVENT_TYPES))
+
+#: long OVR frame: one row per (sample, class) with the class indicator
+#: and a deterministic per-class "probability" — a peaked function of
+#: value whose mode moves with the class index (ties via 3-dp rounding).
+_OVR_PAIRS_SQL = f"""
+    cls AS (SELECT * FROM (VALUES {_OVR_CLS_SQL}) AS v(c, idx)),
+    pairs AS (
+        SELECT cls.c AS c,
+               CASE WHEN base.attack = cls.c THEN 1 ELSE 0 END AS y,
+               round(1.0 / (1.0 + abs(base.value / 80.0 - cls.idx)), 3) AS score
+        FROM base CROSS JOIN cls
+    )
+"""
+
+_OVR_CUM_SQL = """
+    per AS (
+        SELECT c, score AS th,
+               sum(y) AS pos, sum(1 - y) AS neg, count(*) AS cnt
+        FROM pairs GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT c, pos, neg, cnt,
+               sum(pos) OVER (PARTITION BY c ORDER BY th DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+               sum(neg) OVER (PARTITION BY c ORDER BY th DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg,
+               sum(cnt) OVER (PARTITION BY c ORDER BY th DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+               sum(pos) OVER (PARTITION BY c) AS tot_pos,
+               sum(neg) OVER (PARTITION BY c) AS tot_neg
+        FROM per
+    ),
+    per_class AS (
+        SELECT c,
+               sum((cum_neg * 1.0 / tot_neg - (cum_neg - neg) * 1.0 / tot_neg)
+                 * (cum_pos * 1.0 / tot_pos + (cum_pos - pos) * 1.0 / tot_pos) / 2.0)
+                   AS roc_auc,
+               sum((pos * 1.0 / tot_pos) * (cum_pos * 1.0 / cum_cnt))
+                   AS average_precision
+        FROM cum GROUP BY c
+    )
+"""
+
+
+def _ovr_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = power_view(spark, sf_dir)
+    cls = spark.createDataFrame(
+        [(e, i) for i, e in enumerate(EVENT_TYPES)], schema="c string, idx int"
+    )
+    score = pround(
+        F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("value") / F.lit(80.0) - F.col("idx"))), 3
+    )
+    return (
+        pv.select("attack", "value")
+        .crossJoin(F.broadcast(cls))
+        .select(
+            "c",
+            F.when(F.col("attack") == F.col("c"), 1).otherwise(0).alias("y"),
+            score.alias("score"),
+        )
+    )
+
+
+@register(
+    "a11_ovr_auc_per_class",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_OVR_PAIRS_SQL},
+    {_OVR_CUM_SQL}
+    SELECT c AS class, round(roc_auc, 6) AS roc_auc,
+           round(average_precision, 6) AS average_precision
+    FROM per_class
+    """,
+    doc="A11 OVR probability AUCs per class: one-vs-rest ROC-AUC "
+    "(trapezoid) and average precision from per-class scores — the "
+    "reference's per-class roc_auc_score / average_precision_score loop "
+    "(func_aux/func_test.py:120-171) as ONE grouped scan: "
+    "scan.grouped_cumsum range-partitions (class, threshold) so no class "
+    "is a single task; classes evaluate in parallel.",
+    tags=("A11", "A13"),
+)
+def a11_ovr_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.metrics import ovr_auc_per_class
+
+    long_df = _ovr_long(spark, sf_dir)
+    return ovr_auc_per_class(long_df, "c", "y", "score").select(
+        F.col("c").alias("class"),
+        pround("roc_auc", 6).alias("roc_auc"),
+        pround("average_precision", 6).alias("average_precision"),
+    )
+
+
+@register(
+    "a11_multiclass_auc",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_OVR_PAIRS_SQL},
+    {_OVR_CUM_SQL},
+    mper AS (
+        SELECT score AS th, sum(y) AS pos, sum(1 - y) AS neg, count(*) AS cnt
+        FROM pairs GROUP BY 1
+    ),
+    mcum AS (
+        SELECT pos, neg, cnt,
+               sum(pos) OVER (ORDER BY th DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+               sum(neg) OVER (ORDER BY th DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg,
+               sum(cnt) OVER (ORDER BY th DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+               sum(pos) OVER () AS tot_pos,
+               sum(neg) OVER () AS tot_neg
+        FROM mper
+    ),
+    micro AS (
+        SELECT sum((cum_neg * 1.0 / tot_neg - (cum_neg - neg) * 1.0 / tot_neg)
+                 * (cum_pos * 1.0 / tot_pos + (cum_pos - pos) * 1.0 / tot_pos) / 2.0)
+                   AS roc_auc_micro,
+               sum((pos * 1.0 / tot_pos) * (cum_pos * 1.0 / cum_cnt)) AS pr_auc_micro
+        FROM mcum
+    )
+    SELECT round(avg(roc_auc), 6) AS roc_auc_macro,
+           round(avg(average_precision), 6) AS pr_auc_macro,
+           round(max(micro.roc_auc_micro), 6) AS roc_auc_micro,
+           round(max(micro.pr_auc_micro), 6) AS pr_auc_micro
+    FROM per_class CROSS JOIN micro
+    """,
+    doc="A11 multiclass probability-AUC battery: macro ROC-AUC / PR-AUC "
+    "(mean of OVR per-class values) + micro ROC-AUC / PR-AUC (binary "
+    "metrics over the flattened class×sample frame) — the reference's "
+    "average='macro'/'micro' AUC block (func_aux/func_test.py:120-171). "
+    "Micro reuses the binary two-phase scan unchanged on 5× the rows.",
+    tags=("A11", "A13"),
+)
+def a11_mc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.metrics import ovr_auc_summary
+
+    long_df = _ovr_long(spark, sf_dir)
+    return ovr_auc_summary(long_df, "c", "y", "score").select(
+        pround("roc_auc_macro", 6).alias("roc_auc_macro"),
+        pround("pr_auc_macro", 6).alias("pr_auc_macro"),
+        pround("roc_auc_micro", 6).alias("roc_auc_micro"),
+        pround("pr_auc_micro", 6).alias("pr_auc_micro"),
+    )
+
+
 @register(
     "a15_fph_conversion",
     oracle=f"""

@@ -164,6 +164,164 @@ def r_degrade_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB twin of _windows_df — identical window matrices / window ids
+#: (kept in lockstep with the r_degrade_hash_packet_loss oracle).
+_WINS_SQL = """
+    framed AS (
+        SELECT attack, state,
+               row_number() OVER w AS rn,
+               list([value, CASE WHEN value >= 100.0 THEN 1.0 ELSE 0.0 END])
+                   OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+        FROM base
+        WINDOW w AS (PARTITION BY attack, state ORDER BY ts, event_id)
+    ),
+    codes AS (
+        SELECT attack, state, dense_rank() OVER (ORDER BY attack, state) AS gc
+        FROM (SELECT DISTINCT attack, state FROM base)
+    ),
+    wins AS (
+        SELECT c.gc * 100000 + f.rn AS window_id, f.m
+        FROM framed f JOIN codes c USING (attack, state)
+        WHERE f.rn >= 4
+    )
+"""
+
+#: md5-uniform building block (axis + index spliced in per use)
+def _u_sql(axis: str, idx: str, half: bool = False) -> str:
+    base = (
+        f"('0x' || substr(md5('42|' || CAST(window_id AS VARCHAR) || '|{axis}|' "
+        f"|| CAST({idx} AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    return f"(({base}) + 0.5) / 4294967296.0" if half else f"({base}) / 4294967296.0"
+
+
+@register(
+    "r_degrade_hash_missing_variables",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_WINS_SQL},
+    deg AS (
+        SELECT window_id,
+               list_transform(m, row ->
+                   list_transform(range(0, len(row)), fi ->
+                       CASE WHEN {_u_sql("fi", "fi")} < 0.3
+                            THEN 0.0 ELSE row[fi + 1] END)) AS m2
+        FROM wins
+    ),
+    cells AS (SELECT unnest(flatten(m2)) AS v FROM deg)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_windows,
+           CAST(sum(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cells,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells
+    """,
+    doc="R2 hash twin, ORACLE-CHECKED: missing-variables masking with "
+    "md5-derived per-(seed, window, feature) uniforms — pure Column "
+    "expressions (operators.degrade.degrade_windows_hash), partition-"
+    "independent, reproducible in any engine. Same mask derivation the "
+    "R1 twin proved SQL-checkable, over the feature axis.",
+    tags=("R", "missing_variables", "hash"),
+)
+def r_degrade_hash_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import degrade_windows_hash
+
+    w = _windows_df(spark, sf_dir)
+    deg = degrade_windows_hash(w, "matrix", "window_id", 0.3, "missing_variables", seed=42)
+    out = _degrade_summary(deg)
+    return out.select(
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_zero_cells").cast("long").alias("n_zero_cells"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+    )
+
+
+#: position-weighted checksum — zero-cell counts are roll-INVARIANT, so
+#: the clock-offset check must weight by (t, f) position to see the shift
+_CHK_EXPR = (
+    "aggregate(flatten(transform(matrix, (row, t) -> "
+    "transform(row, (v, fi) -> v * (t + 1) * (fi + 1)))), "
+    "cast(0.0 as double), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "r_degrade_hash_clock_offset",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_WINS_SQL},
+    sh AS (
+        SELECT window_id, m,
+               CAST(floor(0.5 * len(m)) AS INT) AS ms,
+               CAST(floor({_u_sql("s", "0")} * (2 * CAST(floor(0.5 * len(m)) AS INT) + 1))
+                    AS INT) - CAST(floor(0.5 * len(m)) AS INT) AS sft
+        FROM wins
+    ),
+    deg AS (
+        SELECT window_id,
+               CASE WHEN ms > 0 THEN
+                   list_transform(range(0, len(m)), t ->
+                       m[((t - sft) % len(m) + len(m)) % len(m) + 1])
+               ELSE m END AS m2
+        FROM sh
+    )
+    SELECT window_id,
+           round(list_sum(flatten(list_transform(range(0, len(m2)), t ->
+               list_transform(range(0, len(m2[t + 1])), fi ->
+                   m2[t + 1][fi + 1] * (t + 1) * (fi + 1))))), 4) AS chk
+    FROM deg
+    """,
+    doc="R3 hash twin, ORACLE-CHECKED per window: circular clock-offset "
+    "roll with an md5-derived uniform shift on [-ms, ms], ms = "
+    "int(severity·T) — integer-exact in any engine. The per-window "
+    "checksum weights cells by (t+1)(f+1): a roll changes it, so the "
+    "oracle verifies the SHIFT itself, not just cell multisets.",
+    tags=("R", "clock_offset", "hash"),
+)
+def r_degrade_hash_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import degrade_windows_hash
+
+    w = _windows_df(spark, sf_dir)
+    deg = degrade_windows_hash(w, "matrix", "window_id", 0.5, "clock_offset", seed=42)
+    return deg.select("window_id", pround(F.expr(_CHK_EXPR), 4).alias("chk"))
+
+
+@register(
+    "r_degrade_hash_drift",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_WINS_SQL},
+    deg AS (
+        SELECT window_id,
+               list_transform(range(0, len(m)), t ->
+                   list_transform(range(0, len(m[t + 1])), fi ->
+                       m[t + 1][fi + 1]
+                       + (CASE WHEN len(m) > 1
+                               THEN t * 1.0 / (len(m) - 1) ELSE 0.0 END)
+                       * (sqrt(-2.0 * ln({_u_sql("d1", "fi", half=True)}))
+                          * cos(2.0 * pi() * {_u_sql("d2", "fi", half=True)}))
+                       * 0.4)) AS m2
+        FROM wins
+    )
+    SELECT window_id, round(list_sum(flatten(m2)), 4) AS chk
+    FROM deg
+    """,
+    doc="R4 hash twin, ORACLE-CHECKED per window: per-feature drift ramps "
+    "t/(T−1)·coef with coef = Box–Muller normal(0, severity) from two "
+    "md5 uniforms (u+½)/2³² (never 0, ln-safe) — the whole ramp is plain "
+    "IEEE arithmetic both engines compute identically to the ulp scale "
+    "the 4-dp per-window checksum absorbs.",
+    tags=("R", "drift", "hash"),
+)
+def r_degrade_hash_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import degrade_windows_hash
+
+    w = _windows_df(spark, sf_dir)
+    deg = degrade_windows_hash(w, "matrix", "window_id", 0.4, "drift", seed=42)
+    sum_cells = F.expr(
+        "aggregate(flatten(matrix), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return deg.select("window_id", pround(sum_cells, 4).alias("chk"))
+
+
 @register(
     "r5_global_permutation",
     oracle=None,
@@ -285,17 +443,26 @@ def s7_metrics_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet. Nano-timestamp columns
-    must be DECLARED as long in the stream schema (the storage type) and
-    converted after read — a streaming source can't re-infer."""
+    """File-source stream over the events parquet. ALL timestamp columns
+    must be DECLARED as long in the stream schema (the int64 storage type)
+    and rebuilt after read — a streaming source can't re-infer, and a
+    TIMESTAMP_NTZ event-time column is rejected by ``withWatermark``
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). ``timestamp_micros`` yields
+    TIMESTAMP (LTZ); with the UTC session the wall-clock values equal the
+    stored naive micros, matching the DuckDB oracle."""
     import pyspark.sql.types as T
 
     from cicevse2024_tfm_datapipeline_spark.sources.readers import _nano_ts_columns, load_table
 
-    nano = _nano_ts_columns(os.path.join(sf_dir, "events.parquet"))
+    nano = set(_nano_ts_columns(os.path.join(sf_dir, "events.parquet")))
     schema = load_table(spark, sf_dir, "events").schema
+    micro = {
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)) and f.name not in nano
+    }
     fields = [
-        T.StructField(f.name, T.LongType() if f.name in nano else f.dataType, f.nullable)
+        T.StructField(f.name, T.LongType() if f.name in nano | micro else f.dataType, f.nullable)
         for f in schema.fields
     ]
     stream = (
@@ -305,6 +472,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for c in nano:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for c in micro:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros({c})"))
     return stream
 
 

@@ -22,17 +22,38 @@ from pyspark.sql import functions as F
 
 def read_events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
     """File-source stream over the synthetic events parquet — used by the
-    smoke tests (one-file micro-batch; production: Kafka/EventHub)."""
-    if schema is None:
-        # infer once from the batch reader (driver-side, footer only)
-        from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+    smoke tests (one-file micro-batch; production: Kafka/EventHub).
 
-        schema = load_table(spark, sf_dir, "events").schema
-    return (
-        spark.readStream.schema(schema)
+    Timestamp columns are declared as long (int64 storage) and rebuilt
+    with ``timestamp_micros`` so the event-time column is TIMESTAMP (LTZ),
+    not TIMESTAMP_NTZ — ``withWatermark`` rejects NTZ event time."""
+    import pyspark.sql.types as T
+
+    if schema is not None:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{sf_dir}")
+        )
+    # infer once from the batch reader (driver-side, footer only)
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+
+    batch = load_table(spark, sf_dir, "events").schema
+    ts_cols = [
+        f.name for f in batch.fields if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    ]
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name in ts_cols else f.dataType, f.nullable)
+        for f in batch.fields
+    ]
+    stream = (
+        spark.readStream.schema(T.StructType(fields))
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{sf_dir}")
     )
+    for c in ts_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros({c})"))
+    return stream
 
 
 def tumbling_avg_stream(events: DataFrame, window_sec: int = 86400, watermark: str = "1 day") -> DataFrame:
