@@ -131,6 +131,36 @@ def near_dup_pairs_cosine(
     )
 
 
+def fixed_centroids(spark, n_cells: int, dim: int, tag: str = "ivfc") -> DataFrame:
+    """Deterministic centroid fixture: cell c, dim d → md5-uniform mapped
+    to [−1, 1). Stands in for an offline quantizer build where one isn't
+    available — the values are a pure function of (tag, c, d) that any
+    engine computes identically, so IVF built on these is fully
+    SQL-oracle-checkable."""
+    return spark.range(n_cells).select(
+        F.col("id").cast("int").alias("cell"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> "
+            f"(cast(conv(substr(md5(concat('{tag}|', cast(id as string), '|', "
+            f"cast(d as string))), 1, 8), 16, 10) as bigint) / 4294967296.0) "
+            f"* 2.0d - 1.0d)"
+        ).alias("centroid"),
+    )
+
+
+def _cell_dist_structs(vec: str, cents: str) -> str:
+    """SQL: array of (squared-L2 distance, cell) structs, one per centroid —
+    ``array_min``/``array_sort`` then give argmin / probe order with the
+    (distance, cell) tie-break. Sequential zip-fold → the same doubles in
+    any engine."""
+    return (
+        f"transform({cents}, ct -> named_struct("
+        f"'d', aggregate(zip_with({vec}, ct.centroid, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0.0 as double), (a, z) -> a + z), "
+        f"'cell', ct.cell))"
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -140,71 +170,95 @@ def ivf_topk(
     n_clusters: int = 16,
     nprobe: int = 2,
     seed: int = 7,
+    centroids: DataFrame | None = None,
+    fit_frac: float | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    partitions the corpus into ``n_clusters`` cells; each query probes its
-    ``nprobe`` nearest centroids and scores only those cells.
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    partitions the corpus into cells; each query probes its ``nprobe``
+    nearest centroids and scores only those cells.
 
-    The 100-TB shape: one ML fit (sampled/streamed by Spark ML), one
-    assignment pass over the corpus (model.transform — no shuffle), then
-    candidate scoring is an equi-join on cell id — exactly the LSH-bucket
-    plan but with LEARNED cells, so recall tracks the data distribution
-    instead of axis signs. Centroids (n_clusters × dim floats) broadcast
-    anywhere. Deterministic given the seed and input.
+    The 100-TB shape: the quantizer build is a ONE-TIME offline step —
+    pass ``centroids`` (cell int, centroid array<double>) from a prior
+    build (or :func:`fixed_centroids`) and NO ML fit runs in the query
+    path. When ``centroids`` is None a KMeans fit runs here, on a
+    deterministic md5-id-hash sample when ``fit_frac`` is set (an
+    iterative fit over the full corpus is the scale bottleneck; a coarse
+    quantizer only needs the distribution, not every row).
+
+    Cell assignment is a per-row fold over the broadcast centroid array
+    (``array_min`` of (distance, cell) structs): no join blow-up, no
+    shuffle, engine-portable arithmetic — identical math to KMeans
+    ``transform`` (nearest centroid by L2). Candidate scoring is an
+    equi-join on cell id — the LSH-bucket plan with learned cells.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     raw = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
     )
-    # fit on the scan's natural partitioning (iterative ML jobs pay per-task
-    # scheduling every iteration — fanning out a tiny input hurts); only the
-    # single assignment+scoring pass benefits from the parallelism floor.
-    # At corpus scale, fit the quantizer on a deterministic sample (id-hash
-    # filter) — not done here because the synthetic corpora are small
-    # enough that sampling visibly costs recall.
-    fit_vec = raw.withColumn("__features", array_to_vector("cv"))
-    # random init + bounded iterations: a coarse quantizer needs balanced
-    # cells, not converged centroids — k-means|| init alone costs more
-    # passes than the whole fit this way
-    model = KMeans(
-        k=n_clusters,
-        seed=seed,
-        featuresCol="__features",
-        initMode="random",
-        maxIter=8,
-    ).fit(fit_vec)
-    cand = ensure_min_parallelism(raw).withColumn("__features", array_to_vector("cv"))
-    assigned = model.transform(cand).select(
-        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        fit_src = raw
+        if fit_frac is not None:
+            # deterministic id-hash sample: partitioning-independent,
+            # rerun-stable (same property as operators/sampling.py)
+            u = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("neighbor_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(4294967296.0)
+            )
+            fit_src = raw.filter(u < F.lit(float(fit_frac)))
+        # random init + bounded iterations: a coarse quantizer needs
+        # balanced cells, not converged centroids
+        model = KMeans(
+            k=n_clusters,
+            seed=seed,
+            featuresCol="__features",
+            initMode="random",
+            maxIter=8,
+        ).fit(fit_src.withColumn("__features", array_to_vector("cv")))
+        cent_rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        cent_df = embeddings.sparkSession.createDataFrame(
+            cent_rows, schema="cell int, centroid array<double>"
+        )
+    else:
+        cent_df = centroids.select("cell", "centroid")
+
+    # centroid table → one literal-sized array column, broadcast to every
+    # row (1-row cross join); argmin/probe-order via array expressions
+    cent_arr = cent_df.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cents")
+    )
+    assigned = (
+        ensure_min_parallelism(raw)
+        .crossJoin(F.broadcast(cent_arr))
+        .withColumn("cell", F.expr(f"array_min({_cell_dist_structs('cv', '__cents')}).cell"))
+        .select("neighbor_id", "cv", "cell")
     )
 
-    # centroids as a tiny broadcast table (cell, centroid array<double>)
-    centroids = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    cent_df = embeddings.sparkSession.createDataFrame(
-        centroids, schema="cell int, centroid array<double>"
-    )
-
-    # each query probes its nprobe nearest centroids (L2)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
-    l2 = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    probe_win = W.partitionBy("query_id").orderBy(F.asc("__l2"), F.asc("cell"))
     probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("__l2", l2)
-        .withColumn("__pr", F.row_number().over(probe_win))
-        .filter(F.col("__pr") <= nprobe)
+        q.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort({_cell_dist_structs('qv', '__cents')}), "
+                    f"1, {int(nprobe)}), s -> s.cell)"
+                )
+            ),
+        )
         .select("query_id", "qv", "cell")
     )
 

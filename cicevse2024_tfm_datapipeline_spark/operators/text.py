@@ -111,3 +111,18 @@ def token_count_bpe_ish_expr(text: Column | str) -> Column:
         F.lit(0),
         lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("int"),
     )
+
+
+def token_chunks_expr(tokens: Column, chunk_len: int = 8) -> Column:
+    """Consecutive fixed-length token chunks (tail partial chunk dropped),
+    each rendered back to a string — the unit for CCNet-style cross-
+    document boilerplate/line dedup when the corpus has no natural line
+    structure. Pure array expressions; chunking happens in the scan
+    stage, so the only shuffle in a boilerplate pass is the chunk-hash
+    aggregation itself."""
+    n = F.floor(F.size(tokens) / F.lit(chunk_len)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i * chunk_len + 1, chunk_len)),
+    )
+    return F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))

@@ -23,69 +23,81 @@ _MODULES = [
     "advanced",
 ]
 
-# Verification-priority prefix for round 2. Order of blocks:
-#   1. the 29 queries registered past the round-1 driver cutoff (never had
-#      an official correctness row),
-#   2. queries whose implementation changed this round (w3_full_sequences
-#      stringified; the ROC family and W6 re-planned; new A14 twin),
-#   3. high-value green anchors (keystone chain, dedup family) so the
-#      official artifact keeps fresh rows for the flagship operators.
+# Verification-priority prefix for round 3. Order of blocks:
+#   1. the 2 queries that sat past the driver cutoff in BOTH prior rounds
+#      (oracles existed, never officially driven),
+#   2. the 3 streaming window queries RED in r02 (TIMESTAMP_NTZ watermark
+#      bug, fixed this round) + the stateful twin,
+#   3. queries NEW this round: OVR multiclass AUCs, the R2-R4 hash-oracle
+#      degradation twins, the CSV source-layer roundtrip, and sim_ivf_topk
+#      re-planned onto precomputed centroids WITH a full oracle,
+#   4. high-value green anchors (keystone chain, dedup/similarity/text
+#      families) so the official artifact keeps fresh rows for the
+#      flagship operators.
 # Names not listed keep registration order after the prefix. A name listed
 # here but not registered is ignored (guards against typos breaking load).
 _PRIORITY = [
-    # --- block 1: unverified in r01 ---
+    # --- block 1: never officially driven ---
+    "dedup_fuzzy_survivors",
+    "sample_weighted_by_length",
+    # --- block 2: streaming, red in r02 → fixed ---
+    "stream_tumbling_avg",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_stateful_episodes",
+    # --- block 3: new or re-planned this round ---
+    "a11_ovr_auc_per_class",
+    "a11_multiclass_auc",
+    "r_degrade_hash_missing_variables",
+    "r_degrade_hash_clock_offset",
+    "r_degrade_hash_drift",
+    "s1_s3_csv_roundtrip",
+    "sim_ivf_topk",
+    # --- block 4: green anchors across the operator families ---
+    "w1_chrono_split_counts",
+    "dedup_minhash_lsh_pairs",
+    "dedup_exact_group_sizes",
+    "dedup_lsh_components",
+    "dedup_decontaminate_train",
+    "dedup_latest_per_key",
     "sim_bruteforce_cosine_topk",
     "sim_bucketed_ann_topk",
     "sim_embedding_near_dup",
-    "sim_ivf_topk",
     "text_token_stats",
     "text_quality_by_source",
+    "text_quality_filter_p25",
     "text_langid_confusion",
     "text_fingerprint_stats",
-    "mm_binary_metadata",
-    "mm_fake_decode_features",
-    "mm_decode_wav_bmp",
-    "dedup_latest_per_key",
-    "sample_stratified_per_class",
-    "sample_mixture_by_source",
-    "r_degrade_packet_loss",
-    "r_degrade_missing_variables",
-    "r_degrade_clock_offset",
-    "r_degrade_drift",
-    "r_degrade_hash_packet_loss",
-    "r5_global_permutation",
-    "p6_p7_schema_profile",
-    "s7_metrics_lake_flatten",
-    "stream_tumbling_avg",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_stateful_episodes",
-    "ml_surrogate_tree",
-    "j_asof_backward",
-    "j_range_join_bucketized",
-    "u_set_intersect_except",
-    "a10_confusion_pivot",
-    "j_tpch_q3_shipping_priority",
-    # --- block 2: new or changed this round ---
+    "text_repetition_signals",
     "text_top_ngrams",
     "text_tfidf_topk",
     "pack_concat_chunks",
-    "dedup_decontaminate_train",
-    "text_quality_filter_p25",
-    "w_rolling_zscore_anomalies",
+    "sample_stratified_per_class",
+    "sample_mixture_by_source",
+    "r_degrade_hash_packet_loss",
+    "w3_sliding_window_stats",
     "w3_full_sequences",
+    "w5_train_only_standardize",
+    "w6_sessionize_ttd",
+    "w7_acf_fixed_lags",
+    "w8_topk_by_score",
+    "w_rolling_zscore_anomalies",
     "a13_roc_curve_points",
     "a13_roc_auc",
     "a13_average_precision",
     "a13_threshold_at_fpr",
-    "w6_sessionize_ttd",
     "a14_normal_approx_ci",
     "a_salted_skew_agg",
-    "w7_acf_fixed_lags",
-    "dedup_lsh_components",
-    "text_repetition_signals",
-    # --- block 3: green anchors ---
-    "w1_chrono_split_counts",
+    "a10_confusion_pivot",
+    "j_asof_backward",
+    "j_range_join_bucketized",
+    "j_tpch_q3_shipping_priority",
+    "u_set_intersect_except",
+    "p6_p7_schema_profile",
+    "s7_metrics_lake_flatten",
+    "mm_binary_metadata",
+    "tpch_q1_pricing_summary",
+    "j1_broadcast_lookup_join",
 ]
 
 

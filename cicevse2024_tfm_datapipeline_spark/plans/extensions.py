@@ -383,6 +383,59 @@ def text_repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_boilerplate_chunks",
+    oracle=f"""
+    WITH toksd AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    chunks AS (
+        SELECT doc_id, source,
+               array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ') AS chunk
+        FROM toksd, UNNEST(range(0, CAST(floor(len(toks) / 8) AS BIGINT))) AS t(i)
+    ),
+    dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
+    SELECT c.source, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           round(sum(CASE WHEN d.df >= 3 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+               AS boiler_frac
+    FROM chunks c JOIN dfreq d USING (chunk)
+    GROUP BY c.source
+    """,
+    doc="CCNet-style cross-document boilerplate detection on fixed "
+    "8-token chunks (the line-dedup unit when the corpus has no line "
+    "structure): chunk in the scan stage (operators.text."
+    "token_chunks_expr), count document frequency per chunk hash, flag "
+    "chunks appearing in ≥3 docs, report the per-source boilerplate "
+    "fraction. Distinct from Gopher repetition (within-doc): this finds "
+    "CROSS-document template text. Scale: one chunk-key aggregation + "
+    "one equi-join — both shuffle on the uniform chunk hash.",
+    tags=("text", "dedup", "boilerplate"),
+)
+def text_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.text import (
+        token_chunks_expr,
+        tokens_expr,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(token_chunks_expr(tokens_expr(F.col("text")), 8)).alias("chunk"),
+    )
+    dfreq = chunks.groupBy("chunk").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        chunks.join(dfreq, "chunk")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("df") >= 3).cast("long")).alias("n_boiler"),
+            pround(
+                F.sum((F.col("df") >= 3).cast("double")) / F.count(F.lit(1)), 6
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 def _simhash_sql(limit_id: int) -> str:
     n_nibbles = 8
     nib_cols = ", ".join(
@@ -764,27 +817,108 @@ def dedup_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_SQDIST = (
+    "list_reduce(list_transform(range(1, len({v}) + 1), "
+    "i -> ({v}[i] - centroid[i]) * ({v}[i] - centroid[i])), (x, y) -> x + y)"
+)
+
+
 @register(
     "sim_ivf_topk",
-    oracle=None,
-    doc="IVF ANN top-3: KMeans(k=8, seed=7) coarse quantizer over the "
-    "embeddings; each query probes its 2 nearest centroids and scores "
-    "only those cells (equi-join on cell id — LSH-bucket plan with "
-    "LEARNED cells). Rows-only: the quantizer is an ML fit, not "
-    "SQL-expressible; determinism via fixed seed is covered by pytest.",
-    tags=("similarity", "ann", "ml"),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT CAST(r.range AS INT) AS cell,
+               list_transform(range(0, 64), d ->
+                   (('0x' || substr(md5('ivfc|' || CAST(r.range AS VARCHAR)
+                        || '|' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                    / 4294967296.0) * 2.0 - 1.0) AS centroid
+        FROM range(0, 8) r
+    ),
+    adist AS (
+        SELECT e.vec_id, e.v, c.cell, {_IVF_SQDIST.format(v="e.v")} AS d
+        FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id AS neighbor_id, v, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d ASC, cell ASC) AS rn
+            FROM adist) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    qdist AS (
+        SELECT q.query_id, q.qv, c.cell, {_IVF_SQDIST.format(v="q.qv")} AS d
+        FROM q CROSS JOIN cents c
+    ),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d ASC, cell ASC) AS rn
+            FROM qdist) WHERE rn <= 2
+    ),
+    scored0 AS (
+        SELECT p.query_id, p.qv, a.neighbor_id, a.v
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.neighbor_id <> p.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {_DOT} / ({_NQ} * {_NV}) AS cosine
+        FROM scored0
+    ),
+    ivf AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored) WHERE rank <= 3
+    ),
+    bf0 AS (
+        SELECT q.query_id, q.qv, c.vec_id AS neighbor_id, c.v
+        FROM e c, q WHERE c.vec_id <> q.query_id
+    ),
+    bf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_DOT} / ({_NQ} * {_NV}) DESC, neighbor_id ASC) AS rk
+            FROM bf0) WHERE rk <= 3
+    )
+    SELECT i.query_id, i.neighbor_id, round(i.cosine, 6) AS cosine,
+           CAST(i.rank AS BIGINT) AS rank,
+           CAST(CASE WHEN b.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS in_exact_topk
+    FROM ivf i LEFT JOIN bf b USING (query_id, neighbor_id)
+    """,
+    doc="IVF ANN top-3 with PRECOMPUTED centroids, ORACLE-CHECKED end to "
+    "end: the quantizer build is an offline step (here the deterministic "
+    "md5 centroid fixture — operators.similarity.fixed_centroids), so the "
+    "query path is pure relational algebra: per-row argmin fold assigns "
+    "cells (no join blow-up, no ML fit), probes = 2 nearest centroids, "
+    "scoring = equi-join on cell. in_exact_topk flags each IVF hit "
+    "against the brute-force top-3 — the recall@k contract is IN the "
+    "checked result.",
+    tags=("similarity", "ann"),
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import fixed_centroids
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    cents = fixed_centroids(spark, 8, 64)
     out = ivf_topk(
-        emb, queries, "vec_id", "embedding", k=3, n_clusters=8, nprobe=2, seed=7
+        emb, queries, "vec_id", "embedding", k=3, nprobe=2, centroids=cents
     )
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        pround("cosine", 6).alias("cosine"),
-        F.col("rank").cast("long").alias("rank"),
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        out.join(exact, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+            F.coalesce(F.col("__hit"), F.lit(0)).cast("long").alias("in_exact_topk"),
+        )
     )
 
 

@@ -164,6 +164,138 @@ def r_degrade_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: literal fixture shared by the CSV-roundtrip query AND its oracle —
+#: the Spark side writes/scans real CSV files, the oracle recomputes from
+#: these same literals, so any divergence in the scan layer surfaces.
+_CSV_POWER_ROWS = [
+    ("2024-01-01 00:00:00", "charging", 10.5),
+    ("2024-01-01 01:00:00", "idle", 0.25),
+    ("2024-01-01 02:00:00", "charging", 180.75),
+    ("2024-01-01 03:00:00", "idle", 1.5),
+    ("2024-01-01 04:00:00", "charging", 220.0),
+    ("2024-01-01 05:00:00", "charging", 95.125),
+    ("2024-01-01 06:00:00", "idle", 0.0),
+    ("2024-01-01 07:00:00", "charging", 310.5),
+]
+#: host rows: (c1, c2) raw strings — 'x' exercises try_cast → null
+_CSV_HOST_ROWS = [
+    ("1.5", "2.0"),
+    ("x", "3.25"),
+    ("4.0", "bad"),
+    ("2.5", "1.75"),
+    ("0.5", "8.0"),
+]
+#: filename → (derived label, pkts column values); label = stem tokens
+#: after the second '-' joined by spaces (F9 filename→label rule)
+_CSV_NET_FILES = {
+    "cap-evseB-syn-flood.csv": ("syn flood", [3, 5, 7]),
+    "cap-evseA-benign-idle.csv": ("benign idle", [11, 13]),
+}
+
+
+def _csv_roundtrip_sql() -> str:
+    power_vals = ", ".join(f"('{t}', '{s}', {v})" for t, s, v in _CSV_POWER_ROWS)
+    host_vals = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(_CSV_HOST_ROWS)
+    )
+    net_vals = ", ".join(
+        f"('{lbl}', {p})"
+        for lbl, pkts in _CSV_NET_FILES.values()
+        for p in pkts
+    )
+    return f"""
+    WITH power(t, state, value) AS (VALUES {power_vals}),
+    host(idx, c1, c2) AS (VALUES {host_vals}),
+    net(label, pkts) AS (VALUES {net_vals}),
+    pa AS (
+        SELECT 'power' AS section, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(CASE WHEN state = 'charging' THEN 1.0 ELSE 0.0 END), 2) AS sum_a,
+               round(sum(value), 2) AS sum_b,
+               round(epoch(min(CAST(t AS TIMESTAMP))) * 1.0, 2) AS sum_c
+        FROM power
+    ),
+    ha AS (
+        SELECT 'host' AS section, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(TRY_CAST(c1 AS DOUBLE)), 2) AS sum_a,
+               round(sum(TRY_CAST(c2 AS DOUBLE)), 2) AS sum_b,
+               round(sum(idx * TRY_CAST(c1 AS DOUBLE)), 2) AS sum_c
+        FROM host
+    ),
+    na AS (
+        SELECT 'net:' || label AS section, CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(pkts) * 1.0, 2) AS sum_a,
+               round(count(DISTINCT label) * 1.0, 2) AS sum_b,
+               0.0 AS sum_c
+        FROM net GROUP BY label
+    )
+    SELECT * FROM pa UNION ALL SELECT * FROM ha UNION ALL SELECT * FROM na
+    """
+
+
+@register(
+    "s1_s3_csv_roundtrip",
+    oracle=_csv_roundtrip_sql(),
+    doc="S1-S3 + F9 CSV source layer, ORACLE-CHECKED end to end: a "
+    "literal fixture is written to real CSV files, re-ingested through "
+    "scan_power_csv (timestamp parse + charging flag), scan_host_csv "
+    "(positional schema, try_cast coercion, file-order timestamp via the "
+    "two-phase ingest scan) and scan_network_dir (multi-file glob + "
+    "filename→label), then aggregated; the oracle recomputes from the "
+    "same literals, so the whole scan layer — parsing, coercion, "
+    "ordering, filename tagging — is what's being verified.",
+    tags=("S1", "S2", "S3", "F9"),
+)
+def s1_s3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import (
+        scan_host_csv,
+        scan_network_dir,
+        scan_power_csv,
+    )
+
+    root = os.path.join(SCRATCH, "csv_src")
+    net_dir = os.path.join(root, "net")
+    os.makedirs(net_dir, exist_ok=True)
+    with open(os.path.join(root, "power.csv"), "w") as fh:
+        fh.write("time,State,value\n")
+        for t_, s_, v_ in _CSV_POWER_ROWS:
+            fh.write(f"{t_},{s_},{v_}\n")
+    with open(os.path.join(root, "host.csv"), "w") as fh:
+        fh.write("c1,c2,time,State\n")
+        for i, (a, b) in enumerate(_CSV_HOST_ROWS):
+            fh.write(f"{a},{b},{i},idle\n")
+    for fname, (_lbl, pkts) in _CSV_NET_FILES.items():
+        with open(os.path.join(net_dir, fname), "w") as fh:
+            fh.write("pkts\n")
+            for p in pkts:
+                fh.write(f"{p}\n")
+
+    power = scan_power_csv(spark, os.path.join(root, "power.csv"))
+    pa = power.agg(
+        F.lit("power").alias("section"),
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum(F.col("state_bin").cast("double")), 2).alias("sum_a"),
+        pround(F.sum("value"), 2).alias("sum_b"),
+        pround(F.min(F.col("timestamp").cast("long")).cast("double"), 2).alias("sum_c"),
+    )
+    host = scan_host_csv(spark, os.path.join(root, "host.csv"))
+    ha = host.agg(
+        F.lit("host").alias("section"),
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("c1"), 2).alias("sum_a"),
+        pround(F.sum("c2"), 2).alias("sum_b"),
+        pround(F.sum(F.col("timestamp") * F.col("c1")), 2).alias("sum_c"),
+    )
+    net = scan_network_dir(spark, os.path.join(net_dir, "*.csv"))
+    na = net.groupBy("label_mul_raw").agg(
+        F.concat(F.lit("net:"), F.col("label_mul_raw")).alias("section"),
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum(F.col("pkts").cast("double")), 2).alias("sum_a"),
+        pround(F.countDistinct("label_mul_raw").cast("double"), 2).alias("sum_b"),
+        F.lit(0.0).alias("sum_c"),
+    ).drop("label_mul_raw")
+    return pa.unionByName(ha).unionByName(na)
+
+
 #: DuckDB twin of _windows_df — identical window matrices / window ids
 #: (kept in lockstep with the r_degrade_hash_packet_loss oracle).
 _WINS_SQL = """
