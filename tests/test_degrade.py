@@ -92,3 +92,44 @@ def test_r5_permutation_preserves_multiset(spark):
     assert {r["rid"]: r["v"] for r in out.collect()} == {
         r["rid"]: r["v"] for r in again.collect()
     }
+
+
+@pytest.mark.parametrize("kind", ["packet_loss", "missing_variables", "clock_offset", "drift"])
+def test_hash_degrade_deterministic_under_repartition(spark, kind):
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import degrade_windows_hash
+
+    df = make_windows(spark)
+    a = degrade_windows_hash(df, "matrix", "window_id", 0.5, kind, seed=123)
+    b = degrade_windows_hash(df.repartition(5), "matrix", "window_id", 0.5, kind, seed=123)
+    pa = {r["window_id"]: r["matrix"] for r in a.collect()}
+    pb = {r["window_id"]: r["matrix"] for r in b.collect()}
+    assert pa == pb
+
+
+def test_hash_clock_offset_is_circular_roll(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import degrade_windows_hash
+
+    df = make_windows(spark, n=8, T=5, F_=3)
+    orig = {r["window_id"]: r["matrix"] for r in df.collect()}
+    out = degrade_windows_hash(df, "matrix", "window_id", 0.5, "clock_offset", seed=9)
+    got = {r["window_id"]: r["matrix"] for r in out.collect()}
+    for wid, mat in got.items():
+        x, y = np.array(orig[wid]), np.array(mat)
+        rolls = [s for s in range(-2, 3) if np.array_equal(np.roll(x, s, axis=0), y)]
+        assert rolls, wid  # result must be SOME roll within ±int(0.5·T)
+
+
+def test_hash_drift_adds_linear_ramps(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import degrade_windows_hash
+
+    T, F_ = 5, 3
+    df = make_windows(spark, n=4, T=T, F_=F_)
+    orig = {r["window_id"]: r["matrix"] for r in df.collect()}
+    out = degrade_windows_hash(df, "matrix", "window_id", 0.4, "drift", seed=9)
+    for r in out.collect():
+        diff = np.array(r["matrix"]) - np.array(orig[r["window_id"]])
+        # row 0 untouched; row t = t/(T-1) · coef — proportional ramps
+        assert np.allclose(diff[0], 0.0)
+        coef = diff[T - 1]
+        for t_ in range(T):
+            assert np.allclose(diff[t_], coef * t_ / (T - 1), atol=1e-12), t_

@@ -81,3 +81,95 @@ def test_sample_size_calculator():
 
     # ln(1/0.05)/1e-3 ≈ 2996
     assert n_required_for_fpr(1e-3, 0.05) == 2996
+
+
+def _np_roc_auc(y, s):
+    """Trapezoid AUC over distinct-threshold curve (ties grouped) — the
+    reference's roc_auc_score semantics, numpy-only."""
+    import numpy as np
+
+    y, s = np.asarray(y), np.asarray(s)
+    thr = np.unique(s)[::-1]
+    tp = np.array([(y[s >= t] == 1).sum() for t in thr], dtype=float)
+    fp = np.array([(y[s >= t] == 0).sum() for t in thr], dtype=float)
+    P, N = (y == 1).sum(), (y == 0).sum()
+    if P == 0 or N == 0:
+        return None
+    tpr = np.concatenate(([0.0], tp / P))
+    fpr = np.concatenate(([0.0], fp / N))
+    return float(np.trapz(tpr, fpr))
+
+
+def _np_ap(y, s):
+    import numpy as np
+
+    y, s = np.asarray(y), np.asarray(s)
+    thr = np.unique(s)[::-1]
+    P = (y == 1).sum()
+    ap, prev_rec = 0.0, 0.0
+    for t in thr:
+        sel = s >= t
+        tp = float((y[sel] == 1).sum())
+        rec, prec = tp / P, tp / float(sel.sum())
+        ap += (rec - prev_rec) * prec
+        prev_rec = rec
+    return ap
+
+
+def test_ovr_auc_per_class_matches_numpy(spark):
+    import random
+
+    from cicevse2024_tfm_datapipeline_spark.operators.metrics import (
+        ovr_auc_per_class,
+        ovr_auc_summary,
+    )
+
+    rng = random.Random(11)
+    classes = ["a", "b", "c"]
+    rows = []
+    for c in classes:
+        for _ in range(120):
+            y = rng.random() < 0.3
+            # scores informative per class, rounded to force threshold ties
+            s = round(rng.random() * (1.5 if y else 1.0), 2)
+            rows.append((c, int(y), s))
+    df = spark.createDataFrame(rows, "c string, y int, score double")
+    got = {r["c"]: r for r in ovr_auc_per_class(df, "c", "y", "score").collect()}
+    by_cls = {c: ([y for cc, y, s in rows if cc == c], [s for cc, y, s in rows if cc == c]) for c in classes}
+    for c in classes:
+        y, s = by_cls[c]
+        assert abs(got[c]["roc_auc"] - _np_roc_auc(y, s)) < 1e-9, c
+        assert abs(got[c]["average_precision"] - _np_ap(y, s)) < 1e-9, c
+
+    summ = ovr_auc_summary(df, "c", "y", "score").collect()[0]
+    macro_roc = sum(_np_roc_auc(*by_cls[c]) for c in classes) / 3
+    macro_ap = sum(_np_ap(*by_cls[c]) for c in classes) / 3
+    all_y = [y for _, y, _ in rows]
+    all_s = [s for _, _, s in rows]
+    assert abs(summ["roc_auc_macro"] - macro_roc) < 1e-9
+    assert abs(summ["pr_auc_macro"] - macro_ap) < 1e-9
+    assert abs(summ["roc_auc_micro"] - _np_roc_auc(all_y, all_s)) < 1e-9
+    assert abs(summ["pr_auc_micro"] - _np_ap(all_y, all_s)) < 1e-9
+
+
+def test_token_chunks_edges(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.text import (
+        token_chunks_expr,
+        tokens_expr,
+    )
+
+    rows = [
+        (0, "a b c d e f g h i j"),   # 10 toks → one chunk of 8, tail dropped
+        (1, "a b c"),                  # < 8 → no chunks
+        (2, " ".join(str(i) for i in range(16))),  # exactly two chunks
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r["ch"]
+        for r in df.select(
+            "id", token_chunks_expr(tokens_expr(F.col("text")), 8).alias("ch")
+        ).collect()
+    }
+    assert out[0] == ["a b c d e f g h"]
+    assert out[1] == []
+    assert out[2] == ["0 1 2 3 4 5 6 7", "8 9 10 11 12 13 14 15"]

@@ -78,3 +78,24 @@ def test_mixture_sample_quotas_and_determinism(spark):
 
     again = mixture_sample(df.repartition(9), "src", "id", w, total=40, seed=2)
     assert {r["id"] for r in again.collect()} == {r["id"] for r in out.collect()}
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.sampling import weighted_sample_n
+
+    pdf = pd.DataFrame(
+        {
+            "id": range(400),
+            # first 200 rows carry 50× the weight of the rest
+            "w": [50.0] * 200 + [1.0] * 200,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept = weighted_sample_n(df, "w", "id", 80, seed=3)
+    rows = kept.collect()
+    assert len(rows) == 80
+    heavy = sum(1 for r in rows if r["id"] < 200)
+    # E[heavy] ≈ 80·(200·50)/(200·51) ≈ 78 — far above the uniform 40
+    assert heavy > 60, heavy
+    again = {r["id"] for r in weighted_sample_n(df.repartition(7), "w", "id", 80, seed=3).collect()}
+    assert again == {r["id"] for r in rows}

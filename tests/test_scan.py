@@ -86,3 +86,34 @@ def test_global_islands_matches_sequential_scan(spark, seed, n, parts):
         for r in mark_episodes(df, ["idx"], "y", episode_id_col="ep").collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed,n,parts", [(5, 40, 3), (6, 300, 17)])
+def test_grouped_cumsum_matches_partitioned_window(spark, seed, n, parts):
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import grouped_cumsum
+
+    df = spark.createDataFrame(_random_rows(seed, n), ["k", "v", "g"]).repartition(parts)
+    for descending in (False, True):
+        got = {
+            (r["g"], r["k"]): (r["cum_v"], r["tot_v"])
+            for r in grouped_cumsum(
+                df, ["g"], ["k"], ["v"], descending=descending, with_totals=True
+            ).collect()
+        }
+        order = F.col("k").desc() if descending else F.col("k").asc()
+        w = (
+            W.partitionBy("g")
+            .orderBy(order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        wt = W.partitionBy("g")
+        want = {
+            (r["g"], r["k"]): (r["cum"], r["tot"])
+            for r in df.select(
+                "g",
+                "k",
+                F.sum("v").over(w).alias("cum"),
+                F.sum("v").over(wt).alias("tot"),
+            ).collect()
+        }
+        assert got == want, descending
