@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_decontaminate_train",
     "sample_mixture_by_source",
     "pack_concat_chunks",
+    "a11_multiclass_auc",
+    "pipeline_corpus_prep",
 ]
 
 

@@ -53,6 +53,8 @@ _PRIORITY = [
     "r_degrade_hash_drift",
     "s1_s3_csv_roundtrip",
     "sim_ivf_topk",
+    "text_boilerplate_chunks",
+    "pipeline_corpus_prep",
     # --- block 4: green anchors across the operator families ---
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",

@@ -1263,3 +1263,66 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~keep).cast("int")).cast("long").alias("n_dropped"),
         pround(F.avg(F.when(keep, F.col("q"))), 6).alias("avg_kept_quality"),
     )
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH toksd AS (
+        SELECT doc_id, source, text, n_chars, {_TOKS} AS toks FROM documents
+    ),
+    scored AS (SELECT *, round({_QUALITY_SQL}, 6) AS q FROM toksd),
+    thr AS (SELECT round(quantile_cont(q, 0.25), 6) AS t FROM scored),
+    kept AS (SELECT s.* FROM scored s, thr WHERE s.q >= thr.t),
+    surv AS (
+        SELECT k.* FROM kept k
+        JOIN (SELECT md5(text) AS h, min(doc_id) AS m FROM kept GROUP BY 1) g
+          ON md5(k.text) = g.h AND k.doc_id = g.m
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5('5|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        FROM surv
+    ),
+    final AS (SELECT * FROM ranked WHERE rn <= 40)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(toks)) AS BIGINT) AS sum_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM final GROUP BY source
+    """,
+    doc="END-TO-END corpus preparation, ORACLE-CHECKED as one composed "
+    "plan: percentile quality filter (bottom quartile dropped, broadcast "
+    "threshold) → exact-dedup survivors (md5 digest groupBy, min-id "
+    "survivor, semi-join) → deterministic stratified sample (40/source "
+    "by md5-hash rank) → per-source size/token accounting. The chain a "
+    "training-data run actually executes, stacked from the individually "
+    "verified operators — one broadcast, two uniform-key shuffles, one "
+    "per-source window; every stage the same shape at 100 TB.",
+    tags=("pipeline", "text", "dedup", "sampling"),
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.sampling import (
+        stratified_sample_n,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        pround(quality_score_expr(F.col("text"), toks), 6).alias("q"),
+    )
+    thr = scored.agg(pround(F.percentile("q", 0.25), 6).alias("t"))
+    kept = scored.crossJoin(F.broadcast(thr)).filter(F.col("q") >= F.col("t"))
+    surv = exact_dedup(kept, "text", "doc_id")
+    final = stratified_sample_n(surv, ["source"], "doc_id", 40, seed=5)
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.size(tokens_expr("text"))).cast("long").alias("sum_tokens"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
