@@ -45,6 +45,8 @@ _PRIORITY = [
     "stream_sliding_window",
     "stream_session_window",
     "stream_stateful_episodes",
+    "stream_dedup_union",
+    "stream_static_join",
     # --- block 3: new or re-planned this round ---
     "a11_ovr_auc_per_class",
     "a11_multiclass_auc",

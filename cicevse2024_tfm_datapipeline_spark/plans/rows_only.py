@@ -867,3 +867,77 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_max",
         "n_rows",
     )
+
+
+@register(
+    "stream_dedup_union",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming exact dedup (dropDuplicatesWithinWatermark): the same "
+    "file source is read as TWO streams and unioned — every event arrives "
+    "twice — then deduped on event_id with watermark-bounded state; the "
+    "drained per-type aggregates must equal the batch aggregates over the "
+    "ORIGINAL (single-copy) table, which is the oracle. State is evicted "
+    "past the lateness horizon — the unbounded-stream counterpart of the "
+    "digest-groupBy batch dedup (SURVEY §2.9).",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        dedup_stream,
+        run_to_completion,
+    )
+
+    doubled = _events_stream(spark, sf_dir).union(_events_stream(spark, sf_dir))
+    dd = dedup_stream(doubled, ["event_id"], watermark="1 day")
+    out = run_to_completion(
+        dd.select("event_id", "event_type", "value"), "stream_dedup_out", "append"
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT CASE WHEN lower(trim(event_type)) IN ('view', 'click')
+                THEN 'benign' ELSE 'attack' END AS category,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="Stream-static enrichment join: a broadcast dimension table "
+    "(event_type → category) joins every micro-batch with no stream-side "
+    "shuffle and no state — the standard streaming lookup join. Drained "
+    "per-category aggregates equal the batch SQL twin (SURVEY §2.9).",
+    tags=("streaming", "J1"),
+)
+def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        enrich_stream_with_dim,
+        run_to_completion,
+    )
+
+    dim = spark.createDataFrame(
+        [("view", "benign"), ("click", "benign"), ("error", "attack"),
+         ("purchase", "attack"), ("signup", "attack")],
+        schema="event_type string, category string",
+    )
+    stream = _events_stream(spark, sf_dir)
+    joined = enrich_stream_with_dim(stream, dim, "event_type")
+    agg = (
+        joined.withWatermark("ts", "1 day")
+        .groupBy("category")
+        .agg(F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, "stream_static_join_out", output_mode="complete")
+    return out.select(
+        "category",
+        F.col("n_events").cast("long").alias("n_events"),
+        pround(F.col("sum_value"), 2).alias("sum_value"),
+    )

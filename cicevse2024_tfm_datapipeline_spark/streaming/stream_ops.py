@@ -246,3 +246,23 @@ def stateful_episode_counts(
     return events.groupBy(group_col).applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def dedup_stream(events: DataFrame, key_cols, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    EVICTED once the watermark passes — the unbounded-stream counterpart
+    of the batch digest-groupBy dedup (plain ``dropDuplicates`` would
+    grow state forever; WithinWatermark bounds it to the lateness
+    horizon). Append-mode compatible."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join: the static dimension is broadcast to
+    every micro-batch (no stream-side shuffle, no state) — the standard
+    lookup-join shape on a stream."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), key)

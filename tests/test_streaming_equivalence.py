@@ -166,3 +166,40 @@ def test_stateful_episode_counts_multi_batch(spark, tmp_path):
             prev_y = y
         want[g] = (total, detected)
     assert final == want, (final, want)
+
+
+def test_stream_dedup_union_recovers_single_copy(spark):
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import dedup_stream
+
+    doubled = _events_stream(spark).union(_events_stream(spark))
+    dd = dedup_stream(doubled, ["event_id"], watermark="1 day")
+    got = run_to_completion(
+        dd.select("event_id"), "t_stream_dedup_eq", "append"
+    ).collect()
+    batch = load_table(spark, SF, "events")
+    n = batch.count()
+    assert len(got) == n  # each event exactly once despite arriving twice
+    assert len({r["event_id"] for r in got}) == n
+
+
+def test_stream_static_join_matches_batch(spark):
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        enrich_stream_with_dim,
+    )
+
+    dim = spark.createDataFrame(
+        [("view", "b"), ("click", "b"), ("error", "a"), ("purchase", "a"), ("signup", "a")],
+        schema="event_type string, category string",
+    )
+    joined = enrich_stream_with_dim(_events_stream(spark), dim, "event_type")
+    agg = joined.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+    got = {
+        r["category"]: r["n"]
+        for r in run_to_completion(agg, "t_stream_sj_eq", "complete").collect()
+    }
+    batch = load_table(spark, SF, "events").join(F.broadcast(dim), "event_type")
+    want = {
+        r["category"]: r["n"]
+        for r in batch.groupBy("category").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
