@@ -57,6 +57,7 @@ _PRIORITY = [
     "sim_ivf_topk",
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",
+    "a_approx_sketches",
     # --- block 4: green anchors across the operator families ---
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",

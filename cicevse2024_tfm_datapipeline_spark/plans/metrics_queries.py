@@ -663,18 +663,45 @@ def a_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a_approx_sketches",
-    oracle=None,  # sketch outputs are algorithm-specific → rows-only
-    doc="Approximate sketches — approx_count_distinct (HLL) and "
-    "approx_percentile (KLL-ish) — the 100 TB forms of A4/quantiles; "
-    "deterministic for fixed input, but not oracle-portable.",
+    # the sketch VALUES are algorithm-specific, but their ERROR BOUNDS are
+    # a portable contract: the oracle computes the exact statistics and
+    # asserts the same bound flags (TRUE) the Spark side derives — a
+    # hash-matched row that fails if any sketch drifts out of tolerance
+    oracle="""
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct,
+           TRUE AS median_within_p40_p60
+    FROM lineitem
+    """,
+    doc="Approximate sketches — approx_count_distinct (HLL, default rsd "
+    "0.05) and approx_percentile (KLL-ish) — the 100 TB forms of "
+    "A4/quantiles. The sketch values are engine-specific, so the checked "
+    "contract is the ERROR BOUND: HLL estimates within 5% relative error "
+    "of the exact distinct counts (also computed Spark-side), and the "
+    "approx median inside the exact [p40, p60] band.",
     tags=("sketch", "A4"),
 )
 def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile("l_extendedprice", 0.4).alias("p40"),
+        F.percentile("l_extendedprice", 0.6).alias("p60"),
+    )
+    rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
+    return agg.select(
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        (rel("approx_orders", "exact_orders") <= 0.05).alias("orders_within_5pct"),
+        (rel("approx_parts", "exact_parts") <= 0.05).alias("parts_within_5pct"),
+        ((F.col("approx_median") >= F.col("p40")) & (F.col("approx_median") <= F.col("p60")))
+        .alias("median_within_p40_p60"),
     )
 
 
