@@ -58,6 +58,7 @@ _PRIORITY = [
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",
     "a_approx_sketches",
+    "j_salted_skew_join",
     # --- block 4: green anchors across the operator families ---
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",

@@ -798,3 +798,40 @@ def a_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         pround(pround(F.col("l_quantity_sum"), 2) / F.col("n_rows"), 6).alias("qty_avg"),
     )
+
+
+@register(
+    "j_salted_skew_join",
+    oracle="""
+    WITH dim(l_returnflag, flag_name) AS (
+        VALUES ('A', 'accepted'), ('N', 'none'), ('R', 'returned')
+    )
+    SELECT d.flag_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l.l_quantity), 2) AS qty_sum
+    FROM lineitem l JOIN dim d USING (l_returnflag)
+    GROUP BY d.flag_name
+    """,
+    doc="Skew-proof join (operators.skew.salted_broadcast_join): the "
+    "3-value l_returnflag key is the hot-key pathology — the fact side is "
+    "salted 16 ways and the dim replicated per salt, so each hot key "
+    "spreads over 16 tasks instead of funneling into one reducer (the "
+    "explicit form of what AQE skew-split does for sort-merge joins; "
+    "required when the dim must shuffle-join). The salt is random and "
+    "the result salt-invariant — exactly what the plain-join oracle "
+    "verifies.",
+    tags=("J1", "skew"),
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.skew import salted_broadcast_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "none"), ("R", "returned")],
+        schema="l_returnflag string, flag_name string",
+    )
+    joined = salted_broadcast_join(li, dim, "l_returnflag", n_salts=16, how="inner")
+    return joined.groupBy("flag_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("l_quantity"), 2).alias("qty_sum"),
+    )
