@@ -59,6 +59,9 @@ _PRIORITY = [
     "pipeline_corpus_prep",
     "a_approx_sketches",
     "j_salted_skew_join",
+    "s4_csv_sink_roundtrip",
+    "s5_tensor_sink_roundtrip",
+    "f15_proba_pair",
     # --- block 4: green anchors across the operator families ---
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",

@@ -941,3 +941,104 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         pround(F.col("sum_value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "s4_csv_sink_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           round(sum(value), 2) AS sum_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events WHERE event_id < 200
+    """,
+    doc="S4 CSV SINK roundtrip, ORACLE-CHECKED: a deterministic events "
+    "slice goes out through df.write.csv (quoting/precision formatting) "
+    "and back in through the CSV reader with an explicit schema; the "
+    "aggregates must equal the oracle computed straight from the parquet "
+    "table — verifying the WRITER path, the complement of the "
+    "s1_s3_csv_roundtrip reader check. Doubles survive because Spark "
+    "writes round-trippable representations.",
+    tags=("S4",),
+)
+def s4_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(SCRATCH, "csv_sink")
+    src = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "event_type", "value")
+    )
+    src.coalesce(1).write.mode("overwrite").csv(path, header=True)
+    back = spark.read.schema("event_id long, event_type string, value double").csv(
+        path, header=True
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "s5_tensor_sink_roundtrip",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_WINS_SQL}
+    SELECT CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(window_id) AS BIGINT) AS sum_ids,
+           round(sum(list_sum(flatten(m))), 2) AS sum_cells
+    FROM wins
+    """,
+    doc="S5 tensor sink roundtrip, ORACLE-CHECKED: the window matrices "
+    "(array<array<double>> — the engine's tensor shape for sequence "
+    "models) are written to parquet and read back; window count, id sum "
+    "and the total cell sum must equal the oracle's recomputation of the "
+    "same matrices from the raw table. Verifies the nested-array "
+    "parquet writer/reader path the reference covers with .npy dumps.",
+    tags=("S5",),
+)
+def s5_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(SCRATCH, "tensor_sink")
+    _windows_df(spark, sf_dir).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    cells = F.expr("aggregate(flatten(matrix), cast(0.0 as double), (acc, x) -> acc + x)")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("window_id").cast("long").alias("sum_ids"),
+        pround(F.sum(cells), 2).alias("sum_cells"),
+    )
+
+
+@register(
+    "f15_proba_pair",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, round(value / 400.0, 3) AS pr FROM events WHERE event_id < 500
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(1.0 - pr), 6) AS sum_p0,
+           round(sum(pr), 6) AS sum_p1,
+           round(min(1.0 - pr + pr), 6) AS min_pair_sum,
+           round(max(1.0 - pr + pr), 6) AS max_pair_sum
+    FROM p
+    """,
+    doc="F15: single probability column → [1-p, p] pair array "
+    "(pipeline_tests_power.py:76-84) — the binary-head output adapter. "
+    "Checked via element sums and the pair-sum invariant (=1) over a "
+    "deterministic slice.",
+    tags=("F15",),
+)
+def f15_proba_pair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.functions.scalars import proba_pair_expr
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    pair = proba_pair_expr(pround(F.col("value") / 400.0, 3))
+    rows = ev.select(pair.alias("pp"))
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum(F.element_at("pp", 1)), 6).alias("sum_p0"),
+        pround(F.sum(F.element_at("pp", 2)), 6).alias("sum_p1"),
+        pround(F.min(F.element_at("pp", 1) + F.element_at("pp", 2)), 6).alias("min_pair_sum"),
+        pround(F.max(F.element_at("pp", 1) + F.element_at("pp", 2)), 6).alias("max_pair_sum"),
+    )
