@@ -62,6 +62,9 @@ _PRIORITY = [
     "s4_csv_sink_roundtrip",
     "s5_tensor_sink_roundtrip",
     "f15_proba_pair",
+    "m8_sample_size_grid",
+    "p8_p9_network_narrowing",
+    "f14_json_sanitize_roundtrip",
     # --- block 4: green anchors across the operator families ---
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",

@@ -1042,3 +1042,136 @@ def f15_proba_pair_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min(F.element_at("pp", 1) + F.element_at("pp", 2)), 6).alias("min_pair_sum"),
         pround(F.max(F.element_at("pp", 1) + F.element_at("pp", 2)), 6).alias("max_pair_sum"),
     )
+
+
+@register(
+    "m8_sample_size_grid",
+    oracle="""
+    WITH grid(fpr_max, alpha) AS (
+        VALUES (0.01, 0.05), (0.001, 0.05), (0.01, 0.01), (0.0001, 0.05)
+    )
+    SELECT fpr_max, alpha,
+           CAST(ceil(ln(1.0 / alpha) / fpr_max) AS BIGINT) AS n_benign_required,
+           CAST(ceil(ln(1.0 / alpha) / (36.0 * 1.0 / 3600.0)) AS BIGINT)
+               AS n_for_36fph_1s_hop
+    FROM grid
+    """,
+    doc="M8: sample-size calculators (ml/models.n_required_for_fpr/"
+    "n_required_for_fph — zero-FP Clopper-Pearson inversion "
+    "n = ceil(ln(1/alpha)/fpr_max)) evaluated over a parameter grid; "
+    "the oracle recomputes the closed form, so the driver-side math is "
+    "hash-checked, not just pytested. Driver-side scalar math lifted "
+    "into a VALUES plan — no data scan at all.",
+    tags=("M8",),
+)
+def m8_sample_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.ml.models import (
+        n_required_for_fph,
+        n_required_for_fpr,
+    )
+
+    grid = [(0.01, 0.05), (0.001, 0.05), (0.01, 0.01), (0.0001, 0.05)]
+    rows = [
+        (
+            fpr,
+            alpha,
+            n_required_for_fpr(fpr, alpha),
+            n_required_for_fph(36.0, 1.0, alpha),
+        )
+        for fpr, alpha in grid
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="fpr_max double, alpha double, n_benign_required long, n_for_36fph_1s_hop long",
+    )
+
+
+#: P8/P9 fixture: filenames carry the EVSE token; src_ip/flow_id are
+#: blocklisted identifier columns the scan must drop before modeling
+_NET2_FILES = {
+    "cap-B-syn-flood.csv": [(3, "10.0.0.1"), (5, "10.0.0.2"), (7, "10.0.0.1")],
+    "cap-A-benign-idle.csv": [(11, "10.0.0.3"), (13, "10.0.0.4")],
+}
+
+
+@register(
+    "p8_p9_network_narrowing",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_cols_scanned,
+           CAST(2 AS BIGINT) AS n_cols_kept,
+           CAST(3 AS BIGINT) AS n_rows_evse_b,
+           CAST(15 AS BIGINT) AS sum_pkts_evse_b
+    """,
+    doc="P8 + P9 on the network scan, ORACLE-CHECKED: blocklisted "
+    "identifier columns (src_ip, flow_id — leakage features the "
+    "reference drops, pipeline_trainingmodels_network.py) are removed by "
+    "pattern (operators.narrowing.drop_blocklisted), and the EVSE "
+    "partition filter (filename-derived evse == 'B') keeps only that "
+    "station's rows. The oracle pins the expected column/row accounting "
+    "from the literal fixture. Both are scan-stage prunes at 100 TB: "
+    "column drop = projection, EVSE filter = partition/file pruning.",
+    tags=("P8", "P9", "S3"),
+)
+def p8_p9_network_narrowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.narrowing import drop_blocklisted
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import scan_network_dir
+
+    net_dir = os.path.join(SCRATCH, "net2")
+    os.makedirs(net_dir, exist_ok=True)
+    for fname, rows_ in _NET2_FILES.items():
+        with open(os.path.join(net_dir, fname), "w") as fh:
+            fh.write("pkts,src_ip,flow_id\n")
+            for i, (p, ip) in enumerate(rows_):
+                fh.write(f"{p},{ip},{fname[:5]}{i}\n")
+
+    scanned = scan_network_dir(spark, os.path.join(net_dir, "*.csv"))
+    data_cols = [
+        c for c in scanned.columns if c not in ("source_file", "label_mul_raw", "evse")
+    ]
+    kept = drop_blocklisted(scanned.select(*data_cols, "evse"))
+    filtered = kept.filter(F.col("evse") == "B")
+    n_kept_cols = len([c for c in kept.columns if c != "evse"])
+    return filtered.agg(
+        F.lit(len(data_cols)).cast("long").alias("n_cols_scanned"),
+        F.lit(n_kept_cols + 1).cast("long").alias("n_cols_kept"),
+        F.count(F.lit(1)).alias("n_rows_evse_b"),
+        F.sum("pkts").cast("long").alias("sum_pkts_evse_b"),
+    )
+
+
+@register(
+    "f14_json_sanitize_roundtrip",
+    oracle="""
+    SELECT CAST(3 AS BIGINT) AS n_runs,
+           CAST(2 AS BIGINT) AS n_null_f1,
+           round(0.91 + 0.88, 2) AS sum_acc_non_null
+    """,
+    doc="F14 + S6, ORACLE-CHECKED: metrics dicts containing NaN/Inf go "
+    "through the JSON artifact sink (pipelines._dump_json — NaN/Inf → "
+    "null, func_aux/func_preproc.py:481-534) and come back through the "
+    "recursive lake scan; the nulls must survive as SQL NULLs and the "
+    "finite values unchanged — pinned by a literal oracle.",
+    tags=("F14", "S6", "S7"),
+)
+def f14_sanitize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json  # noqa: F401
+
+    from cicevse2024_tfm_datapipeline_spark.pipelines import _dump_json
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import scan_metrics_lake
+
+    root = os.path.join(SCRATCH, "nan_runs")
+    fixtures = {
+        "run_x": {"accuracy": 0.91, "f1_macro": float("nan")},
+        "run_y": {"accuracy": 0.88, "f1_macro": float("inf")},
+        "run_z": {"accuracy": float("nan"), "f1_macro": 0.75},
+    }
+    for run, g in fixtures.items():
+        d = os.path.join(root, run)
+        os.makedirs(d, exist_ok=True)
+        _dump_json(os.path.join(d, "metrics.json"), {"global": g})
+    metrics = scan_metrics_lake(spark, root)
+    return metrics.agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum(F.col("global.f1_macro").isNull().cast("long")).alias("n_null_f1"),
+        pround(F.sum("global.accuracy"), 2).alias("sum_acc_non_null"),
+    )

@@ -141,6 +141,9 @@ def scan_metrics_lake(spark: SparkSession, root: str) -> DataFrame:
     df = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "metrics.json")
+        # multiLine: artifacts are pretty-printed per-run JSON documents
+        # (KB-sized — non-splittability is irrelevant at this cardinality)
+        .option("multiLine", "true")
         .json(root)
     )
     run_dir = F.regexp_replace(F.input_file_name(), r"/metrics\.json$", "")
@@ -151,6 +154,7 @@ def scan_config_lake(spark: SparkSession, root: str) -> DataFrame:
     df = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "config.json")
+        .option("multiLine", "true")
         .json(root)
     )
     run_dir = F.regexp_replace(F.input_file_name(), r"/config\.json$", "")
