@@ -114,8 +114,10 @@ def mixture_sample(
     literal broadcast join — the standard way a training run upweights
     curated sources and downweights crawl data. Sources absent from
     ``weights`` contribute nothing."""
-    spark = df.sparkSession
-    quota = spark.createDataFrame(
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
+
+    quota = literal_df(
+        df.sparkSession,
         [(s, int(total * w)) for s, w in weights.items()],
         schema=f"{source_col} string, __quota int",
     )

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
 from cicevse2024_tfm_datapipeline_spark.operators.skew import ensure_min_parallelism
 
 
@@ -227,8 +228,8 @@ def ivf_topk(
         cent_rows = [
             (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
-        cent_df = embeddings.sparkSession.createDataFrame(
-            cent_rows, schema="cell int, centroid array<double>"
+        cent_df = literal_df(
+            embeddings.sparkSession, cent_rows, schema="cell int, centroid array<double>"
         )
     else:
         cent_df = centroids.select("cell", "centroid")

@@ -408,8 +408,10 @@ _OVR_CUM_SQL = """
 
 def _ovr_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = power_view(spark, sf_dir)
-    cls = spark.createDataFrame(
-        [(e, i) for i, e in enumerate(EVENT_TYPES)], schema="c string, idx int"
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
+
+    cls = literal_df(
+        spark, [(e, i) for i, e in enumerate(EVENT_TYPES)], schema="c string, idx int"
     )
     score = pround(
         F.lit(1.0) / (F.lit(1.0) + F.abs(F.col("value") / F.lit(80.0) - F.col("idx"))), 3
@@ -764,7 +766,10 @@ def a14_clopper_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("y_true") == 0).cast("long")).alias("n_neg"),
     ).collect()[0]
     lo, hi = clopper_pearson_ci(int(row["fp"]), int(row["n_neg"]), alpha=0.05)
-    return spark.createDataFrame(
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
+
+    return literal_df(
+        spark,
         [(int(row["fp"]), int(row["n_neg"]), float(lo), float(hi))],
         "fp long, n_neg long, fpr_ci_low_cp double, fpr_ci_high_cp double",
     )
@@ -826,7 +831,10 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.operators.skew import salted_broadcast_join
 
     li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    dim = spark.createDataFrame(
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
+
+    dim = literal_df(
+        spark,
         [("A", "accepted"), ("N", "none"), ("R", "returned")],
         schema="l_returnflag string, flag_name string",
     )

@@ -923,7 +923,10 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_completion,
     )
 
-    dim = spark.createDataFrame(
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
+
+    dim = literal_df(
+        spark,
         [("view", "benign"), ("click", "benign"), ("error", "attack"),
          ("purchase", "attack"), ("signup", "attack")],
         schema="event_type string, category string",
@@ -1080,7 +1083,10 @@ def m8_sample_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for fpr, alpha in grid
     ]
-    return spark.createDataFrame(
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
+
+    return literal_df(
+        spark,
         rows,
         schema="fpr_max double, alpha double, n_benign_required long, n_for_36fph_1s_hop long",
     )
