@@ -245,12 +245,36 @@ def roc_auc_trapezoid(df: DataFrame, y_true: str, score: str) -> DataFrame:
     return cum.agg(area.alias("roc_auc"))
 
 
-def _grouped_threshold_cum_counts(
+def _ovr_per_score(
     df: DataFrame, class_col: str, y_true: str, score: str
 ) -> DataFrame:
-    """Per-class A13 core: one row per (class, distinct score) with
-    per-threshold counts, running totals within the class (descending-
-    threshold order) and per-class grand totals.
+    """Per-(class, distinct score) counts — the single shared input of the
+    whole OVR AUC battery (macro AND micro sides re-group this frame, so
+    the base data is scanned once)."""
+    return df.groupBy(F.col(class_col), F.col(score).alias("threshold")).agg(
+        F.sum((F.col(y_true) == 1).cast("long")).alias("pos"),
+        F.sum((F.col(y_true) == 0).cast("long")).alias("neg"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _auc_ap_aggs(ok) -> tuple:
+    """Trapezoid ROC area + AP terms over a cumulative threshold scan
+    (lag-free: the previous curve point is the current row minus its own
+    counts; first row's predecessor is the (0,0) anchor)."""
+    fpr = F.col("cum_neg") / F.col("tot_neg")
+    pfpr = (F.col("cum_neg") - F.col("neg")) / F.col("tot_neg")
+    tpr = F.col("cum_pos") / F.col("tot_pos")
+    ptpr = (F.col("cum_pos") - F.col("pos")) / F.col("tot_pos")
+    d_recall = F.when(F.col("tot_pos") > 0, F.col("pos") / F.col("tot_pos"))
+    precision = F.col("cum_pos") / F.col("cum_cnt")
+    area = F.sum(F.when(ok, (fpr - pfpr) * (tpr + ptpr) / F.lit(2.0)))
+    ap = F.sum(d_recall * precision)
+    return area, ap
+
+
+def _per_class_auc(per_score: DataFrame, class_col: str) -> DataFrame:
+    """Grouped cumulative scan + per-class ROC-AUC / AP aggregation.
 
     Scale shape: operators.scan.grouped_cumsum range-partitions on
     (class, threshold), so even ONE class's full curve spreads across
@@ -259,18 +283,19 @@ def _grouped_threshold_cum_counts(
     a driver-sized array, func_aux/func_test.py:61-171)."""
     from cicevse2024_tfm_datapipeline_spark.operators.scan import grouped_cumsum
 
-    per_score = df.groupBy(F.col(class_col), F.col(score).alias("threshold")).agg(
-        F.sum((F.col(y_true) == 1).cast("long")).alias("pos"),
-        F.sum((F.col(y_true) == 0).cast("long")).alias("neg"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    return grouped_cumsum(
+    cum = grouped_cumsum(
         per_score,
         [class_col],
         ["threshold"],
         ["pos", "neg", "cnt"],
         descending=True,
         with_totals=True,
+    )
+    # zero-pos/neg classes → null AUC/AP (sklearn NaN + warning)
+    ok = (F.col("tot_neg") > 0) & (F.col("tot_pos") > 0)
+    area, ap = _auc_ap_aggs(ok)
+    return cum.groupBy(class_col).agg(
+        area.alias("roc_auc"), ap.alias("average_precision")
     )
 
 
@@ -284,23 +309,7 @@ def ovr_auc_per_class(df: DataFrame, class_col: str, y_true: str, score: str) ->
     Same lag-free trapezoid/AP arithmetic as the binary operators, summed
     per class — one grouped scan, one groupBy; classes evaluate in
     parallel."""
-    cum = _grouped_threshold_cum_counts(df, class_col, y_true, score)
-    ok = (F.col("tot_neg") > 0) & (F.col("tot_pos") > 0)
-    fpr = F.col("cum_neg") / F.col("tot_neg")
-    pfpr = (F.col("cum_neg") - F.col("neg")) / F.col("tot_neg")
-    tpr = F.col("cum_pos") / F.col("tot_pos")
-    ptpr = (F.col("cum_pos") - F.col("pos")) / F.col("tot_pos")
-    d_recall = F.when(F.col("tot_pos") > 0, F.col("pos") / F.col("tot_pos"))
-    precision = F.col("cum_pos") / F.col("cum_cnt")
-    return df.select(class_col).distinct().join(
-        # zero-pos/neg classes → null AUC/AP (sklearn NaN + warning)
-        cum.groupBy(class_col).agg(
-            F.sum(F.when(ok, (fpr - pfpr) * (tpr + ptpr) / F.lit(2.0))).alias("roc_auc"),
-            F.sum(d_recall * precision).alias("average_precision"),
-        ),
-        class_col,
-        "left",
-    )
+    return _per_class_auc(_ovr_per_score(df, class_col, y_true, score), class_col)
 
 
 def ovr_auc_summary(df: DataFrame, class_col: str, y_true: str, score: str) -> DataFrame:
@@ -309,20 +318,29 @@ def ovr_auc_summary(df: DataFrame, class_col: str, y_true: str, score: str) -> D
     over the flattened (class, indicator, score) frame) — the reference's
     ``average='macro'/'micro'`` variants (func_aux/func_test.py:120-171).
 
-    One row out; the micro side reuses the binary scan operators on the
-    long frame unchanged."""
-    per_class = ovr_auc_per_class(df, class_col, y_true, score)
-    macro = per_class.agg(
+    One row out. Both sides derive from ONE per-(class, threshold) count
+    frame: macro runs the grouped scan, micro re-groups the same counts
+    by threshold alone (identical first exchange → ReusedExchange) and
+    computes ROC-AUC and AP in a single aggregation pass."""
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
+
+    per_score = _ovr_per_score(df, class_col, y_true, score)
+    macro = _per_class_auc(per_score, class_col).agg(
         F.avg("roc_auc").alias("roc_auc_macro"),
         F.avg("average_precision").alias("pr_auc_macro"),
     )
-    micro_roc = roc_auc_trapezoid(df, y_true, score).select(
-        F.col("roc_auc").alias("roc_auc_micro")
+    mper = per_score.groupBy("threshold").agg(
+        F.sum("pos").alias("pos"),
+        F.sum("neg").alias("neg"),
+        F.sum("cnt").alias("cnt"),
     )
-    micro_ap = average_precision(df, y_true, score).select(
-        F.col("average_precision").alias("pr_auc_micro")
+    mcum = global_cumsum(
+        mper, ["threshold"], ["pos", "neg", "cnt"], descending=True, with_totals=True
     )
-    return macro.crossJoin(F.broadcast(micro_roc)).crossJoin(F.broadcast(micro_ap))
+    ok = (F.col("tot_neg") > 0) & (F.col("tot_pos") > 0)
+    area, ap = _auc_ap_aggs(ok)
+    micro = mcum.agg(area.alias("roc_auc_micro"), ap.alias("pr_auc_micro"))
+    return macro.crossJoin(F.broadcast(micro))
 
 
 def weighted_log_loss(df: DataFrame, weight: str, p_true: str) -> DataFrame:
