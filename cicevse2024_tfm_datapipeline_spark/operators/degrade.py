@@ -147,6 +147,41 @@ def permute_feature_globally(
     )
 
 
+def permute_feature_hash(
+    df: DataFrame, value_col: str, id_col: str, seed: int
+) -> DataFrame:
+    """R5 hash twin: global permutation of one column keyed by
+    md5(seed|id) instead of seeded ``rand()`` — the permutation is a pure
+    function of row identity, so it is partition/order-independent AND
+    fully SQL-oracle-checkable (seeded rand() is neither: its draw order
+    depends on the physical partitioning).
+
+    Slot pairing: row side ranked by ``id_col``, value side ranked by
+    (md5 key, id); the join on the dense slot rank re-aligns each row
+    with a value drawn from a uniformly-shuffled order. Both ranks come
+    from the two-phase scan (operators.scan.global_row_number) — no
+    unpartitioned window; the slot join is a uniform unique-key
+    equi-join."""
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_row_number
+
+    key = F.md5(
+        F.concat_ws("|", F.lit(str(int(seed))), F.col("__vid").cast("string"))
+    )
+    rows = global_row_number(df, [id_col], "__slot")
+    vals = global_row_number(
+        df.select(F.col(value_col).alias("__pv"), F.col(id_col).alias("__vid"))
+        .withColumn("__pk", key),
+        ["__pk", "__vid"],
+        "__slot",
+    ).select("__slot", "__pv")
+    return (
+        rows.join(vals, "__slot")
+        .drop("__slot")
+        .withColumn(value_col, F.col("__pv"))
+        .drop("__pv")
+    )
+
+
 def degrade_windows_hash(
     df: DataFrame,
     matrix_col: str,

@@ -113,6 +113,34 @@ def token_count_bpe_ish_expr(text: Column | str) -> Column:
     )
 
 
+#: PII patterns, RE2-safe (no backrefs/lookaround) so Spark's Java regex
+#: and DuckDB's RE2 match identically. Ordered: redaction applies them in
+#: this sequence (email first — its local part may contain digits that
+#: would otherwise partially match the looser patterns).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+
+def pii_count_exprs(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (pure Column, runs in the scan stage)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return {kind: F.regexp_count(col, F.lit(pat)) for kind, pat in PII_PATTERNS}
+
+
+def redact_pii_expr(text: Column | str, token: str = "<PII>") -> Column:
+    """Replace every PII match with ``token``, kinds applied in the fixed
+    ``PII_PATTERNS`` order — the redaction pass an LLM corpus runs before
+    training. Chained ``regexp_replace`` (replace-all in Spark; the
+    DuckDB twin needs the 'g' flag)."""
+    col = F.col(text) if isinstance(text, str) else text
+    for _, pat in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return col
+
+
 def token_chunks_expr(tokens: Column, chunk_len: int = 8) -> Column:
     """Consecutive fixed-length token chunks (tail partial chunk dropped),
     each rendered back to a string — the unit for CCNet-style cross-

@@ -54,6 +54,8 @@ _PRIORITY = [
     "r_degrade_hash_clock_offset",
     "r_degrade_hash_drift",
     "s1_s3_csv_roundtrip",
+    "text_pii_redaction",
+    "r5_hash_permutation",
     "sim_ivf_topk",
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",

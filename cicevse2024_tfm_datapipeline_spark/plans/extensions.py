@@ -1326,3 +1326,128 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(tokens_expr("text"))).cast("long").alias("sum_tokens"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
+
+
+# --- PII detection / redaction (corpus-cleaning staple) ------------------
+
+def _pii_oracle() -> str:
+    from cicevse2024_tfm_datapipeline_spark.operators.text import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    sql = """
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                    || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR) || '.77' ELSE '' END
+               AS text
+        FROM documents
+    ),
+    enr AS (
+        SELECT source,
+               len(regexp_extract_all(text, '@EMAIL@')) AS e,
+               len(regexp_extract_all(text, '@PHONE@')) AS p,
+               len(regexp_extract_all(text, '@IPV4@')) AS i,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '@EMAIL@', '<PII>', 'g'),
+                   '@PHONE@', '<PII>', 'g'),
+                   '@IPV4@', '<PII>', 'g') AS red
+        FROM seeded
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(p) AS BIGINT) AS n_phones,
+           CAST(sum(i) AS BIGINT) AS n_ipv4,
+           CAST(sum(len(regexp_extract_all(red, '@EMAIL@'))
+                  + len(regexp_extract_all(red, '@PHONE@'))
+                  + len(regexp_extract_all(red, '@IPV4@'))) AS BIGINT)
+               AS residual_after_redact,
+           CAST(sum(len(red)) AS BIGINT) AS redacted_chars
+    FROM enr GROUP BY source
+    """
+    return (
+        sql.replace("@EMAIL@", pats["email"])
+        .replace("@PHONE@", pats["phone"])
+        .replace("@IPV4@", pats["ipv4"])
+    )
+
+
+@register(
+    "text_pii_redaction",
+    oracle=_pii_oracle(),
+    doc="PII detection + redaction over the corpus, ORACLE-CHECKED: "
+    "email/phone/IPv4 patterns (RE2-safe, identical under Java regex and "
+    "RE2) counted with regexp_count and stripped with chained "
+    "regexp_replace (operators.text.redact_pii_expr). Deterministic "
+    "synthetic PII is spliced into the documents as a function of doc_id "
+    "so both engines score the same planted set; residual_after_redact "
+    "proves the redacted text is clean. Pure scan-stage Column "
+    "expressions — zero shuffles before the per-source rollup.",
+    tags=("text", "pii"),
+)
+def text_pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.text import (
+        pii_count_exprs,
+        redact_pii_expr,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(
+            sid % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), sid.cast("string"), F.lit("@example.com now")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            sid % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((sid % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            sid % 7 == 0,
+            F.concat(F.lit(" from 10.0."), (sid % 256).cast("string"), F.lit(".77")),
+        ).otherwise(F.lit("")),
+    )
+    seeded = docs.select("doc_id", "source", seeded_text.alias("text"))
+    counts = pii_count_exprs("text")
+    enr = seeded.select(
+        "source",
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
+        redact_pii_expr("text").alias("red"),
+    )
+    rcounts = pii_count_exprs("red")
+    residual = rcounts["email"] + rcounts["phone"] + rcounts["ipv4"]
+    return (
+        enr.select(
+            "source", "e", "p", "i",
+            residual.alias("resid"),
+            F.length("red").alias("rlen"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(((F.col("e") + F.col("p") + F.col("i")) > 0).cast("long"))
+            .cast("long")
+            .alias("docs_with_pii"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("p").cast("long").alias("n_phones"),
+            F.sum("i").cast("long").alias("n_ipv4"),
+            F.sum("resid").cast("long").alias("residual_after_redact"),
+            F.sum("rlen").cast("long").alias("redacted_chars"),
+        )
+    )

@@ -478,6 +478,54 @@ def r5_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r5_hash_permutation",
+    oracle="""
+    WITH a AS (
+        SELECT event_id, event_type,
+               row_number() OVER (ORDER BY event_id) AS slot
+        FROM events
+    ),
+    b AS (
+        SELECT value AS pv,
+               row_number() OVER (
+                   ORDER BY md5('17|' || CAST(event_id AS VARCHAR)), event_id
+               ) AS slot
+        FROM events
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(b.pv) AS BIGINT)) AS BIGINT) AS sum_floor_perm,
+           CAST(sum(CAST(floor(b.pv) AS BIGINT) * (a.event_id % 97)) AS BIGINT)
+               AS pair_checksum
+    FROM a JOIN b USING (slot)
+    GROUP BY a.event_type
+    """,
+    doc="R5 hash twin, ORACLE-CHECKED end to end: global value "
+    "permutation keyed by md5(seed|id) instead of seeded rand() — the "
+    "permutation is a pure function of row identity, so it reproduces on "
+    "any partitioning and ANY engine (operators.degrade."
+    "permute_feature_hash). Both rank sides run the two-phase scan; the "
+    "integer pair-checksum per event_type pins the exact row↔value "
+    "re-pairing, not just the preserved multiset.",
+    tags=("R5", "hash"),
+)
+def r5_hash_permutation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import (
+        permute_feature_hash,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    perm = permute_feature_hash(ev, "value", "event_id", seed=17)
+    return perm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor("value").cast("long")).cast("long").alias("sum_floor_perm"),
+        F.sum(F.floor("value").cast("long") * (F.col("event_id") % 97))
+        .cast("long")
+        .alias("pair_checksum"),
+    )
+
+
+@register(
     "p6_p7_schema_profile",
     oracle="""
     SELECT 'l_quantity' AS column_name, count(DISTINCT l_quantity) AS n_distinct,

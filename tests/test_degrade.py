@@ -133,3 +133,64 @@ def test_hash_drift_adds_linear_ramps(spark):
         coef = diff[T - 1]
         for t_ in range(T):
             assert np.allclose(diff[t_], coef * t_ / (T - 1), atol=1e-12), t_
+
+
+def test_hash_permutation_matches_reference_pairing(spark):
+    """permute_feature_hash = value at the row's id-rank drawn from the
+    md5-key order — verify against a driver-side recomputation."""
+    import hashlib
+
+    from cicevse2024_tfm_datapipeline_spark.operators.degrade import (
+        permute_feature_hash,
+    )
+
+    rows = [(i, float(i * 7 % 13)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["rid", "v"])
+    out = permute_feature_hash(df, "v", "rid", seed=17)
+    got = {r["rid"]: r["v"] for r in out.collect()}
+
+    by_id = sorted(rows)
+    by_key = sorted(rows, key=lambda r: (hashlib.md5(f"17|{r[0]}".encode()).hexdigest(), r[0]))
+    want = {rid: by_key[slot][1] for slot, (rid, _) in enumerate(by_id)}
+    assert got == want
+
+    # partition-independent + multiset-preserving
+    again = permute_feature_hash(df.repartition(7), "v", "rid", seed=17)
+    assert {r["rid"]: r["v"] for r in again.collect()} == want
+    assert sorted(got.values()) == sorted(v for _, v in rows)
+
+
+def test_pii_redaction_counts_and_cleans(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.text import (
+        pii_count_exprs,
+        redact_pii_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "write to bob@example.org or call 555-123-4567 today"),
+            (1, "server at 10.1.2.3 rebooted"),
+            (2, "no sensitive content here"),
+            (3, "two mails: a@b.io c.d@e-f.com and 1.2.3.4"),
+        ],
+        ["rid", "text"],
+    )
+    counts = pii_count_exprs("text")
+    red = redact_pii_expr("text")
+    rcounts = pii_count_exprs("red")
+    out = df.select(
+        "rid",
+        counts["email"].alias("e"),
+        counts["phone"].alias("p"),
+        counts["ipv4"].alias("i"),
+        red.alias("red"),
+    ).select("rid", "e", "p", "i", "red", *[rcounts[k].alias(f"r_{k}") for k in ("email", "phone", "ipv4")])
+    rows = {r["rid"]: r for r in out.collect()}
+    assert (rows[0]["e"], rows[0]["p"], rows[0]["i"]) == (1, 1, 0)
+    assert (rows[1]["e"], rows[1]["p"], rows[1]["i"]) == (0, 0, 1)
+    assert (rows[2]["e"], rows[2]["p"], rows[2]["i"]) == (0, 0, 0)
+    assert (rows[3]["e"], rows[3]["i"]) == (2, 1)
+    for r in rows.values():
+        assert r["r_email"] == r["r_phone"] == r["r_ipv4"] == 0
+    assert "<PII>" in rows[0]["red"] and "bob@example.org" not in rows[0]["red"]
+    assert rows[2]["red"] == "no sensitive content here"
