@@ -138,3 +138,29 @@ def test_no_rowwise_python_udf_in_relational_queries(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_no_python_rdd_scan_in_oracle_queries(spark):
+    """Tiny lookup/dimension tables must be JVM literal relations
+    (functions.literals.literal_df), never spark.createDataFrame: the
+    Python-RDD path (`Scan ExistingRDD` via applySchemaToPythonRDD)
+    launches Python workers inside the query and hides the relation from
+    Catalyst (unknown partitioning, no constant folding). Measured cost:
+    ~2s of a 3s query at sf0.1.
+
+    JVM-side ExistingRDD scans from localCheckpoint (lineage truncation
+    in the connected-components fixpoint) are fine — only the
+    applySchemaToPythonRDD marker is the Python path."""
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    offenders = []
+    for name, q in load_all().items():
+        if q.oracle is None:
+            continue
+        df = q.spark(spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        if "applySchemaToPythonRDD" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
