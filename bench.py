@@ -42,6 +42,8 @@ HEADLINE = [
     "pack_concat_chunks",
     "a11_multiclass_auc",
     "pipeline_corpus_prep",
+    "text_pii_redaction",
+    "r5_hash_permutation",
 ]
 
 
