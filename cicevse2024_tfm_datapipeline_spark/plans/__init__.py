@@ -56,6 +56,7 @@ _PRIORITY = [
     "s1_s3_csv_roundtrip",
     "text_pii_redaction",
     "r5_hash_permutation",
+    "j_bucketed_smb_join",
     "sim_ivf_topk",
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",

@@ -207,3 +207,54 @@ def j_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "j_bucketed_smb_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Storage-level co-located join: both sides written as BUCKETED "
+    "tables on the join key (sources/bucketing.write_bucketed, 8 buckets, "
+    "sorted) then sort-merge-joined — the bucket layout satisfies the "
+    "join's distribution requirement, so NEITHER side shuffles "
+    "(plan-contract test asserts zero Exchanges under the join). This is "
+    "the recurring fact-fact join answer at 100 TB: pay the shuffle once "
+    "at write time, never again per query. Oracle = the plain join.",
+    tags=("J", "bucketing", "smb"),
+)
+def j_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from cicevse2024_tfm_datapipeline_spark.plans.rows_only import SCRATCH
+    from cicevse2024_tfm_datapipeline_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    write_bucketed(
+        orders, "bkt_orders", "o_custkey", n_buckets=8,
+        path=os.path.join(SCRATCH, "bkt_orders"),
+    )
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "bkt_customer", "o_custkey", n_buckets=8,
+        path=os.path.join(SCRATCH, "bkt_customer"),
+    )
+    # hint the LEFT INPUT (a post-join hint would let the planner pick a
+    # broadcast join and hide the bucket layout entirely)
+    joined = spark.table("bkt_orders").hint("merge").join(
+        spark.table("bkt_customer"), "o_custkey"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        pround(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

@@ -21,20 +21,30 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 64,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
+    """With ``path``, the table is external (bucket metadata still lives
+    in the session catalog — buckets are a table property, not a
+    parquet-file property); without it, it lands in the warehouse dir."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a stale managed-table location (e.g. from a previous session whose
+    # a stale table location (e.g. from a previous session whose
     # metastore is gone) blocks CTAS — clear it
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     import shutil
     from urllib.parse import urlparse
 
-    loc = urlparse(warehouse).path or warehouse
-    shutil.rmtree(f"{loc.rstrip('/')}/{table.lower()}", ignore_errors=True)
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = urlparse(warehouse).path or warehouse
+        target = f"{loc.rstrip('/')}/{table.lower()}"
+    else:
+        target = urlparse(path).path or path
+    shutil.rmtree(target, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         writer = writer.sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

@@ -164,3 +164,15 @@ def test_no_python_rdd_scan_in_oracle_queries(spark):
         if "applySchemaToPythonRDD" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_bucketed_smb_join_has_no_join_side_exchange(spark):
+    """Bucketed tables must satisfy the SMJ distribution requirement from
+    storage: no Exchange may appear below the SortMergeJoin (the only
+    shuffle allowed is the final aggregation's)."""
+    plan = _plan(spark, "j_bucketed_smb_join")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    join_pos = tree.index("SortMergeJoin")
+    below = tree[join_pos:]
+    assert "Exchange" not in below, below
