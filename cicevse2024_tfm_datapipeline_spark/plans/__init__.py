@@ -57,6 +57,7 @@ _PRIORITY = [
     "text_pii_redaction",
     "r5_hash_permutation",
     "j_bucketed_smb_join",
+    "s9_partitioned_lake_roundtrip",
     "sim_ivf_topk",
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",

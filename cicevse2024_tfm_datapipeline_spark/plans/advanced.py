@@ -258,3 +258,40 @@ def j_bucketed_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").cast("long").alias("n_customers"),
         pround(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "s9_partitioned_lake_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    WHERE source IN ('src1', 'src3')
+    GROUP BY source
+    """,
+    doc="Hive-style partitioned lake roundtrip: documents written with "
+    "partitionBy(source), then read back with a partition predicate — "
+    "the scan must list ONLY the two matching directories "
+    "(plan-contract test asserts the predicate lands in PartitionFilters, "
+    "not a post-scan Filter). This is the 100 TB layout answer for "
+    "by-source / by-language corpus slicing: selection cost scales with "
+    "the selected partitions, not the corpus. Oracle recomputes from the "
+    "unpartitioned table.",
+    tags=("S", "partitioning", "sink"),
+)
+def s9_partitioned_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from cicevse2024_tfm_datapipeline_spark.plans.rows_only import SCRATCH
+
+    lake = os.path.join(SCRATCH, "docs_lake")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    docs.write.mode("overwrite").partitionBy("source").parquet(lake)
+    back = spark.read.parquet(lake).filter(F.col("source").isin("src1", "src3"))
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )

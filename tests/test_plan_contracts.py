@@ -176,3 +176,10 @@ def test_bucketed_smb_join_has_no_join_side_exchange(spark):
     join_pos = tree.index("SortMergeJoin")
     below = tree[join_pos:]
     assert "Exchange" not in below, below
+
+
+def test_partitioned_lake_scan_prunes_partitions(spark):
+    """The source predicate must be a PartitionFilter on the lake scan
+    (directory pruning), not a row-level filter after a full read."""
+    plan = _plan(spark, "s9_partitioned_lake_roundtrip")
+    assert re.search(r"PartitionFilters: \[[^\]]*source[^\]]*IN \(src1,src3\)", plan), plan[-2000:]
