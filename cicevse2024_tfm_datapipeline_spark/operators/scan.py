@@ -205,3 +205,41 @@ def global_row_number(
         df.withColumn("__one", F.lit(1)), order_cols, ["__one"], descending
     )
     return cum.withColumnRenamed("cum___one", out_col).drop("__one")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    descending: bool = False,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY ...)`` with no unpartitioned window:
+    exact SQL NTILE semantics (the first ``total % n`` tiles get the
+    extra row) derived arithmetically from the two-phase global row
+    number and the grand total — one range shuffle, same as any other
+    global scan here. Order should be total (add a tiebreak column).
+
+    This is the curriculum/decile-binning primitive: rank a corpus by a
+    quality score and cut it into equal-population bins at any scale."""
+    cum = global_cumsum(
+        df.withColumn("__one", F.lit(1)),
+        order_cols,
+        ["__one"],
+        descending,
+        with_totals=True,
+    )
+    rn = F.col("cum___one")
+    total = F.col("tot___one")
+    q = F.floor(total / F.lit(n_tiles))
+    r = total % F.lit(n_tiles)
+    cut = (q + F.lit(1)) * r
+    # q can be 0 only when every row falls in the first branch (total < n);
+    # greatest() keeps the dead branch division ANSI-safe
+    tile = F.when(rn <= cut, F.floor((rn - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rn - 1 - cut) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        cum.withColumn(out_col, tile.cast("int"))
+        .drop("__one", "cum___one", "tot___one")
+    )

@@ -58,6 +58,7 @@ _PRIORITY = [
     "r5_hash_permutation",
     "j_bucketed_smb_join",
     "s9_partitioned_lake_roundtrip",
+    "w_quality_decile_curriculum",
     "sim_ivf_topk",
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",

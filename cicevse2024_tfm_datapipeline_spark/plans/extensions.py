@@ -1451,3 +1451,51 @@ def text_pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rlen").cast("long").alias("redacted_chars"),
         )
     )
+
+
+@register(
+    "w_quality_decile_curriculum",
+    oracle=f"""
+    WITH toksd AS (SELECT doc_id, text, n_chars, {_TOKS} AS toks FROM documents),
+    scored AS (
+        SELECT doc_id, len(toks) AS n_toks, round({_QUALITY_SQL}, 6) AS q
+        FROM toksd
+    ),
+    tiled AS (
+        SELECT *, ntile(10) OVER (ORDER BY q DESC, doc_id ASC) AS decile
+        FROM scored
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(q), 6) AS avg_quality,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM tiled GROUP BY decile
+    """,
+    doc="Curriculum / quality-decile binning: rank the corpus by quality "
+    "score and cut into 10 equal-population bins with EXACT SQL NTILE "
+    "semantics — via operators.scan.global_ntile (two-phase row number + "
+    "grand total; arithmetic tile assignment), so no unpartitioned "
+    "window at any corpus size. The per-decile token/identity sums pin "
+    "exact bin membership against DuckDB's native ntile(10). This is "
+    "the data-ordering step of curriculum training and the scalable "
+    "form of quantile-bucketed quality analysis.",
+    tags=("text", "quality", "curriculum", "scan"),
+)
+def w_quality_decile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_ntile
+
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        pround(quality_score_expr(F.col("text"), toks), 6).alias("q"),
+    ).withColumn("__negq", -F.col("q"))
+    tiled = global_ntile(scored, ["__negq", "doc_id"], 10, out_col="decile")
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        pround(F.avg("q"), 6).alias("avg_quality"),
+        F.sum("n_toks").cast("long").alias("sum_tokens"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )

@@ -117,3 +117,25 @@ def test_grouped_cumsum_matches_partitioned_window(spark, seed, n, parts):
             ).collect()
         }
         assert got == want, descending
+
+
+@pytest.mark.parametrize("total,n", [(23, 10), (30, 10), (7, 10), (100, 7)])
+def test_global_ntile_matches_sql_semantics(spark, total, n):
+    """Exact NTILE: first (total % n) tiles get ceil(total/n) rows, the
+    rest floor(total/n); assignment follows the global order."""
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_ntile
+
+    df = spark.range(total).select(F.col("id").alias("k"))
+    out = global_ntile(df.repartition(5), ["k"], n, out_col="tile")
+    got = {r["k"]: r["tile"] for r in out.collect()}
+
+    q, r = divmod(total, n)
+    want = {}
+    pos = 0
+    for tile in range(1, n + 1):
+        size = q + (1 if tile <= r else 0)
+        for _ in range(size):
+            if pos < total:
+                want[pos] = tile
+                pos += 1
+    assert got == want
