@@ -59,6 +59,7 @@ _PRIORITY = [
     "j_bucketed_smb_join",
     "s9_partitioned_lake_roundtrip",
     "w_quality_decile_curriculum",
+    "text_unigram_lm_scores",
     "sim_ivf_topk",
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",

@@ -1499,3 +1499,52 @@ def w_quality_decile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("long").alias("sum_tokens"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
+
+
+@register(
+    "text_unigram_lm_scores",
+    oracle=f"""
+    WITH toksd AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, source, unnest(toks) AS w FROM toksd),
+    vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    doc_scores AS (
+        SELECT t.doc_id, t.source, avg(ln(v.c * 1.0 / tot.n)) AS lp
+        FROM tok t JOIN vocab v USING (w) CROSS JOIN tot
+        GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(-lp), 6) AS avg_doc_nll,
+           round(min(-lp), 6) AS min_doc_nll,
+           round(max(-lp), 6) AS max_doc_nll
+    FROM doc_scores GROUP BY source
+    """,
+    doc="Unigram corpus LM scoring (the CCNet-style perplexity-proxy "
+    "quality signal): token frequencies over the whole corpus define "
+    "P(w); each document scores avg -ln P(w), rolled up per source. "
+    "Shape at 100 TB: one token-count groupBy (map-side combined), one "
+    "token equi-join — the Zipf-skewed key join AQE's skew splitting "
+    "exists for (or broadcast the vocab under a top-V cap), then "
+    "uniform per-doc aggregation. Grand total rides a 1-row broadcast.",
+    tags=("text", "quality", "lm"),
+)
+def text_unigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens_expr("text")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").alias("n"))
+    lp = (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "source", F.log(F.col("c") / F.col("n")).alias("lp"))
+    )
+    doc_scores = lp.groupBy("doc_id", "source").agg(F.avg("lp").alias("lp"))
+    return doc_scores.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        pround(F.avg(-F.col("lp")), 6).alias("avg_doc_nll"),
+        pround(F.min(-F.col("lp")), 6).alias("min_doc_nll"),
+        pround(F.max(-F.col("lp")), 6).alias("max_doc_nll"),
+    )
