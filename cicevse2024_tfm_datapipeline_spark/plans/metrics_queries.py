@@ -687,15 +687,27 @@ def a_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # two separate 1-row aggregations joined by broadcast: mixing the
+    # exact-distinct pair (Expand-planned) with the imperative sketch /
+    # percentile buffers in ONE agg makes every expanded row carry every
+    # buffer — it OOMs a default-memory session at sf0.1. Split, each
+    # aggregate keeps its own memory profile and no Expand touches the
+    # percentile maps.
+    distincts = li.agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+    sketches = li.agg(
+        # rsd 0.01: the checked 5% bound is then a 5-sigma contract (the
+        # default rsd 0.05 makes 5% a 1-sigma coin flip — it failed at
+        # sf0.001), and HLL++ sparse mode is near-exact at small counts
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx_median"),
         F.percentile("l_extendedprice", 0.4).alias("p40"),
         F.percentile("l_extendedprice", 0.6).alias("p60"),
     )
+    agg = distincts.crossJoin(F.broadcast(sketches))
     rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.col(e)  # noqa: E731
     return agg.select(
         F.col("exact_orders").cast("long").alias("exact_orders"),
