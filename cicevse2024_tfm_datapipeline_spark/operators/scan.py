@@ -38,13 +38,45 @@ def _ordering(order_cols: Sequence[str], descending: bool) -> list[Column]:
     return [F.col(c).desc() if descending else F.col(c).asc() for c in order_cols]
 
 
+def _n_range_parts(df: DataFrame) -> int:
+    """Explicit partition count for the range exchange. An UNPINNED
+    repartitionByRange is fair game for AQE partition coalescing; pinning
+    the count keeps the exchange non-optimizable and the bucket count
+    predictable."""
+    try:
+        return max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        return 200
+
+
+def _pin_buckets(bucketed: DataFrame) -> DataFrame:
+    """Materialize the bucketed frame ONCE (lazy local checkpoint).
+
+    The scan's correctness requires every consumer (the per-partition
+    window pass, the totals pass, the offsets branch) to see the
+    IDENTICAL row→partition mapping. Leaving that to exchange/stage
+    reuse is fragile: when the planner re-executes the range exchange
+    per branch, each execution re-SAMPLES its own partition bounds
+    (RangePartitioner seeds by RDD id), boundary rows migrate between
+    partitions, and spark_partition_id() disagrees across branches —
+    observed at sf0.1 as a silently corrupted permutation (an inner
+    join on derived ranks dropping a handful of rows, varying run to
+    run). The lazy localCheckpoint freezes the physical partitioning:
+    one materialization, every branch reads the same partitions. It
+    also removes the former 3x re-execution of the child subtree —
+    the price is one persisted copy of the scan input (the standard
+    cost of a multi-consumer pass; lineage is truncated like the
+    connected-components fixpoint already does)."""
+    return bucketed.localCheckpoint(eager=False)
+
+
 def range_bucketed(df: DataFrame, order_cols: Sequence[str], descending: bool = False) -> DataFrame:
     """Range-repartition on the scan order and tag each row with its
     partition id. Because range partitions are contiguous and ordered,
     ``PID`` is monotone in the scan order — the bucket key for phase-2
     windows and the join key for prefix offsets."""
-    rp = df.repartitionByRange(*_ordering(order_cols, descending))
-    return rp.withColumn(PID, F.spark_partition_id())
+    rp = df.repartitionByRange(_n_range_parts(df), *_ordering(order_cols, descending))
+    return _pin_buckets(rp.withColumn(PID, F.spark_partition_id()))
 
 
 def offsets_from_totals(totals: DataFrame, tot_cols: Sequence[str], prefix: str = "__off_") -> DataFrame:
@@ -88,10 +120,10 @@ def global_cumsum(
     unboundedPreceding, 0))`` but with no unpartitioned window: per-range-
     partition cumsums plus broadcast prefix offsets.
 
-    Cost model: the offsets branch re-executes the (column-pruned,
-    map-side-combined) input aggregation once — the price of staying a
-    fully lazy plan without caching. That second pass scans only the
-    order/sum columns and shuffles |partitions| rows; the data-sized
+    Cost model: the bucketed frame is lazily checkpointed (see
+    ``_pin_buckets`` — required for correctness, not just speed), so the
+    input subtree executes once and every branch (window pass, totals,
+    offsets) reads the same materialized partitions; the data-sized
     shuffle happens exactly once (the range exchange).
     """
     bucketed = range_bucketed(df, order_cols, descending)
@@ -146,9 +178,11 @@ def grouped_cumsum(
     """
     gcols = list(group_cols)
     rp = df.repartitionByRange(
-        *[F.col(c).asc() for c in gcols], *_ordering(order_cols, descending)
+        _n_range_parts(df),
+        *[F.col(c).asc() for c in gcols],
+        *_ordering(order_cols, descending),
     )
-    bucketed = rp.withColumn(PID, F.spark_partition_id())
+    bucketed = _pin_buckets(rp.withColumn(PID, F.spark_partition_id()))
     w = (
         W.partitionBy(PID, *gcols)
         .orderBy(*_ordering(order_cols, descending))
