@@ -139,3 +139,26 @@ def test_global_ntile_matches_sql_semantics(spark, total, n):
                 want[pos] = tile
                 pos += 1
     assert got == want
+
+
+def test_bucketed_frame_is_pinned_and_ranks_are_a_permutation(spark):
+    """Regression: the scan's branches must share ONE materialization of
+    the bucketed frame. Without the lazy localCheckpoint pin, re-executed
+    range exchanges re-sample their partition bounds and the derived
+    global ranks corrupt at partition boundaries (seen at sf0.1). The
+    checkpoint shows up as an ExistingRDD scan; the rank output must be
+    exactly the permutation 1..N on a hash-shaped (string) order key."""
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_row_number
+
+    n = 20000
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        F.md5(F.col("id").cast("string")).alias("k"),
+    )
+    out = global_row_number(df, ["k", "rid"], "__rn")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "ExistingRDD" in plan, "bucketed frame no longer pinned (localCheckpoint)"
+    got = sorted(r["__rn"] for r in out.collect())
+    assert got == list(range(1, n + 1))
