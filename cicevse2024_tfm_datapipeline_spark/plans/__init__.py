@@ -60,6 +60,8 @@ _PRIORITY = [
     "s9_partitioned_lake_roundtrip",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
+    "text_vocab_oov_rate",
+    "w_topk_per_group",
     "sim_ivf_topk",
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",

@@ -1548,3 +1548,80 @@ def text_unigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min(-F.col("lp")), 6).alias("min_doc_nll"),
         pround(F.max(-F.col("lp")), 6).alias("max_doc_nll"),
     )
+
+
+@register(
+    "text_vocab_oov_rate",
+    oracle=f"""
+    WITH toksd AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, source, unnest(toks) AS w FROM toksd),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM tok GROUP BY w
+            ORDER BY c DESC, w ASC LIMIT 500
+        )
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.source
+    """,
+    doc="Tokenizer-vocabulary coverage: build the top-500 corpus "
+    "vocabulary (frequency desc, token asc tiebreak — deterministic) "
+    "and measure each source's out-of-vocabulary token rate — the "
+    "coverage check run before committing to a tokenizer. The vocab is "
+    "a TakeOrderedAndProject (bounded V), broadcast into a left join "
+    "against the token stream; the only data-sized shuffle is the "
+    "map-side-combined token count.",
+    tags=("text", "vocab"),
+)
+def text_vocab_oov_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(tokens_expr("text")).alias("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(500)
+        .select("w", F.lit(True).alias("__in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "w", "left")
+    oov = F.col("__in_vocab").isNull().cast("long")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        pround(F.sum(oov) / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
+
+
+@register(
+    "w_topk_per_group",
+    oracle="""
+    SELECT source, doc_id, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+    """,
+    doc="Per-group top-K (3 longest documents per source): the "
+    "partitioned row_number rank — one shuffle on the group key, "
+    "deterministic doc_id tiebreak. The grouped counterpart of W8's "
+    "global TakeOrderedAndProject top-K.",
+    tags=("W8", "topk"),
+)
+def w_topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    win = W.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
