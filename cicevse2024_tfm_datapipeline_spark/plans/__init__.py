@@ -52,6 +52,7 @@ _PRIORITY = [
     "stream_stateful_episodes",
     "stream_dedup_union",
     "stream_static_join",
+    "stream_sink_partitioned_lake",
     # --- block 3: new or re-planned this round ---
     "a11_ovr_auc_per_class",
     "a11_multiclass_auc",

@@ -1229,3 +1229,49 @@ def f14_sanitize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("global.f1_macro").isNull().cast("long")).alias("n_null_f1"),
         pround(F.sum("global.accuracy"), 2).alias("sum_acc_non_null"),
     )
+
+
+@register(
+    "stream_sink_partitioned_lake",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Streaming FILE SINK roundtrip: the events stream written with "
+    "writeStream.partitionBy(event_type) into a Hive-partitioned parquet "
+    "lake under an exactly-once checkpoint (availableNow trigger), then "
+    "read back batch-side and aggregated — the persistent-sink "
+    "complement of the memory-sink streaming queries, and the shape of "
+    "a production bronze-layer ingest. Oracle is the batch aggregation "
+    "over the same source, so any loss/duplication in the sink path "
+    "breaks the hash.",
+    tags=("streaming", "S", "sink"),
+)
+def stream_sink_partitioned_lake_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    out = os.path.join(SCRATCH, "stream_lake")
+    chk = os.path.join(SCRATCH, "stream_lake_chk")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(chk, ignore_errors=True)
+    stream = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .partitionBy("event_type")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )
