@@ -68,6 +68,7 @@ _PRIORITY = [
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",
     "w_topk_per_group",
+    "a_cube_pricing_rollup",
     "sim_ivf_topk",
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",

@@ -855,3 +855,44 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         pround(F.sum("l_quantity"), 2).alias("qty_sum"),
     )
+
+
+@register(
+    "a_cube_pricing_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '__all__') AS returnflag_group,
+           coalesce(l_linestatus, '__all__') AS linestatus_group,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregation: all four grouping levels of "
+    "(returnflag, linestatus) — per-cell, each margin, and the grand "
+    "total — in ONE pass (the multi-level report the reference computes "
+    "with a manual per-state loop, pipeline_trainingmodels_power.py:"
+    "233-311, generalized). Spark expands the grouping sets map-side; "
+    "one shuffle regardless of level count. Verified against DuckDB's "
+    "native GROUP BY CUBE.",
+    tags=("A", "cube"),
+)
+def a_cube_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("__all__")).alias("returnflag_group"),
+            F.coalesce("l_linestatus", F.lit("__all__")).alias("linestatus_group"),
+            "n_rows",
+            "sum_price",
+            "sum_qty",
+        )
+    )
