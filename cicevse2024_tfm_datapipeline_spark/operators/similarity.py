@@ -132,20 +132,60 @@ def near_dup_pairs_cosine(
     )
 
 
+def fixed_centroid_rows(
+    n_cells: int, dim: int, tag: str = "ivfc"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid fixture, computed driver-side: cell c, dim d
+    → md5-uniform mapped to [−1, 1). Bit-identical to the SQL expression
+    ``cast(conv(substr(md5(tag|c|d), 1, 8), 16, 10) as bigint) /
+    4294967296.0 * 2.0 - 1.0`` (both are the first 32 md5 bits divided by
+    2^32 in IEEE doubles), so IVF built on these stays fully
+    SQL-oracle-checkable while the fixture itself costs zero Spark jobs."""
+    import hashlib
+
+    return [
+        (
+            c,
+            [
+                int(
+                    hashlib.md5(f"{tag}|{c}|{d}".encode()).hexdigest()[:8], 16
+                )
+                / 4294967296.0
+                * 2.0
+                - 1.0
+                for d in range(dim)
+            ],
+        )
+        for c in range(n_cells)
+    ]
+
+
 def fixed_centroids(spark, n_cells: int, dim: int, tag: str = "ivfc") -> DataFrame:
-    """Deterministic centroid fixture: cell c, dim d → md5-uniform mapped
-    to [−1, 1). Stands in for an offline quantizer build where one isn't
-    available — the values are a pure function of (tag, c, d) that any
-    engine computes identically, so IVF built on these is fully
-    SQL-oracle-checkable."""
-    return spark.range(n_cells).select(
-        F.col("id").cast("int").alias("cell"),
-        F.expr(
-            f"transform(sequence(0, {dim - 1}), d -> "
-            f"(cast(conv(substr(md5(concat('{tag}|', cast(id as string), '|', "
-            f"cast(d as string))), 1, 8), 16, 10) as bigint) / 4294967296.0) "
-            f"* 2.0d - 1.0d)"
-        ).alias("centroid"),
+    """DataFrame view of :func:`fixed_centroid_rows` (JVM literal relation
+    — no Python-RDD path, no md5 expressions to re-evaluate per use)."""
+    return literal_df(
+        spark,
+        fixed_centroid_rows(n_cells, dim, tag),
+        schema="cell int, centroid array<double>",
+    )
+
+
+def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """Inline a small centroid table as a literal array<struct<cell,
+    centroid>> column. Foldable constant — assignment/probing become a
+    pure per-row projection: no centroid subplan, no broadcast exchange,
+    no extra jobs. Only for small quantizers (the caller gates on size);
+    large centroid tables go through the broadcast-join path."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).cast("int").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in v])
+                .cast("array<double>")
+                .alias("centroid"),
+            )
+            for c, v in cent_rows
+        ]
     )
 
 
@@ -172,6 +212,7 @@ def ivf_topk(
     nprobe: int = 2,
     seed: int = 7,
     centroids: DataFrame | None = None,
+    centroid_rows: list[tuple[int, list[float]]] | None = None,
     fit_frac: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer
@@ -195,7 +236,8 @@ def ivf_topk(
     raw = embeddings.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
     )
-    if centroids is None:
+    cent_rows = list(centroid_rows) if centroid_rows is not None else None
+    if cent_rows is None and centroids is None:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -228,20 +270,35 @@ def ivf_topk(
         cent_rows = [
             (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
-        cent_df = literal_df(
-            embeddings.sparkSession, cent_rows, schema="cell int, centroid array<double>"
-        )
-    else:
-        cent_df = centroids.select("cell", "centroid")
 
-    # centroid table → one literal-sized array column, broadcast to every
-    # row (1-row cross join); argmin/probe-order via array expressions
-    cent_arr = cent_df.agg(
-        F.collect_list(F.struct("cell", "centroid")).alias("__cents")
-    )
+    if cent_rows is not None and sum(len(v) for _, v in cent_rows) <= 8192:
+        # small quantizer → inline literal: zero centroid jobs, zero
+        # broadcast exchanges; assignment is a pure per-row projection
+        cents_lit = _centroid_literal(cent_rows)
+
+        def with_cents(df: DataFrame) -> DataFrame:
+            return df.withColumn("__cents", cents_lit)
+
+    else:
+        # large quantizer (real IVF cell counts) → centroid relation,
+        # collapsed to one literal-sized array row and broadcast
+        if cent_rows is not None:
+            cent_df = literal_df(
+                embeddings.sparkSession,
+                cent_rows,
+                schema="cell int, centroid array<double>",
+            )
+        else:
+            cent_df = centroids.select("cell", "centroid")
+        cent_arr = cent_df.agg(
+            F.collect_list(F.struct("cell", "centroid")).alias("__cents")
+        )
+
+        def with_cents(df: DataFrame) -> DataFrame:
+            return df.crossJoin(F.broadcast(cent_arr))
+
     assigned = (
-        ensure_min_parallelism(raw)
-        .crossJoin(F.broadcast(cent_arr))
+        with_cents(ensure_min_parallelism(raw))
         .withColumn("cell", F.expr(f"array_min({_cell_dist_structs('cv', '__cents')}).cell"))
         .select("neighbor_id", "cv", "cell")
     )
@@ -250,7 +307,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
     )
     probes = (
-        q.crossJoin(F.broadcast(cent_arr))
+        with_cents(q)
         .withColumn(
             "cell",
             F.explode(

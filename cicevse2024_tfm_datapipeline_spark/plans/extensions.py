@@ -832,7 +832,7 @@ _IVF_SQDIST = (
                list_transform(range(0, 64), d ->
                    (('0x' || substr(md5('ivfc|' || CAST(r.range AS VARCHAR)
                         || '|' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
-                    / 4294967296.0) * 2.0 - 1.0) AS centroid
+                    / CAST(4294967296.0 AS DOUBLE)) * 2.0 - 1.0) AS centroid
         FROM range(0, 8) r
     ),
     adist AS (
@@ -899,13 +899,20 @@ _IVF_SQDIST = (
     tags=("similarity", "ann"),
 )
 def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cicevse2024_tfm_datapipeline_spark.operators.similarity import fixed_centroids
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        fixed_centroid_rows,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    cents = fixed_centroids(spark, 8, 64)
     out = ivf_topk(
-        emb, queries, "vec_id", "embedding", k=3, nprobe=2, centroids=cents
+        emb,
+        queries,
+        "vec_id",
+        "embedding",
+        k=3,
+        nprobe=2,
+        centroid_rows=fixed_centroid_rows(8, 64),
     )
     exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=3).select(
         "query_id", "neighbor_id", F.lit(1).alias("__hit")

@@ -84,3 +84,46 @@ def test_ivf_topk_recall_and_determinism(spark):
         emb, queries, "vec_id", "embedding", k=3, n_clusters=8, nprobe=2, seed=7
     )
     assert {(r["query_id"], r["neighbor_id"]) for r in again.collect()} == got
+
+
+def test_fixed_centroid_rows_bit_exact_and_paths_agree(spark):
+    """The driver-side centroid fixture must be bit-identical to the
+    engine-side formula (first 32 md5 bits / 2^32 in IEEE doubles), and
+    the inline-literal fast path must produce exactly the same result as
+    the broadcast-join path over the same centroids."""
+    import duckdb
+
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        fixed_centroid_rows,
+        fixed_centroids,
+        ivf_topk,
+    )
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+
+    rows = fixed_centroid_rows(4, 8)
+    duck = duckdb.connect().execute(
+        """
+        SELECT list_transform(range(0, 8), d ->
+            (('0x' || substr(md5('ivfc|' || CAST(r.range AS VARCHAR)
+                 || '|' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+             / CAST(4294967296.0 AS DOUBLE)) * 2.0 - 1.0)
+        FROM range(0, 4) r ORDER BY r.range
+        """
+    ).fetchall()
+    for (cell, vec), (dvec,) in zip(rows, duck):
+        assert vec == list(dvec), cell
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, nprobe=2,
+        centroid_rows=fixed_centroid_rows(8, 64),
+    )
+    joined = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=3, nprobe=2,
+        centroids=fixed_centroids(spark, 8, 64),
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    a = sorted(inline.collect(), key=key)
+    b = sorted(joined.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
