@@ -319,12 +319,17 @@ def ovr_auc_summary(df: DataFrame, class_col: str, y_true: str, score: str) -> D
     ``average='macro'/'micro'`` variants (func_aux/func_test.py:120-171).
 
     One row out. Both sides derive from ONE per-(class, threshold) count
-    frame: macro runs the grouped scan, micro re-groups the same counts
-    by threshold alone (identical first exchange → ReusedExchange) and
-    computes ROC-AUC and AP in a single aggregation pass."""
+    frame, which is PINNED (lazy local checkpoint) before branching: the
+    macro side's grouped scan and the micro side's threshold re-group
+    each materialize through their own checkpointed subtree, so without
+    the pin the base-data scan + first aggregation would execute twice —
+    the dominant cost when the input is the full corpus. The pinned frame
+    is small by construction (|classes| x |distinct rounded scores|)."""
     from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
 
-    per_score = _ovr_per_score(df, class_col, y_true, score)
+    per_score = _ovr_per_score(df, class_col, y_true, score).localCheckpoint(
+        eager=False
+    )
     macro = _per_class_auc(per_score, class_col).agg(
         F.avg("roc_auc").alias("roc_auc_macro"),
         F.avg("average_precision").alias("pr_auc_macro"),
