@@ -42,9 +42,15 @@ def main() -> None:
         joins = sorted(set(re.findall(r"(\w*HashJoin\w*|SortMergeJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)))
         scans = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        codegen = len(re.findall(r"WholeStageCodegen", plan))
+        # Under AQE the pre-execution plan hides WholeStageCodegen (stages
+        # are compiled as they execute), so codegen coverage must be read
+        # off the EXECUTED plan: run the query, then count distinct
+        # codegen ids (`*(n)` operator prefixes) in the final plan.
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        codegen = len(set(re.findall(r"\*\((\d+)\)", final)))
         print(f"==== {name}")
-        print(f"  exchanges(top-plan): {n_exchange}  joins: {joins or '-'}  codegen-spans: {codegen}")
+        print(f"  exchanges(top-plan): {n_exchange}  joins: {joins or '-'}  codegen-spans(executed): {codegen}")
         for i, (f, s) in enumerate(zip(scans, schemas)):
             cols = [c.split(":")[0] for c in s.split(",") if c]
             print(f"  scan{i}: pushed=[{f[:80]}] cols={cols}")
