@@ -64,6 +64,7 @@ _PRIORITY = [
     "r5_hash_permutation",
     "j_bucketed_smb_join",
     "s9_partitioned_lake_roundtrip",
+    "s10_zorder_cells",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

@@ -295,3 +295,72 @@ def s9_partitioned_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
+
+
+@register(
+    "s10_zorder_cells",
+    oracle="""
+    WITH s AS (
+        SELECT min(CAST(user_id AS DOUBLE)) AS mnu, max(CAST(user_id AS DOUBLE)) AS mxu,
+               min(value) AS mnv, max(value) AS mxv
+        FROM events
+    ),
+    sc AS (
+        SELECT event_id, value,
+               coalesce(least(255, CAST(floor(((CAST(user_id AS DOUBLE) - mnu)
+                   / (mxu - mnu)) * 256.0) AS BIGINT)), 0) AS iu,
+               coalesce(least(255, CAST(floor(((value - mnv)
+                   / (mxv - mnv)) * 256.0) AS BIGINT)), 0) AS iv
+        FROM events, s
+    ),
+    z AS (
+        SELECT event_id, value,
+               CAST(list_sum(list_transform(range(0, 8), b ->
+                   (((iu >> CAST(b AS INT)) & 1) << CAST(2 * b AS INT))
+                 + (((iv >> CAST(b AS INT)) & 1) << CAST(2 * b + 1 AS INT))))
+                   AS BIGINT) AS zv
+        FROM sc
+    )
+    SELECT zv >> 10 AS cell,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           round(avg(value), 6) AS avg_value
+    FROM z
+    GROUP BY 1
+    """,
+    doc="S10 Z-order layout roundtrip: events written as parquet laid out "
+    "along the Morton curve of (user_id, value) — bits interleaved after "
+    "min/max scaling to 8 bits per column (sources/layout.py) — then read "
+    "back and aggregated per coarse z-cell. Multi-column data skipping at "
+    "100 TB: each file covers a small hyper-rectangle of the filter "
+    "space, so parquet min/max footers prune box predicates on EITHER "
+    "column (the test measures files-read vs a single-column sort; the "
+    "Delta/Iceberg OPTIMIZE ZORDER lever from plain Spark primitives). "
+    "The z-value is deterministic min/max-scaled bit arithmetic, so the "
+    "whole layout key is engine-portable and the oracle recomputes it "
+    "from the raw table.",
+    tags=("S", "layout", "zorder"),
+)
+def s10_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from cicevse2024_tfm_datapipeline_spark.plans.rows_only import SCRATCH
+    from cicevse2024_tfm_datapipeline_spark.sources.layout import (
+        with_zvalue,
+        write_zordered,
+    )
+
+    lake = os.path.join(SCRATCH, "events_zorder")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    write_zordered(ev, ["user_id", "value"], lake, bits=8, n_files=16)
+    back = spark.read.parquet(lake)
+    # same rows → same min/max → the recomputed z is the written layout key
+    return (
+        with_zvalue(back, ["user_id", "value"], bits=8)
+        .groupBy(F.shiftright("__z", 10).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+            pround(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
