@@ -25,6 +25,8 @@ candidates per row are bounded by bucket occupancy, not table size.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -96,3 +98,41 @@ def bucketized_range_join(
         F.col(left_time) < F.col(right_start) + width_expr
     )
     return joined.filter(in_range).drop("__bucket")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """SCD2 history build: each change-log row becomes a version with a
+    half-open validity interval — ``valid_from`` = its own timestamp,
+    ``valid_to`` = the key's next change (null while current), plus a
+    1-based ``version`` rank and ``is_current``. The snapshot-with-history
+    primitive behind point-in-time-correct training data: joining facts
+    on ``valid_from <= t < valid_to`` reproduces any past state with no
+    leakage from future updates.
+
+    One shuffle by key (the window partition); ``tiebreak_cols`` pins the
+    version order under timestamp ties so the history is deterministic on
+    any partitioning. Skewed keys follow the usual salting/AQE levers."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def snapshot_as_of(history: DataFrame, cut: Column) -> DataFrame:
+    """Point-in-time slice of an SCD2 history: the one version per key
+    whose ``[valid_from, valid_to)`` interval contains ``cut``. Pure
+    filter — no shuffle; partition pruning applies if the history is
+    stored partitioned on a ``valid_from`` bucket."""
+    return history.filter(
+        (F.col("valid_from") <= cut)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > cut))
+    )

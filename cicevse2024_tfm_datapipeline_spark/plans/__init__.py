@@ -65,6 +65,7 @@ _PRIORITY = [
     "j_bucketed_smb_join",
     "s9_partitioned_lake_roundtrip",
     "s10_zorder_cells",
+    "w_scd2_history",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

@@ -364,3 +364,76 @@ def s10_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+@register(
+    "w_scd2_history",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, value, ts,
+               row_number() OVER w AS version,
+               lead(ts) OVER w AS valid_to
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+           CAST(max(CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+                          AND (valid_to IS NULL
+                               OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+                         THEN version END) AS BIGINT) AS ver_at_cut,
+           CAST(max(CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00'
+                          AND (valid_to IS NULL
+                               OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+                         THEN CAST(floor(value) AS BIGINT) END) AS BIGINT)
+               AS val_at_cut,
+           CAST(sum(version * CAST(floor(value) AS BIGINT)) AS BIGINT)
+               AS version_checksum
+    FROM v
+    GROUP BY user_id
+    """,
+    doc="SCD2 interval versioning + point-in-time lookup "
+    "(operators/asof.scd2_intervals, snapshot_as_of): every change-log "
+    "row becomes a version with a half-open [valid_from, valid_to) "
+    "interval; the query also resolves each key's version AS OF a fixed "
+    "cut — the feature-store time-travel primitive that makes training "
+    "data point-in-time correct (no leakage from future updates). One "
+    "shuffle by key; version order pinned under ts ties by event_id, so "
+    "the history is deterministic on any partitioning. The "
+    "version_checksum pins every version assignment, not just counts.",
+    tags=("W", "scd2", "asof"),
+)
+def w_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.asof import (
+        scd2_intervals,
+        snapshot_as_of,
+    )
+
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    hist = scd2_intervals(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    at_cut = snapshot_as_of(hist, cut).select(
+        "user_id",
+        F.col("version").alias("__vc"),
+        F.floor("value").cast("long").alias("__valc"),
+    )
+    per_key = hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.sum(F.col("is_current").cast("long")).cast("long").alias("n_current"),
+        F.sum(F.col("version") * F.floor("value").cast("long"))
+        .cast("long")
+        .alias("version_checksum"),
+    )
+    return (
+        per_key.join(at_cut, "user_id", "left")
+        .select(
+            "user_id",
+            "n_versions",
+            "n_current",
+            F.col("__vc").cast("long").alias("ver_at_cut"),
+            F.col("__valc").cast("long").alias("val_at_cut"),
+            "version_checksum",
+        )
+    )

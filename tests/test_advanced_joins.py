@@ -127,3 +127,37 @@ def test_fixed_centroid_rows_bit_exact_and_paths_agree(spark):
     a = sorted(inline.collect(), key=key)
     b = sorted(joined.collect(), key=key)
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_scd2_intervals_tile_and_snapshot_unique(spark):
+    """Per key: versions are 1..n with no gaps, intervals tile the key's
+    timeline (valid_to of version v == valid_from of v+1, exactly one
+    open current), and any point-in-time snapshot returns at most one
+    version per key — the no-leakage property."""
+    from cicevse2024_tfm_datapipeline_spark.operators.asof import (
+        scd2_intervals,
+        snapshot_as_of,
+    )
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    hist = scd2_intervals(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+
+    rows = hist.collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert by_key
+    for uid, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1)), uid
+        assert sum(1 for r in vs if r["is_current"]) == 1, uid
+        assert vs[-1]["valid_to"] is None, uid
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"], uid
+
+    cut = F.lit("2024-01-10 12:00:00").cast("timestamp")
+    snap = snapshot_as_of(hist, cut).groupBy("user_id").count()
+    assert snap.filter(F.col("count") > 1).count() == 0
