@@ -312,3 +312,82 @@ def contaminated_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def _bloom_position_exprs(key: Column, k: int, m_bits: int, tag: str) -> list[Column]:
+    """k independent bit positions for ``key``: first 32 bits of
+    md5(tag|i|key) mod m — engine-portable (md5 + integer arithmetic
+    only), so an external engine reproduces the exact same bloom."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(tag), F.lit(str(i)), key)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    df: DataFrame, key: Column, m_bits: int = 1 << 16, k: int = 4, tag: str = "bloom"
+) -> DataFrame:
+    """Build a bloom bitmap over ``key``: 32-bit words keyed by bucket
+    (``(word_idx int, word long)``, ≤ m/32 rows). One aggregation collapses
+    any corpus size to a broadcastable bitmap — the 100 TB membership
+    pattern: the corpus is scanned once, and every later novelty check is
+    a broadcast join against the bitmap instead of a corpus-sized shuffle.
+    32-bit words in longs keep every shift value positive in any engine."""
+    pos = F.explode(F.array(*_bloom_position_exprs(key, k, m_bits, tag))).alias(
+        "__pos"
+    )
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright("__pos", 5).cast("int").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(__pos % 32 as int))"
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bitmap: DataFrame,
+    id_col: str,
+    key: Column,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+    tag: str = "bloom",
+) -> DataFrame:
+    """Per probe row: ``__might_contain`` = all k bloom bits set. No
+    false negatives ever; false-positive rate set by m/n and k. Explode
+    to k probes, broadcast-join the bitmap, and conjoin — the probe side
+    is never shuffled by more than its own k-fanout aggregation."""
+    pos = F.explode(F.array(*_bloom_position_exprs(key, k, m_bits, tag))).alias(
+        "__pos"
+    )
+    probes = probe.select(F.col(id_col), pos).select(
+        id_col,
+        F.shiftright("__pos", 5).cast("int").alias("word_idx"),
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(__pos % 32 as int))"
+        ).alias("__bit"),
+    )
+    hit = (
+        probes.join(F.broadcast(bitmap), "word_idx", "left")
+        .withColumn(
+            "__hit",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("__bit")) != 0).cast(
+                "int"
+            ),
+        )
+        .groupBy(id_col)
+        .agg((F.min("__hit") == 1).alias("__might_contain"))
+    )
+    return probe.join(hit, id_col)

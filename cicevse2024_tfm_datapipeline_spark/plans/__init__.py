@@ -66,6 +66,7 @@ _PRIORITY = [
     "s9_partitioned_lake_roundtrip",
     "s10_zorder_cells",
     "w_scd2_history",
+    "dedup_bloom_novelty",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

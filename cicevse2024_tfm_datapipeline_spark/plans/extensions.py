@@ -1632,3 +1632,103 @@ def w_topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 3)
         .drop("__rn")
     )
+
+
+@register(
+    "dedup_bloom_novelty",
+    oracle="""
+    WITH c AS (
+        SELECT md5(text) AS dg FROM documents WHERE doc_id % 5 <> 0
+    ),
+    n AS (
+        SELECT doc_id, source, md5(text) AS dg
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    cpos AS (
+        SELECT DISTINCT
+               CAST(p.pos >> 5 AS INT) AS word_idx,
+               (CAST(1 AS BIGINT) << CAST(p.pos & 31 AS INT)) AS bit
+        FROM c CROSS JOIN range(0, 4) i
+        CROSS JOIN LATERAL (
+            SELECT ('0x' || substr(md5('bloomnov|' || CAST(i.range AS VARCHAR)
+                        || '|' || c.dg), 1, 8))::BIGINT % 65536 AS pos
+        ) p
+    ),
+    bitmap AS (SELECT word_idx, bit_or(bit) AS word FROM cpos GROUP BY 1),
+    npos AS (
+        SELECT n.doc_id,
+               ('0x' || substr(md5('bloomnov|' || CAST(i.range AS VARCHAR)
+                    || '|' || n.dg), 1, 8))::BIGINT % 65536 AS pos
+        FROM n CROSS JOIN range(0, 4) i
+    ),
+    flags AS (
+        SELECT p.doc_id,
+               min(CASE WHEN coalesce(b.word, 0)
+                             & (CAST(1 AS BIGINT) << CAST(p.pos & 31 AS INT)) <> 0
+                        THEN 1 ELSE 0 END) AS hit
+        FROM npos p
+        LEFT JOIN bitmap b ON CAST(p.pos >> 5 AS INT) = b.word_idx
+        GROUP BY 1
+    ),
+    exact AS (SELECT DISTINCT n.doc_id FROM n JOIN c ON n.dg = c.dg)
+    SELECT n.source,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(f.hit) AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup,
+           CAST(sum(CASE WHEN f.hit = 1 AND e.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN f.hit = 0 AND e.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM n
+    LEFT JOIN flags f USING (doc_id)
+    LEFT JOIN exact e USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="Bloom-filter novelty check (incremental dedup against a "
+    "historical corpus): the corpus collapses to a <=2048-row 32-bit-word "
+    "bitmap in ONE aggregation; each new document then needs only a "
+    "broadcast join against the bitmap — the 100 TB membership pattern "
+    "that replaces a corpus-sized shuffle per ingest batch. Hash "
+    "functions are md5(tag|i|digest) mod m, so the ENTIRE filter — bit "
+    "positions, bitmap words, per-document flags, even which documents "
+    "false-positive — is engine-portable and hash-checked, and the "
+    "n_false_neg column is the structural no-false-negative proof "
+    "(operators/dedup.bloom_bitmap / bloom_might_contain).",
+    tags=("dedup", "bloom"),
+)
+def dedup_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    newb = docs.filter(F.col("doc_id") % 5 == 0).withColumn("__dg", F.md5("text"))
+
+    bitmap = bloom_bitmap(
+        corpus, F.md5(F.col("text")), m_bits=1 << 16, k=4, tag="bloomnov"
+    )
+    flagged = bloom_might_contain(
+        newb, bitmap, "doc_id", F.col("__dg"), m_bits=1 << 16, k=4, tag="bloomnov"
+    )
+    corp_dg = corpus.select(F.md5("text").alias("__dg")).distinct()
+    exact = (
+        newb.join(corp_dg, "__dg", "left_semi")
+        .select("doc_id")
+        .withColumn("__exact", F.lit(1))
+    )
+    mc = F.col("__might_contain").cast("int")
+    ex = F.coalesce(F.col("__exact"), F.lit(0))
+    return (
+        flagged.join(exact, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum(mc).cast("long").alias("n_flagged"),
+            F.sum(ex).cast("long").alias("n_exact_dup"),
+            F.sum(mc * (1 - ex)).cast("long").alias("n_false_pos"),
+            F.sum((1 - mc) * ex).cast("long").alias("n_false_neg"),
+        )
+    )

@@ -97,17 +97,50 @@ def test_fuzzy_dedup_survivors_composition(spark):
     assert kept == {0, 1, 4, 5, 6, 7, 9}
 
 
-def test_fuzzy_dedup_survivors_composition(spark):
+def test_bloom_membership_no_false_negatives_bounded_fp(spark):
+    """Every corpus member must be flagged (structural: same hash
+    functions on both sides); non-members false-positive at a rate set by
+    m/n and k — with n=400, m=65536, k=4 the expected rate is << 1%, so
+    a 5% ceiling is a safe determinism-friendly bound. Rerun must agree
+    exactly (pure md5 arithmetic, no RNG, no partitioning dependence)."""
+    from pyspark.sql import functions as F
+
     from cicevse2024_tfm_datapipeline_spark.operators.dedup import (
-        fuzzy_dedup_survivors,
+        bloom_bitmap,
+        bloom_might_contain,
     )
 
-    docs = spark.createDataFrame(
-        [(i, f"d{i}") for i in range(10)], "doc_id long, body string"
+    corpus = spark.range(400).select(
+        F.col("id"), F.concat(F.lit("doc-"), F.col("id")).alias("key")
     )
-    # clusters {1,2,3} (chained) and {7,8}; 0,4,5,6,9 untouched singletons
-    pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    members = corpus.limit(100)
+    outsiders = spark.range(2000, 4000).select(
+        F.col("id"), F.concat(F.lit("doc-"), F.col("id")).alias("key")
     )
-    kept = {r.doc_id for r in fuzzy_dedup_survivors(docs, pairs).collect()}
-    assert kept == {0, 1, 4, 5, 6, 7, 9}
+
+    bitmap = bloom_bitmap(corpus, F.col("key"), m_bits=1 << 16, k=4, tag="t")
+    flag_members = bloom_might_contain(
+        members, bitmap, "id", F.col("key"), m_bits=1 << 16, k=4, tag="t"
+    )
+    assert flag_members.filter(~F.col("__might_contain")).count() == 0
+
+    flag_out = bloom_might_contain(
+        outsiders, bitmap, "id", F.col("key"), m_bits=1 << 16, k=4, tag="t"
+    )
+    fp1 = flag_out.filter(F.col("__might_contain")).count()
+    assert fp1 / 2000 < 0.05, fp1
+
+    fp2 = (
+        bloom_might_contain(
+            outsiders.repartition(7),
+            bitmap,
+            "id",
+            F.col("key"),
+            m_bits=1 << 16,
+            k=4,
+            tag="t",
+        )
+        .filter(F.col("__might_contain"))
+        .count()
+    )
+    assert fp1 == fp2
