@@ -67,6 +67,8 @@ _PRIORITY = [
     "s10_zorder_cells",
     "w_scd2_history",
     "dedup_bloom_novelty",
+    "a_regr_trend_per_user",
+    "a_corr_matrix",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

@@ -1732,3 +1732,91 @@ def dedup_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((1 - mc) * ex).cast("long").alias("n_false_neg"),
         )
     )
+
+
+@register(
+    "a_regr_trend_per_user",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, value,
+               (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS xd
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(regr_slope(value, xd), 6) AS slope_per_day,
+           round(regr_intercept(value, xd), 6) AS intercept,
+           round(regr_r2(value, xd), 6) AS r2
+    FROM e
+    GROUP BY user_id
+    """,
+    doc="Per-key OLS trend (drift detection over time series): "
+    "regr_slope/intercept/r2 of value against days-since-anchor, grouped "
+    "by user — closed-form regression as a plain aggregation (sufficient "
+    "statistics combine associatively), so it is ONE shuffle at any "
+    "scale and AQE handles key skew; no per-key model fitting loop. The "
+    "x axis is exact integer microsecond arithmetic before one double "
+    "division, so both engines regress on identical abscissae.",
+    tags=("A", "regression", "trend"),
+)
+def a_regr_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    xd = (
+        (F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))") - F.lit(1704067200000000))
+        / F.lit(86400000000.0)
+    ).alias("xd")
+    return (
+        ev.select("user_id", "value", xd)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            pround(F.regr_slope("value", "xd"), 6).alias("slope_per_day"),
+            pround(F.regr_intercept("value", "xd"), 6).alias("intercept"),
+            pround(F.regr_r2("value", "xd"), 6).alias("r2"),
+        )
+    )
+
+
+@register(
+    "a_corr_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT corr(l_quantity, l_extendedprice) AS c_qty_price,
+               corr(l_quantity, l_discount)      AS c_qty_disc,
+               corr(l_quantity, l_tax)           AS c_qty_tax,
+               corr(l_extendedprice, l_discount) AS c_price_disc,
+               corr(l_extendedprice, l_tax)      AS c_price_tax,
+               corr(l_discount, l_tax)           AS c_disc_tax
+        FROM lineitem
+    )
+    SELECT 'l_quantity|l_extendedprice' AS pair, round(c_qty_price, 6) AS corr FROM s
+    UNION ALL SELECT 'l_quantity|l_discount', round(c_qty_disc, 6) FROM s
+    UNION ALL SELECT 'l_quantity|l_tax', round(c_qty_tax, 6) FROM s
+    UNION ALL SELECT 'l_extendedprice|l_discount', round(c_price_disc, 6) FROM s
+    UNION ALL SELECT 'l_extendedprice|l_tax', round(c_price_tax, 6) FROM s
+    UNION ALL SELECT 'l_discount|l_tax', round(c_disc_tax, 6) FROM s
+    """,
+    doc="Pairwise correlation matrix over a fixed feature set in ONE "
+    "aggregation pass (the feature-screening step before model "
+    "training): all pairs' sufficient statistics accumulate in a single "
+    "scan — no per-pair jobs, no driver-side loop over columns — then "
+    "unpivot to rows. At 100 TB this is one map-side-combined shuffle of "
+    "p*(p-1)/2 running sums.",
+    tags=("A", "correlation"),
+)
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    one = li.agg(
+        *[
+            pround(F.corr(a, b), 6).alias(f"__c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stacked = ", ".join(
+        f"'{a}|{b}', __c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.select(
+        F.expr(f"stack({len(pairs)}, {stacked})").alias("pair", "corr")
+    )
