@@ -224,3 +224,50 @@ def windows_via_pandas(
         return pd.DataFrame(rows)
 
     return df.groupBy(*group_cols).applyInPandas(per_group, schema=schema)
+
+
+def ewma_truncated(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float,
+    max_terms: int = 32,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average, truncated to the
+    last ``max_terms`` observations (pandas ``ewm(adjust=False)``
+    semantics while the history fits the window; after that the oldest
+    retained term carries the full head weight, so the truncation error
+    is bounded by ``(1-alpha)^(max_terms-1)`` of the dropped mass —
+    ~1e-5 at alpha 0.3, K 32).
+
+    Recursive smoothing resists distribution; this closed form does not:
+    a trailing ``collect_list`` frame (bounded at K values, so state per
+    row is K doubles, never the key's history) and one sequential
+    weighted fold — both engine-portable, so the whole smoother is
+    SQL-oracle-checkable. One shuffle by key; ``order_cols`` must be a
+    deterministic total order per key (include a tiebreak) or the frame
+    contents are ambiguous."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    w = (
+        W.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(max_terms - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(w)
+    # 0-based i over oldest→newest: head term carries (1-a)^(n-1); the
+    # rest a*(1-a)^(n-1-i). Sequential fold → identical doubles anywhere.
+    a = float(alpha)
+    weighted = (
+        f"transform(__ewma_arr, (x, i) -> CASE WHEN i = 0 "
+        f"THEN x * power({1.0 - a!r}, size(__ewma_arr) - 1) "
+        f"ELSE x * {a!r} * power({1.0 - a!r}, size(__ewma_arr) - 1 - i) END)"
+    )
+    fold = f"aggregate({weighted}, cast(0.0 as double), (acc, x) -> acc + x)"
+    return (
+        df.withColumn("__ewma_arr", arr)
+        .withColumn(out_col, F.expr(fold))
+        .drop("__ewma_arr")
+    )

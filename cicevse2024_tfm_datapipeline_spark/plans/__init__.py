@@ -69,6 +69,7 @@ _PRIORITY = [
     "dedup_bloom_novelty",
     "a_regr_trend_per_user",
     "a_corr_matrix",
+    "w_ewma_smoothing",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

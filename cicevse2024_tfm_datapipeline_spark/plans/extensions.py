@@ -1820,3 +1820,61 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.expr(f"stack({len(pairs)}, {stacked})").alias("pair", "corr")
     )
+
+
+@register(
+    "w_ewma_smoothing",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts, value,
+               list_reduce(
+                   list_transform(l, (x, j) -> CASE WHEN j = 1
+                       THEN x * power(0.7, len(l) - 1)
+                       ELSE x * 0.3 * power(0.7, len(l) - j) END),
+                   (a, b) -> a + b) AS ewma
+        FROM (
+            SELECT user_id, event_id, ts, value,
+                   list(CAST(value AS DOUBLE)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS l
+            FROM events) q
+    ),
+    last AS (
+        SELECT user_id, ewma AS ewma_last FROM (
+            SELECT user_id, ewma, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e) r WHERE rn = 1
+    )
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN e.value > e.ewma THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+           round(max(l.ewma_last), 6) AS ewma_last
+    FROM e JOIN last l USING (user_id)
+    GROUP BY e.user_id
+    """,
+    doc="Per-key truncated EWMA (operators/windows.ewma_truncated): "
+    "pandas ewm(adjust=False) semantics distributed as a bounded "
+    "trailing collect_list frame + one sequential weighted fold — "
+    "recursive smoothing resists distribution, the K-term closed form "
+    "does not (truncation error <= (1-alpha)^(K-1) of dropped mass, "
+    "~1e-5 here). One shuffle by key, per-row state bounded at K "
+    "doubles; the fold order is pinned so both engines produce "
+    "identical smoothed values, checked via last-EWMA per key and the "
+    "above-smoother count.",
+    tags=("W", "ewma", "timeseries"),
+)
+def w_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import ewma_truncated
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    sm = ewma_truncated(ev, ["user_id"], ["ts", "event_id"], "value", 0.3, 32)
+    ordstruct = F.struct(F.col("ts"), F.col("event_id"))
+    return sm.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("value") > F.col("ewma")).cast("long"))
+        .cast("long")
+        .alias("n_above"),
+        pround(F.max_by("ewma", ordstruct), 6).alias("ewma_last"),
+    )

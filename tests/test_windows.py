@@ -104,3 +104,48 @@ def test_standardize_via_join_matches_fit_apply(spark):
         for r in standardize_via_join(df, ["x", "y"], pred).collect()
     }
     assert got == want
+
+
+def test_ewma_truncated_matches_pandas_adjust_false(spark):
+    """While the history fits the K-term window the closed form IS
+    pandas ewm(adjust=False): exact to float tolerance on a short
+    series, per key."""
+    import pandas as pd
+
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import ewma_truncated
+
+    rows = []
+    vals = {}
+    for key in ["a", "b"]:
+        import random
+
+        rng = random.Random(hash(key) & 0xFFFF)
+        vals[key] = [round(rng.uniform(-50, 50), 3) for _ in range(20)]
+        rows += [(key, i, v) for i, v in enumerate(vals[key])]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+
+    out = ewma_truncated(df, ["k"], ["i"], "v", alpha=0.3, max_terms=32)
+    got = {(r["k"], r["i"]): r["ewma"] for r in out.collect()}
+    for key, series in vals.items():
+        expect = pd.Series(series).ewm(alpha=0.3, adjust=False).mean()
+        for i, e in enumerate(expect):
+            assert abs(got[(key, i)] - e) < 1e-9, (key, i)
+
+
+def test_ewma_truncated_bounded_frame_and_validation(spark):
+    import pytest
+
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import ewma_truncated
+
+    with pytest.raises(ValueError):
+        ewma_truncated(
+            spark.range(1), ["id"], ["id"], "id", alpha=0.0
+        )
+
+    # past the truncation horizon the smoother still tracks: constant
+    # series → ewma == the constant exactly at every row
+    df = spark.range(100).select(
+        F.lit("k").alias("k"), F.col("id").alias("i"), F.lit(7.5).alias("v")
+    )
+    out = ewma_truncated(df, ["k"], ["i"], "v", alpha=0.3, max_terms=8)
+    assert out.filter(F.abs(F.col("ewma") - 7.5) > 1e-12).count() == 0
