@@ -70,6 +70,7 @@ _PRIORITY = [
     "a_regr_trend_per_user",
     "a_corr_matrix",
     "w_ewma_smoothing",
+    "s11_schema_evolution_merge",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

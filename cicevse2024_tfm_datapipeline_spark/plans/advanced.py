@@ -437,3 +437,51 @@ def w_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "version_checksum",
         )
     )
+
+
+@register(
+    "s11_schema_evolution_merge",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_lang,
+           CAST(count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END)
+               AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Schema-evolution lake read: batch 1 lands WITHOUT the lang "
+    "column, batch 2 adds it; a mergeSchema read reconciles both "
+    "footers into the union schema with nulls for the early batch — the "
+    "ingestion reality of long-lived 100 TB lakes where producers add "
+    "fields over time. Schema merge is a footer-only planning step (no "
+    "data rewrite, no backfill); the per-source null accounting of the "
+    "late column is the checked contract. Oracle recomputes from the "
+    "unevolved table via the batch-parity rule.",
+    tags=("S", "schema-evolution"),
+)
+def s11_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from cicevse2024_tfm_datapipeline_spark.plans.rows_only import SCRATCH
+
+    lake = os.path.join(SCRATCH, "docs_evolving")
+    docs = t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("overwrite").parquet(os.path.join(lake, "batch=1"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars", "lang"
+    ).write.mode("overwrite").parquet(os.path.join(lake, "batch=2"))
+
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "false"
+    ).parquet(os.path.join(lake, "batch=1"), os.path.join(lake, "batch=2"))
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("lang").isNotNull().cast("long")).cast("long").alias("n_with_lang"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
