@@ -273,7 +273,9 @@ def _auc_ap_aggs(ok) -> tuple:
     return area, ap
 
 
-def _per_class_auc(per_score: DataFrame, class_col: str) -> DataFrame:
+def _per_class_auc(
+    per_score: DataFrame, class_col: str, bounded_curves: bool = False
+) -> DataFrame:
     """Grouped cumulative scan + per-class ROC-AUC / AP aggregation.
 
     Scale shape: operators.scan.grouped_cumsum range-partitions on
@@ -290,6 +292,10 @@ def _per_class_auc(per_score: DataFrame, class_col: str) -> DataFrame:
         ["pos", "neg", "cnt"],
         descending=True,
         with_totals=True,
+        # bounded_curves: callers whose scores are rounded/discretized
+        # cap each class curve at the threshold-domain size, so the
+        # plain class-partitioned window is the right plan at any scale
+        small_groups=bounded_curves,
     )
     # zero-pos/neg classes → null AUC/AP (sklearn NaN + warning)
     ok = (F.col("tot_neg") > 0) & (F.col("tot_pos") > 0)
@@ -299,7 +305,13 @@ def _per_class_auc(per_score: DataFrame, class_col: str) -> DataFrame:
     )
 
 
-def ovr_auc_per_class(df: DataFrame, class_col: str, y_true: str, score: str) -> DataFrame:
+def ovr_auc_per_class(
+    df: DataFrame,
+    class_col: str,
+    y_true: str,
+    score: str,
+    bounded_curves: bool = False,
+) -> DataFrame:
     """A11 one-vs-rest probability AUCs: per-class ROC-AUC (trapezoid)
     and average precision over a LONG frame of (class, indicator, score)
     rows — the distributed twin of the reference's per-class
@@ -309,10 +321,18 @@ def ovr_auc_per_class(df: DataFrame, class_col: str, y_true: str, score: str) ->
     Same lag-free trapezoid/AP arithmetic as the binary operators, summed
     per class — one grouped scan, one groupBy; classes evaluate in
     parallel."""
-    return _per_class_auc(_ovr_per_score(df, class_col, y_true, score), class_col)
+    return _per_class_auc(
+        _ovr_per_score(df, class_col, y_true, score), class_col, bounded_curves
+    )
 
 
-def ovr_auc_summary(df: DataFrame, class_col: str, y_true: str, score: str) -> DataFrame:
+def ovr_auc_summary(
+    df: DataFrame,
+    class_col: str,
+    y_true: str,
+    score: str,
+    bounded_curves: bool = False,
+) -> DataFrame:
     """A11 multiclass probability-AUC battery: macro ROC-AUC / PR-AUC
     (mean of per-class values) and micro ROC-AUC / PR-AUC (binary metrics
     over the flattened (class, indicator, score) frame) — the reference's
@@ -330,7 +350,7 @@ def ovr_auc_summary(df: DataFrame, class_col: str, y_true: str, score: str) -> D
     per_score = _ovr_per_score(df, class_col, y_true, score).localCheckpoint(
         eager=False
     )
-    macro = _per_class_auc(per_score, class_col).agg(
+    macro = _per_class_auc(per_score, class_col, bounded_curves).agg(
         F.avg("roc_auc").alias("roc_auc_macro"),
         F.avg("average_precision").alias("pr_auc_macro"),
     )

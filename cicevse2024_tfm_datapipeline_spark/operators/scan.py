@@ -163,6 +163,7 @@ def grouped_cumsum(
     sum_cols: Sequence[str],
     descending: bool = False,
     with_totals: bool = False,
+    small_groups: bool = False,
 ) -> DataFrame:
     """Per-group running sums over the global ``order_cols`` order WITHIN
     each group — ``F.sum(c).over(Window.partitionBy(group).orderBy(...))``
@@ -175,8 +176,32 @@ def grouped_cumsum(
 
     With ``with_totals``, per-GROUP grand totals are joined back as
     ``tot_<c>`` (broadcast — |groups| rows).
+
+    ``small_groups=True`` is the caller's assertion that every group is
+    BOUNDED-SMALL by construction (e.g. the input is already aggregated
+    to one row per (group, rounded threshold), capping a group at the
+    threshold-domain size). Then a plain group-partitioned window is the
+    right plan at every scale — one shuffle by group, and the totals
+    window reuses the same partitioning (zero extra exchanges) — and the
+    two-phase range machinery would only add cost. Never set it for
+    data-sized groups: one giant group would serialize into one task.
     """
     gcols = list(group_cols)
+    if small_groups:
+        wc = (
+            W.partitionBy(*[F.col(c) for c in gcols])
+            .orderBy(*_ordering(order_cols, descending))
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        out = df.select(
+            "*", *[F.sum(c).over(wc).alias(f"cum_{c}") for c in sum_cols]
+        )
+        if with_totals:
+            wg = W.partitionBy(*[F.col(c) for c in gcols])
+            out = out.select(
+                "*", *[F.sum(c).over(wg).alias(f"tot_{c}") for c in sum_cols]
+            )
+        return out
     rp = df.repartitionByRange(
         _n_range_parts(df),
         *[F.col(c).asc() for c in gcols],

@@ -449,7 +449,9 @@ def a11_ovr_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.operators.metrics import ovr_auc_per_class
 
     long_df = _ovr_long(spark, sf_dir)
-    return ovr_auc_per_class(long_df, "c", "y", "score").select(
+    # scores are rounded to 3 decimals → each class curve is bounded by
+    # the threshold domain, so the class-partitioned window is the plan
+    return ovr_auc_per_class(long_df, "c", "y", "score", bounded_curves=True).select(
         F.col("c").alias("class"),
         pround("roc_auc", 6).alias("roc_auc"),
         pround("average_precision", 6).alias("average_precision"),
@@ -502,7 +504,7 @@ def a11_mc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.operators.metrics import ovr_auc_summary
 
     long_df = _ovr_long(spark, sf_dir)
-    return ovr_auc_summary(long_df, "c", "y", "score").select(
+    return ovr_auc_summary(long_df, "c", "y", "score", bounded_curves=True).select(
         pround("roc_auc_macro", 6).alias("roc_auc_macro"),
         pround("pr_auc_macro", 6).alias("pr_auc_macro"),
         pround("roc_auc_micro", 6).alias("roc_auc_micro"),
