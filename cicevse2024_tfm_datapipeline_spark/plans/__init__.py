@@ -71,6 +71,7 @@ _PRIORITY = [
     "a_corr_matrix",
     "w_ewma_smoothing",
     "s11_schema_evolution_merge",
+    "pipeline_fuzzy_corpus",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

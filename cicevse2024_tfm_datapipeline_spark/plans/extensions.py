@@ -52,16 +52,17 @@ NUM_HASHES = 8
 BANDS = 4
 
 
-def _sig_sql() -> str:
+def _sig_sql(src: str = "documents") -> str:
     """DuckDB CTE chain producing doc_id + mh_0..mh_7 signatures (slices
     of the 64-hex sha-256 digest — keep in lockstep with
-    operators.dedup.minhash_signatures)."""
+    operators.dedup.minhash_signatures). ``src`` lets composed pipelines
+    sign a filtered CTE instead of the raw table."""
     sig_cols = ", ".join(
         f"list_min(list_transform(hashed, h -> substr(h, {i * 8 + 1}, 8))) AS mh_{i}"
         for i in range(NUM_HASHES)
     )
     return f"""
-    toksd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    toksd AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
     sh AS (SELECT doc_id, {_SHINGLES3} AS shingles FROM toksd),
     hd AS (SELECT doc_id, list_transform(shingles, s -> sha256(s)) AS hashed FROM sh),
     sig AS (SELECT doc_id, {sig_cols} FROM hd)
@@ -1877,4 +1878,100 @@ def w_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_above"),
         pround(F.max_by("ewma", ordstruct), 6).alias("ewma_last"),
+    )
+
+
+@register(
+    "pipeline_fuzzy_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+        SELECT doc_id, source, text, n_chars FROM documents
+        WHERE n_chars >= 150
+    ),
+    train AS (SELECT * FROM base WHERE doc_id % 10 <> 0),
+    evalb AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+    {_sig_sql("train")},
+    bands AS ({_band_sql()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    removed AS (SELECT node FROM comp WHERE node != component),
+    surv AS (
+        SELECT t.* FROM train t
+        WHERE t.doc_id NOT IN (SELECT node FROM removed)
+    ),
+    stoks AS (SELECT doc_id, {_TOKS} AS toks FROM surv),
+    ssh AS (
+        SELECT doc_id,
+               list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS shingles
+        FROM stoks WHERE len(toks) >= 3
+    ),
+    etoks AS (SELECT doc_id, {_TOKS} AS toks FROM evalb),
+    esh AS (
+        SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+        FROM etoks WHERE len(toks) >= 3
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM ssh) t
+        WHERE s IN (SELECT s FROM esh)
+    ),
+    clean AS (
+        SELECT * FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM clean
+    GROUP BY source
+    """,
+    doc="THE full fuzzy corpus-prep chain in one composed, hash-checked "
+    "plan: quality filter (n_chars floor) -> train/eval split -> "
+    "MinHash-LSH candidate pairs within train -> connected components "
+    "-> one survivor per near-dup cluster -> eval-shingle "
+    "decontamination of the survivors -> per-source aggregates. Every "
+    "stage keeps its standalone scale shape (band-key equi-join, "
+    "edge-bounded label propagation, broadcast eval shingles, anti-joins "
+    "against bounded removed/contaminated sets); the composition adds no "
+    "new shuffle beyond its parts. This is the end-to-end pipeline an "
+    "LLM training run executes between raw corpus and tokenization.",
+    tags=("pipeline", "dedup", "lsh", "decontamination"),
+)
+def pipeline_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import (
+        contaminated_ids,
+        fuzzy_dedup_survivors,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
+    base = docs.filter(F.col("n_chars") >= 150)
+    train = base.filter(F.col("doc_id") % 10 != 0)
+    evalb = base.filter(F.col("doc_id") % 10 == 0)
+
+    pairs = lsh_candidate_pairs(train, "text", "doc_id", NUM_HASHES, BANDS, 3)
+    surv = fuzzy_dedup_survivors(train, pairs, "doc_id")
+    bad = contaminated_ids(surv, evalb, "doc_id", "text", 3)
+    clean = surv.join(bad, "doc_id", "left_anti")
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
     )
