@@ -72,6 +72,8 @@ _PRIORITY = [
     "w_ewma_smoothing",
     "s11_schema_evolution_merge",
     "pipeline_fuzzy_corpus",
+    "j_tpch_q5_local_supplier",
+    "stream_upsert_scd1",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

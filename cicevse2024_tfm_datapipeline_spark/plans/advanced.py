@@ -485,3 +485,62 @@ def s11_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@register(
+    "j_tpch_q5_local_supplier",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 (local-supplier revenue): the 6-way join where plan "
+    "quality IS the benchmark — region/nation are broadcast literals, "
+    "supplier and customer broadcast under the 64 MB threshold, so the "
+    "only data-sized work is lineitem ⋈ orders, and the date filter "
+    "pushes into the orders scan. Catalyst is left free to reorder; the "
+    "c_nationkey = s_nationkey 'local supplier' condition rides the "
+    "supplier join as a residual, never a cross product.",
+    tags=("J", "tpch"),
+)
+def j_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )

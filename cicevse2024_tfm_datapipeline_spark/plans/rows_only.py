@@ -1275,3 +1275,80 @@ def stream_sink_partitioned_lake_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("event_id").cast("long").alias("sum_ids"),
         pround(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "stream_upsert_scd1",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    """,
+    doc="Streaming SCD1 UPSERT sink (streaming/stream_ops.upsert_scd1_sink): "
+    "the events stream, split into 3 micro-batches (maxFilesPerTrigger), "
+    "foreachBatch-MERGEs into a keyed parquet lake keeping the latest row "
+    "per user — MERGE INTO semantics from plain parquet plus an atomic "
+    "directory swap, under an exactly-once checkpoint. Per-batch cost is "
+    "batch + |keys|, never history; the merge result is independent of "
+    "batch boundaries, so the batch latest-per-key oracle pins "
+    "loss/duplication/ordering bugs across ALL batches.",
+    tags=("streaming", "sink", "scd1"),
+)
+def stream_upsert_scd1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        upsert_scd1_sink,
+    )
+
+    src = os.path.join(SCRATCH, "upsert_src")
+    lake = os.path.join(SCRATCH, "upsert_lake")
+    chk = os.path.join(SCRATCH, "upsert_chk")
+    for d in (src, lake, chk):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # 3-file split with ts as exact integer micros → 3 micro-batches
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = upsert_scd1_sink(stream, lake, chk, ["user_id"], ["ts_us", "event_id"])
+    q.processAllAvailable()
+    q.stop()
+
+    back = spark.read.parquet(lake)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        F.sum(F.floor("value").cast("long")).cast("long").alias("sum_floor_value"),
+    )

@@ -266,3 +266,54 @@ def enrich_stream_with_dim(events: DataFrame, dim: DataFrame, key: str) -> DataF
     from pyspark.sql import functions as F
 
     return events.join(F.broadcast(dim), key)
+
+
+def upsert_scd1_sink(
+    stream: DataFrame,
+    lake_dir: str,
+    checkpoint_dir: str,
+    key_cols,
+    order_cols,
+):
+    """Streaming SCD1 upsert: each micro-batch MERGEs into a keyed
+    parquet lake, keeping the single latest row per key by ``order_cols``
+    — the keep-latest compaction (dedup_latest_per_key) as a continuous
+    ingest, i.e. what a table format's MERGE INTO does, built from plain
+    parquet + an atomic directory swap.
+
+    Per batch: reduce the batch to its own latest-per-key (one shuffle
+    of BATCH-sized data), union with the current lake, re-reduce, write
+    to a fresh directory and atomically rename over the old one (never
+    overwrite a directory Spark is lazily reading from). Lake size stays
+    |keys|, so the per-batch cost is batch + key-count, never history.
+    Returns the started query (caller awaits/stops)."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    def _latest(df: DataFrame) -> DataFrame:
+        w = W.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = _latest(batch_df)
+        if os.path.exists(lake_dir):
+            current = spark.read.parquet(lake_dir)
+            merged = _latest(current.unionByName(merged))
+        staged = f"{lake_dir}__stage_{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(lake_dir, ignore_errors=True)
+        os.rename(staged, lake_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

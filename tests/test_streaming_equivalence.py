@@ -203,3 +203,53 @@ def test_stream_static_join_matches_batch(spark):
         for r in batch.groupBy("category").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_upsert_scd1_sink_multi_batch_merge(spark, tmp_path):
+    """The merge must actually process multiple micro-batches and end at
+    exactly the global latest-per-key regardless of batch boundaries."""
+    import os
+
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        upsert_scd1_sink,
+    )
+
+    src, lake, chk = (str(tmp_path / d) for d in ("src", "lake", "chk"))
+    rows = [
+        # (event_id, ts_us, user_id, value) — user 1 updated across files
+        (1, 100, 1, 10.0),
+        (2, 200, 1, 20.0),
+        (3, 150, 2, 30.0),
+        (4, 300, 1, 40.0),
+        (5, 50, 3, 50.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_us long, user_id long, value double")
+    df.repartition(3).write.parquet(src)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = upsert_scd1_sink(stream, lake, chk, ["user_id"], ["ts_us", "event_id"])
+    q.processAllAvailable()
+    q.stop()
+
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(chk, "offsets")) if not f.startswith(".")]
+    )
+    assert n_batches >= 2, n_batches
+
+    got = {
+        r["user_id"]: (r["event_id"], r["value"])
+        for r in spark.read.parquet(lake).collect()
+    }
+    assert got == {1: (4, 40.0), 2: (3, 30.0), 3: (5, 50.0)}
