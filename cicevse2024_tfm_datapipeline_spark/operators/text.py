@@ -154,3 +154,26 @@ def token_chunks_expr(tokens: Column, chunk_len: int = 8) -> Column:
         lambda i: F.concat_ws(" ", F.slice(tokens, i * chunk_len + 1, chunk_len)),
     )
     return F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))
+
+
+def overlap_char_chunks_expr(
+    text: Column | str, size: int = 256, overlap: int = 64
+) -> Column:
+    """RAG-style overlapping character chunks: windows of ``size`` chars
+    every ``size - overlap`` chars (final partial window kept). Pure
+    array expression — ``substring`` over a stride sequence, fully
+    codegen, one row explodes to ceil((len-overlap)/stride) chunks.
+    Chunking for retrieval indexes / context-window packing; pair with
+    ``token_chunks_expr`` for token-boundary variants."""
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < size {size}")
+    col = F.col(text) if isinstance(text, str) else text
+    stride = size - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(col) - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: col.substr(i * F.lit(stride) + F.lit(1), F.lit(size)),
+    )

@@ -74,6 +74,8 @@ _PRIORITY = [
     "pipeline_fuzzy_corpus",
     "j_tpch_q5_local_supplier",
     "stream_upsert_scd1",
+    "text_overlap_chunks",
+    "p_data_quality_audit",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

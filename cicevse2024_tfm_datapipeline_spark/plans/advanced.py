@@ -544,3 +544,65 @@ def j_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
     )
+
+
+@register(
+    "p_data_quality_audit",
+    oracle="""
+    SELECT 'unique(o_orderkey)' AS check,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'not_null(l_shipdate)', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range(l_discount in [0.0, 0.1])', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount IS NULL
+                          OR l_discount < 0.0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values(l_returnflag)', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_returnflag IS NULL
+                          OR l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'referential(o_custkey -> c_custkey)', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    """,
+    doc="Data-quality audit (operators/expectations — dbt-test style): "
+    "key uniqueness, non-null, numeric range, accepted values, and "
+    "referential integrity, each compiled to ONE counting aggregation "
+    "(violations counted, never materialized, so the report is bounded "
+    "by the check count at any corpus size; the referential anti-join "
+    "broadcasts the parent keys under AQE). The ingestion gate every "
+    "production pipeline runs before promoting a batch.",
+    tags=("P", "quality", "expectations"),
+)
+def p_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.expectations import (
+        check_accepted_values,
+        check_in_range,
+        check_not_null,
+        check_referential,
+        check_unique,
+        run_checks,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    return run_checks(
+        [
+            check_unique(orders, ["o_orderkey"], "unique(o_orderkey)"),
+            check_not_null(li, "l_shipdate"),
+            check_in_range(li, "l_discount", 0.0, 0.1),
+            check_accepted_values(li, "l_returnflag", ["A", "N", "R"]),
+            check_referential(orders, cust, "o_custkey", "c_custkey"),
+        ]
+    )

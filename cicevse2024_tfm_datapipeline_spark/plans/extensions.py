@@ -1975,3 +1975,49 @@ def pipeline_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_ids"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@register(
+    "text_overlap_chunks",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(0, greatest(1, CAST(ceil((length(text) - 50) / 150.0)
+                                         AS INT))),
+                   i -> substr(text, CAST(i AS INT) * 150 + 1, 200))) AS chunk
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN length(chunk) = 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_full,
+           CAST(sum(('0x' || substr(md5(chunk), 1, 8))::BIGINT) AS BIGINT)
+               AS content_checksum
+    FROM c
+    GROUP BY source
+    """,
+    doc="RAG-style overlapping chunker (operators/text."
+    "overlap_char_chunks_expr): 200-char windows every 150 chars (50 "
+    "overlap), pure codegen array expression — the chunking step of a "
+    "retrieval-index build. One explode, no shuffle until the per-source "
+    "rollup; the md5-derived integer checksum pins every chunk's exact "
+    "content and boundary, both engines computing the identical value.",
+    tags=("text", "chunking", "rag"),
+)
+def text_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.text import (
+        overlap_char_chunks_expr,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chunks = docs.select(
+        "source",
+        F.explode(overlap_char_chunks_expr(F.col("text"), 200, 50)).alias("chunk"),
+    )
+    checksum = F.conv(F.substring(F.md5("chunk"), 1, 8), 16, 10).cast("long")
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((F.length("chunk") == 200).cast("long")).cast("long").alias("n_full"),
+        F.sum(checksum).cast("long").alias("content_checksum"),
+    )
