@@ -44,6 +44,11 @@ HEADLINE = [
     "pipeline_corpus_prep",
     "text_pii_redaction",
     "r5_hash_permutation",
+    "pipeline_fuzzy_corpus",
+    "j_tpch_q5_local_supplier",
+    "dedup_bloom_novelty",
+    "w_ewma_smoothing",
+    "s10_zorder_cells",
 ]
 
 
