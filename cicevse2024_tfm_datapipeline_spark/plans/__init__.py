@@ -76,6 +76,7 @@ _PRIORITY = [
     "stream_upsert_scd1",
     "text_overlap_chunks",
     "p_data_quality_audit",
+    "text_char_entropy",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

@@ -2021,3 +2021,65 @@ def text_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.length("chunk") == 200).cast("long")).cast("long").alias("n_full"),
         F.sum(checksum).cast("long").alias("content_checksum"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(text), '')) AS c
+        FROM documents
+    ),
+    filt AS (SELECT * FROM ch WHERE c BETWEEN 'a' AND 'z'),
+    freq AS (
+        SELECT doc_id, source, c, count(*) AS n
+        FROM filt GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, sum(n) AS tn FROM freq GROUP BY 1),
+    ent AS (
+        SELECT f.doc_id, f.source,
+               -sum((f.n * 1.0 / t.tn) * ln(f.n * 1.0 / t.tn) / ln(2.0))
+                   AS entropy
+        FROM freq f JOIN tot t USING (doc_id)
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(entropy), 6) AS avg_entropy,
+           round(min(entropy), 6) AS min_entropy,
+           round(max(entropy), 6) AS max_entropy
+    FROM ent
+    GROUP BY source
+    """,
+    doc="Character-entropy quality signal: Shannon entropy (bits) of the "
+    "per-document lowercase-letter distribution — low entropy flags "
+    "repetitive/degenerate text (keyboard mash, template spam), high "
+    "entropy flags random noise; the classic cheap complement to the "
+    "Gopher repetition signals. Shape: one explode to (doc, char) "
+    "letters, two grouped aggregations — linear, uniformly keyed. "
+    "Summation runs over <= 26 well-separated terms per doc, so the "
+    "6-dp rounding absorbs engine-side FP association differences.",
+    tags=("text", "quality", "entropy"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower("text"), "")).alias("c"),
+    ).filter(F.col("c").between("a", "z"))
+    freq = chars.groupBy("doc_id", "source", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("tn"))
+    p = F.col("n") / F.col("tn")
+    ent = (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "source")
+        .agg((-F.sum(p * F.log(p) / F.log(F.lit(2.0)))).alias("entropy"))
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        pround(F.avg("entropy"), 6).alias("avg_entropy"),
+        pround(F.min("entropy"), 6).alias("min_entropy"),
+        pround(F.max("entropy"), 6).alias("max_entropy"),
+    )

@@ -80,3 +80,44 @@ def test_synthetic_media_decodes_distributed(spark):
         assert again[r["media_id"]] == r["content_hash"]
     # decoded features are real (non-degenerate entropy from sine/gradient)
     assert all(r["byte_entropy"] > 0.5 for r in feats)
+
+
+def test_resize_nearest_exact_semantics():
+    import numpy as np
+
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import resize_nearest
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    out = resize_nearest(px, 3, 2)
+    assert out.shape == (3, 2, 3)
+    # nearest-neighbor index map: row i -> i*6//3, col j -> j*4//2
+    for i in range(3):
+        for j in range(2):
+            assert (out[i, j] == px[i * 6 // 3, j * 4 // 2]).all()
+    # identity resize is exact
+    assert np.array_equal(resize_nearest(px, 6, 4), px)
+
+
+def test_resize_bmp_thumbnails_distributed(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+        encode_bmp,
+        resize_bmp_thumbnails,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {i: rng.integers(0, 256, (16 + i, 12, 3), dtype=np.uint8) for i in range(3)}
+    rows = [(i, "image/bmp", bytearray(encode_bmp(px))) for i, px in imgs.items()]
+    rows.append((99, "audio/wav", bytearray(b"RIFFxxxx")))  # skipped, not decoded
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    out = {r["media_id"]: r for r in resize_bmp_thumbnails(media, 4, 4).collect()}
+    assert set(out) == {0, 1, 2}
+    for i, px in imgs.items():
+        expect = resize_nearest(px, 4, 4)
+        assert abs(out[i]["mean_r"] - float(expect[:, :, 0].mean())) < 1e-9
+        assert out[i]["thumb_h"] == 4 and out[i]["thumb_w"] == 4
