@@ -77,6 +77,8 @@ _PRIORITY = [
     "text_overlap_chunks",
     "p_data_quality_audit",
     "text_char_entropy",
+    "a_funnel_view_click_purchase",
+    "a_cohort_weekly_retention",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

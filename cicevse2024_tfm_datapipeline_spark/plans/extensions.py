@@ -2083,3 +2083,133 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min("entropy"), 6).alias("min_entropy"),
         pround(F.max("entropy"), 6).alias("max_entropy"),
     )
+
+
+@register(
+    "a_funnel_view_click_purchase",
+    oracle="""
+    WITH pos AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p
+        FROM events
+    ),
+    v AS (
+        SELECT user_id, min(p) AS vp FROM pos
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT pos.user_id, min(p) AS cp
+        FROM pos JOIN v ON pos.user_id = v.user_id
+        WHERE event_type = 'click' AND p > vp
+        GROUP BY pos.user_id
+    ),
+    pu AS (
+        SELECT pos.user_id, min(p) AS pp
+        FROM pos JOIN c ON pos.user_id = c.user_id
+        WHERE event_type = 'purchase' AND p > cp
+        GROUP BY pos.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM pu) AS n_view_click_purchase,
+           round((SELECT count(*) FROM pu) * 1.0
+                 / nullif((SELECT count(*) FROM v), 0), 6) AS conversion
+    """,
+    doc="Ordered funnel (view -> click -> purchase): stage k = users "
+    "with a strictly later stage-k event than their stage-(k-1) entry, "
+    "via per-user event ranks and min-position joins — NO per-user "
+    "event-array materialization (collect_list funnels assume bounded "
+    "per-user history; this shape is join/agg all the way down, so a "
+    "power user with millions of events costs the same as anyone). One "
+    "rank shuffle + per-stage |users|-sized joins that AQE broadcasts.",
+    tags=("A", "funnel", "events"),
+)
+def a_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.withColumn("p", F.row_number().over(w))
+    v = (
+        pos.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("p").alias("vp"))
+    )
+    c = (
+        pos.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("p") > F.col("vp"))
+        .groupBy("user_id")
+        .agg(F.min("p").alias("cp"))
+    )
+    pu = (
+        pos.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("p") > F.col("cp"))
+        .groupBy("user_id")
+        .agg(F.min("p").alias("pp"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_view_click"))
+    np_ = pu.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            F.col("n_view").cast("long").alias("n_view"),
+            F.col("n_view_click").cast("long").alias("n_view_click"),
+            F.col("n_view_click_purchase").cast("long").alias("n_view_click_purchase"),
+            pround(
+                F.col("n_view_click_purchase")
+                / F.nullif(F.col("n_view").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("conversion"),
+        )
+    )
+
+
+@register(
+    "a_cohort_weekly_retention",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id,
+               CAST((epoch_us(ts) - 1704067200000000)
+                    // 604800000000 AS BIGINT) AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, week FROM wk)
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-seen week, "
+    "counted as active per week offset — the standard growth-analytics "
+    "rollup. Exact integer week arithmetic on epoch microseconds (both "
+    "engines derive identical weeks); two grouped aggregations plus one "
+    "|users|-sized broadcast join. The matrix is (weeks x weeks) tiny "
+    "regardless of corpus size.",
+    tags=("A", "cohort", "retention"),
+)
+def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    # exact integer week arithmetic (`div`, not `/`): long / long is
+    # DOUBLE division in Spark and can flip a floor at week boundaries
+    week = F.expr(
+        "(unix_micros(to_utc_timestamp(ts, 'UTC')) - 1704067200000000)"
+        " div 604800000000"
+    ).cast("long")
+    wk = ev.select("user_id", week.alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
