@@ -79,6 +79,8 @@ _PRIORITY = [
     "text_char_entropy",
     "a_funnel_view_click_purchase",
     "a_cohort_weekly_retention",
+    "g_pagerank_lsh",
+    "g_triangle_count_lsh",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",

@@ -2213,3 +2213,122 @@ def a_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
     )
+
+
+_PR_EDGES = """
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    )
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"r{k - 1}"
+    return f"""
+    c{k} AS (
+        SELECT e.dst AS node, sum({prev}.rank / deg.deg) AS v
+        FROM edges e
+        JOIN {prev} ON e.src = {prev}.node
+        JOIN deg ON e.src = deg.src
+        GROUP BY 1
+    ),
+    r{k} AS (
+        SELECT n2.node,
+               (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nt.n
+               + CAST(0.85 AS DOUBLE) * coalesce(c{k}.v, CAST(0 AS DOUBLE)) AS rank
+        FROM nodes n2 CROSS JOIN nt
+        LEFT JOIN c{k} ON n2.node = c{k}.node
+    )"""
+
+
+@register(
+    "g_pagerank_lsh",
+    oracle=f"""
+    WITH {_sig_sql()},
+    bands AS ({_band_sql()}),
+    {_PR_EDGES},
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nt AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / nt.n AS rank FROM nodes, nt),
+    {_pr_iter_sql(1)},
+    {_pr_iter_sql(2)},
+    {_pr_iter_sql(3)}
+    SELECT node, rank_rounded, rk FROM (
+        SELECT node, round(rank, 6) AS rank_rounded,
+               row_number() OVER (ORDER BY round(rank, 6) DESC, node ASC) AS rk
+        FROM r3) q
+    WHERE rk <= 10
+    """,
+    doc="PageRank over the LSH candidate graph, 3 UNROLLED power "
+    "iterations (operators/graph.pagerank_fixed): fixing the iteration "
+    "count makes an iterative graph algorithm pure deterministic "
+    "arithmetic — hence fully SQL-oracle-checkable, unlike "
+    "convergence-probed variants. Per step: edge⋈rank join + groupBy "
+    "dst, the standard distributed shape; the dedup graph is "
+    "edge-bounded so each step shuffles near-dup edges, not the corpus. "
+    "Top-10 selected on ROUNDED ranks with a node tiebreak so both "
+    "engines cut the same boundary.",
+    tags=("graph", "pagerank", "dedup"),
+)
+def g_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cicevse2024_tfm_datapipeline_spark.operators.graph import (
+        pagerank_fixed,
+        undirect,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
+    rank = pagerank_fixed(undirect(pairs), iters=3, damping=0.85)
+    w = W.orderBy(F.desc("rank_rounded"), F.asc("node"))
+    return (
+        rank.select("node", pround("rank", 6).alias("rank_rounded"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("node", "rank_rounded", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
+    "g_triangle_count_lsh",
+    oracle=f"""
+    WITH {_sig_sql()},
+    bands AS ({_band_sql()}),
+    {_PR_EDGES},
+    ab AS (SELECT src AS a, dst AS b FROM edges WHERE src < dst)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM ab) AS n_edges
+    FROM ab x
+    JOIN ab y ON x.b = y.a
+    JOIN ab z ON x.a = z.a AND y.b = z.b
+    """,
+    doc="Triangle count over the LSH candidate graph (operators/graph."
+    "triangle_count): ordered 3-clique join a<b<c, each triangle counted "
+    "once — the motif baseline for near-dup cluster density (triangle-"
+    "rich components are true duplicate clusters, triangle-free stars "
+    "are often banding artifacts). Join fan-out bounded by per-node "
+    "degree on the edge-bounded dedup graph.",
+    tags=("graph", "triangles", "dedup"),
+)
+def g_triangle_count_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.graph import (
+        triangle_count,
+        undirect,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
+    edges = undirect(pairs)
+    n_edges = edges.filter(F.col("src") < F.col("dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return triangle_count(edges).crossJoin(F.broadcast(n_edges))
