@@ -78,9 +78,7 @@ _PRIORITY = [
     "p_data_quality_audit",
     "text_char_entropy",
     "a_funnel_view_click_purchase",
-    "a_cohort_weekly_retention",
     "g_pagerank_lsh",
-    "g_triangle_count_lsh",
     "w_quality_decile_curriculum",
     "text_unigram_lm_scores",
     "text_vocab_oov_rate",
@@ -97,6 +95,11 @@ _PRIORITY = [
     "m8_sample_size_grid",
     "p8_p9_network_narrowing",
     "f14_json_sanitize_roundtrip",
+    # --- block 3b: round-3 extension analytics that yield the last
+    # window slots to never-driven SURVEY-§2 rows above; selfcheck
+    # covers them, and they rotate in next round ---
+    "a_cohort_weekly_retention",
+    "g_triangle_count_lsh",
     # --- block 4: green anchors across the operator families ---
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
