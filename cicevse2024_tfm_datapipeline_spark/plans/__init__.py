@@ -100,6 +100,8 @@ _PRIORITY = [
     # covers them, and they rotate in next round ---
     "a_cohort_weekly_retention",
     "g_triangle_count_lsh",
+    "a_ab_test_proportions",
+    "a_ks_two_sample",
     # --- block 4: green anchors across the operator families ---
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",

@@ -898,3 +898,126 @@ def a_cube_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "a_ab_test_proportions",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    conv AS (
+        SELECT user_id, user_id % 2 AS grp,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted
+        FROM ranked WHERE rn = 1
+    ),
+    cells AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+               CAST(sum(CASE WHEN grp = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+        FROM conv
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           round(c_a * 1.0 / n_a, 6) AS p_a,
+           round(c_b * 1.0 / n_b, 6) AS p_b,
+           round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                 / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                        * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+    FROM cells
+    """,
+    doc="Two-proportion A/B z-test (pooled): per-user 'activation' "
+    "conversion (first event is a purchase — an ANY-event metric "
+    "saturates to p=1 on high-volume users and degenerates the pooled "
+    "variance) split by a deterministic assignment hash — one user-"
+    "grouped first-event reduction + one 4-cell reduction; the whole "
+    "experiment readout is two shuffles regardless of event volume. "
+    "z_stat against the +-1.96 line is the standard launch gate; the "
+    "normal-CDF p-value needs erf, which neither engine exposes in SQL "
+    "— consumers threshold z directly.",
+    tags=("A", "abtest", "stats"),
+)
+def a_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    first_ev = F.min_by("event_type", F.struct(F.col("ts"), F.col("event_id")))
+    conv = events.groupBy("user_id", (F.col("user_id") % 2).alias("grp")).agg(
+        (first_ev == "purchase").cast("int").alias("converted")
+    )
+    cells = conv.agg(
+        F.sum((F.col("grp") == 0).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("grp") == 1).cast("long")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("c_b"),
+    )
+    pa = F.col("c_a") / F.col("n_a")
+    pb = F.col("c_b") / F.col("n_b")
+    pp = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return cells.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        pround(pa, 6).alias("p_a"),
+        pround(pb, 6).alias("p_b"),
+        pround((pa - pb) / se, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "a_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT value,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('view', 'error')
+    ),
+    per AS (SELECT value, sum(a) AS na, sum(b) AS nb FROM s GROUP BY 1),
+    cum AS (
+        SELECT value,
+               sum(na) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(nb) OVER (ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+               sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+        FROM per
+    )
+    SELECT round(max(abs(ca * 1.0 / ta - cb * 1.0 / tb)), 6) AS ks_d,
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b
+    FROM cum
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic (max ECDF gap) between "
+    "the value distributions of two event types — the standard drift "
+    "detector between data batches. Runs on the two-phase range-"
+    "partitioned scan (operators/scan.global_cumsum, both samples' "
+    "cumulative counts in ONE pass over the merged distinct-value "
+    "frame): no unpartitioned window, no sample ever collected.",
+    tags=("A", "ks", "drift", "scan"),
+)
+def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "error"))
+    per = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("na"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("nb"),
+    )
+    cum = global_cumsum(per, ["value"], ["na", "nb"], with_totals=True)
+    gap = F.abs(
+        F.col("cum_na") / F.col("tot_na") - F.col("cum_nb") / F.col("tot_nb")
+    )
+    return cum.agg(
+        pround(F.max(gap), 6).alias("ks_d"),
+        F.max("tot_na").cast("long").alias("n_a"),
+        F.max("tot_nb").cast("long").alias("n_b"),
+    )
