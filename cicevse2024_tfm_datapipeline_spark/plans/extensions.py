@@ -2279,22 +2279,30 @@ def _pr_iter_sql(k: int) -> str:
     tags=("graph", "pagerank", "dedup"),
 )
 def g_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     from cicevse2024_tfm_datapipeline_spark.operators.graph import (
         pagerank_fixed,
         undirect,
     )
+    from cicevse2024_tfm_datapipeline_spark.operators.topk import top_k
 
     docs = t(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
     rank = pagerank_fixed(undirect(pairs), iters=3, damping=0.85)
-    w = W.orderBy(F.desc("rank_rounded"), F.asc("node"))
+    scored = rank.select("node", pround("rank", 6).alias("rank_rounded"))
+    # top-10 via per-partition heap (TakeOrderedAndProject), then the
+    # rank index from a triangle join over the 10-row result — no
+    # unpartitioned window anywhere
+    top = top_k(scored, [F.desc("rank_rounded"), F.asc("node")], 10)
+    b = top.select(
+        F.col("node").alias("__bn"), F.col("rank_rounded").alias("__br")
+    )
+    earlier = (F.col("__br") > F.col("rank_rounded")) | (
+        (F.col("__br") == F.col("rank_rounded")) & (F.col("__bn") < F.col("node"))
+    )
     return (
-        rank.select("node", pround("rank", 6).alias("rank_rounded"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("node", "rank_rounded", F.col("rk").cast("long").alias("rk"))
+        top.join(b, earlier, "left")
+        .groupBy("node", "rank_rounded")
+        .agg((F.count("__bn") + 1).cast("long").alias("rk"))
     )
 
 
