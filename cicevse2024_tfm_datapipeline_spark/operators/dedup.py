@@ -275,6 +275,69 @@ def fuzzy_dedup_survivors(
     return docs.join(removed, id_col, "left_anti")
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (substring dedup): find maximal
+    token ranges that occur at least ``min_occurrences`` times anywhere
+    in the corpus (the Lee et al. 2021 "Deduplicating Training Data"
+    semantics, at k-token granularity instead of suffix arrays).
+
+    Plan: posexplode k-token shingles → one uniform shuffle on the
+    shingle digest to count global occurrences → equi-join the
+    duplicated digests back to positions → per-document gaps-and-islands
+    merge of overlapping/adjacent hits (window partitioned BY DOCUMENT —
+    partition size is bounded by document length, never by corpus size).
+    All JVM Column expressions; at 100 TB the only large shuffle is the
+    digest groupBy, which is uniformly keyed by construction.
+
+    Returns one row per merged span: (doc_id, span_start, span_end,
+    span_tokens), positions 1-based inclusive over the whitespace-token
+    sequence. Scale extension — no reference twin.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_expr(F.col(text_col))
+    sh = word_shingles_expr(toks, k)
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(sh).alias("pos0", "shingle")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5("shingle").alias("h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_occurrences)
+        .select("h")
+    )
+    hits = pos.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = F.lag("pos", 1).over(w)
+    # spans all have length k and start positions are sorted, so ends are
+    # monotonic: a lag test is an exact overlap/adjacency merge rule
+    new_island = (lagged.isNull() | (F.col("pos") - lagged > k)).cast("long")
+    islands = hits.withColumn("island", F.sum(new_island).over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def contaminated_ids(
     train: DataFrame,
     eval_df: DataFrame,

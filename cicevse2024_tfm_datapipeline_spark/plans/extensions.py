@@ -2086,6 +2086,66 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_duplicate_spans",
+    oracle=r"""
+    WITH toksd AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+            SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
+                list_transform(range(1, len(toks) - 3),
+                    i -> struct_pack(pos := i,
+                                     h := md5(array_to_string(list_slice(toks, i, i + 4), ' '))))
+                ELSE [] END) AS u
+            FROM toksd) s
+    ),
+    dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (h)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+                    THEN 1 ELSE 0 END AS ni
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e
+        FROM isl2 GROUP BY 1, 2
+    )
+    SELECT CAST(e - s + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM spans GROUP BY 1
+    """,
+    doc="Exact duplicate-SPAN detection (substring dedup, Lee et al. "
+    "2021 semantics at 5-token granularity): corpus-duplicated 5-gram "
+    "occurrences merged into maximal per-document token ranges via a "
+    "per-document gaps-and-islands window, reported as a span-length "
+    "histogram. The only corpus-scale shuffle is the uniformly-keyed "
+    "shingle-digest groupBy; the merge window is partitioned by "
+    "document (bounded by doc length). Scale extension - no reference "
+    "twin.",
+    tags=("dedup", "substring"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import duplicate_spans
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = duplicate_spans(docs, "text", "doc_id", k=5, min_occurrences=2)
+    return spans.groupBy(F.col("span_tokens").cast("long").alias("span_tokens")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+@register(
     "a_funnel_view_click_purchase",
     oracle="""
     WITH pos AS (
