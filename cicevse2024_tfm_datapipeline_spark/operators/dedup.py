@@ -219,16 +219,26 @@ def connected_components(
     emitted (callers union them back if needed) — keeps the frame
     edge-bounded, which at 100 TB is millions of rows, not billions.
     """
+
+    def _label_sum(frame: DataFrame):
+        # decimal(38) keeps the probe overflow-safe with billions of
+        # 64-bit ids; a 1-row aggregate over a checkpointed frame
+        return frame.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     sym = sym.localCheckpoint(eager=False)
+    # init folds the first propagation round into label creation:
+    # lbl₀ = min(node, min neighbor) — same shuffle the bare distinct()
+    # init paid, one fewer loop iteration
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("__mn"))
+        .select("node", F.least(F.col("node"), F.col("__mn")).alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["dst"] == labels["node"]).select(
             F.col("src").alias("node"), F.col("lbl")
@@ -236,16 +246,13 @@ def connected_components(
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        # labels only ever decrease, so fixpoint ⟺ the label sum is
+        # unchanged: a joinless 1-row probe instead of a self-join scan
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
 
 

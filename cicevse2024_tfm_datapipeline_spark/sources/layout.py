@@ -51,28 +51,47 @@ def zvalue_expr(int_cols: Sequence[Column], bits: int) -> Column:
     return z
 
 
+def column_bounds(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[float, float]]:
+    """Global (min, max) per column — ONE 1-row aggregate, fetched to the
+    driver. This is the standard two-phase layout build (stats job, then
+    layout job) every OPTIMIZE ZORDER implementation runs; inlining the
+    bounds as literals keeps the scaling a pure foldable projection, so
+    the range-partitioner's sampling pass and the write pass don't each
+    re-evaluate a stats subplan."""
+    row = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
+    ).collect()[0]
+    return {c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in cols}
+
+
 def minmax_scaled_ints(
-    df: DataFrame, cols: Sequence[str], bits: int
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int,
+    bounds: dict[str, tuple[float, float]] | None = None,
 ) -> tuple[DataFrame, list[str]]:
     """Scale each column to an integer in ``[0, 2^bits)`` by global
     min/max: ``least(2^bits − 1, floor(((x − mn) / (mx − mn)) · 2^bits))``
     (exactly this operation order — the oracle mirrors it). Constant
-    columns and nulls map to 0. One 1-row aggregate broadcast to every
-    row; adds ``__zi_<col>`` columns."""
+    columns and nulls map to 0. Bounds come from :func:`column_bounds`
+    (computed here when not passed) and are inlined as literals — the
+    scaling is per-row codegen arithmetic with no stats subplan. Adds
+    ``__zi_<col>`` columns."""
     scale = (1 << bits) - 1
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"__mx_{c}") for c in cols],
-    )
-    out = df.crossJoin(F.broadcast(stats))
+    if bounds is None:
+        bounds = column_bounds(df, cols)
+    out = df
     names = []
     for c in cols:
-        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        mn_v, mx_v = bounds[c]
+        mn = F.lit(None).cast("double") if mn_v is None else F.lit(float(mn_v))
+        mx = F.lit(None).cast("double") if mx_v is None else F.lit(float(mx_v))
         frac = (F.col(c).cast("double") - mn) / (mx - mn)
         scaled = F.least(F.lit(scale).cast("long"), F.floor(frac * F.lit(float(scale + 1))).cast("long"))
         names.append(f"__zi_{c}")
         out = out.withColumn(f"__zi_{c}", F.coalesce(scaled, F.lit(0).cast("long")))
-    return out.drop(*[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]), names
+    return out, names
 
 
 def with_zvalue(df: DataFrame, cols: Sequence[str], bits: int = 8) -> DataFrame:
