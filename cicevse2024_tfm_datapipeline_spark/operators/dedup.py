@@ -294,13 +294,15 @@ def duplicate_spans(
     in the corpus (the Lee et al. 2021 "Deduplicating Training Data"
     semantics, at k-token granularity instead of suffix arrays).
 
-    Plan: posexplode k-token shingles → one uniform shuffle on the
-    shingle digest to count global occurrences → equi-join the
-    duplicated digests back to positions → per-document gaps-and-islands
-    merge of overlapping/adjacent hits (window partitioned BY DOCUMENT —
-    partition size is bounded by document length, never by corpus size).
-    All JVM Column expressions; at 100 TB the only large shuffle is the
-    digest groupBy, which is uniformly keyed by construction.
+    Plan: posexplode k-token shingles → ONE shuffle on the raw shingle
+    (explicit repartition barrier: the occurrence-count groupBy and the
+    join-back both reuse that exchange, and the tokenize→shingle chain
+    is never inlined twice) → per-document gaps-and-islands merge of
+    overlapping/adjacent hits (window partitioned BY DOCUMENT —
+    partition size is bounded by document length, never by corpus
+    size). All JVM Column expressions. A pathologically common k-gram
+    makes the join-back key hot; the count side is map-combined either
+    way and AQE's skew-join split covers the probe side.
 
     Returns one row per merged span: (doc_id, span_start, span_end,
     span_tokens), positions 1-based inclusive over the whitespace-token
@@ -310,20 +312,21 @@ def duplicate_spans(
 
     toks = tokens_expr(F.col(text_col))
     sh = word_shingles_expr(toks, k)
-    pos = docs.select(
+    pos = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), F.posexplode(sh).alias("pos0", "shingle")
     ).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
-        F.md5("shingle").alias("h"),
+        "shingle",
     )
+    pos = pos.repartition(F.col("shingle"))
     dup = (
-        pos.groupBy("h")
+        pos.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_occurrences)
-        .select("h")
+        .select("shingle")
     )
-    hits = pos.join(dup, "h").select("doc_id", "pos")
+    hits = pos.join(dup, "shingle").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     lagged = F.lag("pos", 1).over(w)
     # spans all have length k and start positions are sorted, so ends are

@@ -60,6 +60,7 @@ _PRIORITY = [
     "r_degrade_hash_clock_offset",
     "r_degrade_hash_drift",
     "s1_s3_csv_roundtrip",
+    "dedup_duplicate_spans",
     "text_pii_redaction",
     "r5_hash_permutation",
     "j_bucketed_smb_join",

@@ -2094,16 +2094,16 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     pos AS (
-        SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+        SELECT doc_id, u.pos AS pos, u.s AS s FROM (
             SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN
                 list_transform(range(1, len(toks) - 3),
                     i -> struct_pack(pos := i,
-                                     h := md5(array_to_string(list_slice(toks, i, i + 4), ' '))))
+                                     s := array_to_string(list_slice(toks, i, i + 4), ' ')))
                 ELSE [] END) AS u
-            FROM toksd) s
+            FROM toksd) q
     ),
-    dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
-    hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (h)),
+    dup AS (SELECT s FROM pos GROUP BY s HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (s)),
     isl AS (
         SELECT doc_id, pos,
                CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
