@@ -606,3 +606,170 @@ def p_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             check_referential(orders, cust, "o_custkey", "c_custkey"),
         ]
     )
+
+
+@register(
+    "j_tpch_q4_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): EXISTS decorrelates "
+    "to a LEFT-SEMI join on o_orderkey with the late-shipment predicate "
+    "(l_shipdate > o_orderdate + 30 days) as the join residual — the "
+    "orders date window pushes into the scan, lineitem is never "
+    "aggregated, and the semi join emits each qualifying order once "
+    "regardless of its lineitem fanout. The commitdate/receiptdate pair "
+    "of real TPC-H is absent from the synthetic schema; the "
+    "shipdate-vs-orderdate lag keeps the correlated-predicate shape.",
+    tags=("J", "tpch", "semi"),
+)
+def j_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@register(
+    "j_tpch_q12_priority_class",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H Q12 shape (priority classing per line status): one "
+    "equi-join on the orderkey with the shipdate window pushed into the "
+    "lineitem scan, then conditional-sum pivots of order priority — the "
+    "case-sum aggregate is map-side combined, so the post-join shuffle "
+    "carries 2 longs per (status) group, not rows. Ship-mode of real "
+    "TPC-H is absent; l_linestatus is the stand-in class column.",
+    tags=("J", "tpch"),
+)
+def j_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "j_tpch_q14_promo_share",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+               AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-09-01 00:00:00'
+    GROUP BY 1 = 1
+    """,
+    doc="TPC-H Q14 shape (promotion revenue share): part is the "
+    "broadcast dimension (one hash join, no lineitem shuffle), the "
+    "shipdate window pushes into the fact scan, and the promo share is "
+    "a single conditional-sum ratio — one row out. Percentage rounded "
+    "at 6 dp to absorb engine-side FP association differences on the "
+    "two independently-summed terms.",
+    tags=("J", "tpch"),
+)
+def j_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-09-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        pround(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+@register(
+    "j_tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): the HAVING subquery "
+    "is ONE map-combined aggregation of lineitem reused as a semi-join "
+    "filter (AQE broadcasts the qualifying-key set - ~1% of orders at "
+    "threshold 250), so the expensive re-aggregation only runs on "
+    "filtered rows; final top-20 is TakeOrderedAndProject with the "
+    "orderkey tiebreak pinning result order. ",
+    tags=("J", "tpch", "topk"),
+)
+def j_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    filt = li.join(big, "l_orderkey", "left_semi")
+    agg = filt.groupBy("l_orderkey").agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+    out = (
+        agg.join(o, agg.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+    return out.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(20)
