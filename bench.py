@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_bloom_novelty",
     "w_ewma_smoothing",
     "s10_zorder_cells",
+    "dedup_duplicate_spans",
+    "j_tpch_q18_large_orders",
 ]
 
 
