@@ -53,6 +53,7 @@ _PRIORITY = [
     "stream_dedup_union",
     "stream_static_join",
     "stream_sink_partitioned_lake",
+    "stream_append_late_drop",
     # --- block 3: new or re-planned this round ---
     "a11_ovr_auc_per_class",
     "a11_multiclass_auc",
@@ -89,7 +90,6 @@ _PRIORITY = [
     "text_boilerplate_chunks",
     "pipeline_corpus_prep",
     "a_approx_sketches",
-    "j_salted_skew_join",
     "s4_csv_sink_roundtrip",
     "s5_tensor_sink_roundtrip",
     "f15_proba_pair",
@@ -99,6 +99,7 @@ _PRIORITY = [
     # --- block 3b: round-3 extension analytics that yield the last
     # window slots to never-driven SURVEY-§2 rows above; selfcheck
     # covers them, and they rotate in next round ---
+    "j_salted_skew_join",
     "a_cohort_weekly_retention",
     "g_triangle_count_lsh",
     "a_ab_test_proportions",

@@ -995,6 +995,119 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_append_late_drop",
+    oracle="""
+    WITH early_even AS (
+        SELECT ts, event_type, value FROM events
+        WHERE ts < TIMESTAMP '2024-01-26 00:00:00' AND user_id % 2 = 0
+    ),
+    fresh AS (
+        SELECT ts, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '2024-01-26 00:00:00'
+    ),
+    late_odd AS (
+        SELECT ts, event_type, value FROM events
+        WHERE ts < TIMESTAMP '2024-01-26 00:00:00' AND user_id % 2 = 1
+    ),
+    wm2 AS (SELECT max(epoch_us(ts)) AS w FROM early_even),
+    late_kept AS (
+        SELECT l.* FROM late_odd l, wm2
+        WHERE (floor(epoch_us(l.ts) / 86400000000) + 1) * 86400000000 > wm2.w
+    ),
+    kept AS (SELECT * FROM early_even UNION ALL SELECT * FROM fresh
+             UNION ALL SELECT * FROM late_kept),
+    wmf AS (SELECT max(epoch_us(ts)) AS wmf FROM events),
+    agg AS (
+        SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) * 86400
+                   AS window_start_epoch,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(sum(value), 2) AS sum_value
+        FROM kept GROUP BY 1, 2
+    )
+    SELECT window_start_epoch, event_type, n_rows, sum_value
+    FROM agg, wmf
+    WHERE (window_start_epoch + 86400) * 1000000 <= wmf
+    """,
+    doc="Append-mode late-data loss, fully predicted in SQL. The events "
+    "table is re-fed as THREE mtime-ordered files "
+    "(maxFilesPerTrigger=1): early even-user rows, then the fresh tail "
+    "(last days), then the early ODD-user rows arriving behind the "
+    "watermark. Verified engine mechanics, encoded 1:1 in the oracle: "
+    "a late row is DROPPED iff its window was already evicted, and "
+    "eviction at the end of batch N uses the watermark from batch "
+    "N-1's data — so the late file loses every window whose end is <= "
+    "max ts of the early file (evicted when the fresh batch closed) "
+    "but its LAST early window (end past that watermark) is still "
+    "open in state and merges. Emission = day windows whose end is "
+    "<= the final watermark; the still-open last window is withheld. "
+    "Windows are midnight-aligned while watermarks carry microseconds, "
+    "so no eviction/emission boundary ever ties.",
+    tags=("streaming", "watermark", "late-data"),
+)
+def stream_append_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+    )
+
+    feed = os.path.join(SCRATCH, "events_latefeed")
+    shutil.rmtree(feed, ignore_errors=True)
+    os.makedirs(feed, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type", "value")
+    # wall-clock literal cast to the column's own type: works whether the
+    # session loads ts as TIMESTAMP (repo session, UTC) or TIMESTAMP_NTZ
+    # (bare driver session) — both read the same naive micros
+    cut = F.lit("2024-01-26 00:00:00").cast(ev.schema["ts"].dataType)
+    feeds = [
+        ("early_even", (F.col("ts") < cut) & (F.col("user_id") % 2 == 0)),
+        ("fresh", F.col("ts") >= cut),
+        ("late_odd", (F.col("ts") < cut) & (F.col("user_id") % 2 == 1)),
+    ]
+    for i, (tag, pred) in enumerate(feeds):
+        tmp = os.path.join(feed, f"__tmp_{tag}")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(feed, f"{i:02d}_{tag}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        # pin the batch order: the file source lists by modification time
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .withColumn("ts", F.expr("timestamp_micros(ts)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "86400 seconds"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value"))
+    )
+    out = run_to_completion(agg, "stream_late_drop_out", output_mode="append")
+    return out.select(
+        F.col("window.start").cast("long").alias("window_start_epoch"),
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        pround(F.col("sum_value"), 2).alias("sum_value"),
+    )
+
+
+@register(
     "s4_csv_sink_roundtrip",
     oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
