@@ -2400,3 +2400,60 @@ def g_triangle_count_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_edges")
     )
     return triangle_count(edges).crossJoin(F.broadcast(n_edges))
+
+
+@register(
+    "w_range_frame_rolling",
+    oracle="""
+    WITH r AS (
+        SELECT user_id,
+               sum(CAST(floor(value) AS BIGINT)) OVER w AS roll_sum,
+               count(*) OVER w AS roll_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(roll_sum) AS BIGINT) AS max_roll_sum,
+           CAST(sum(roll_sum) AS BIGINT) AS checksum_roll_sum,
+           CAST(max(roll_n) AS BIGINT) AS max_roll_n
+    FROM r GROUP BY user_id
+    """,
+    doc="Time-RANGE window frame (trailing 1 hour per user): the frame "
+    "is bounded by event-time distance, not row count — the rolling-"
+    "metric shape row-frame windows (W3/A6) cannot express when events "
+    "are irregularly spaced. Partitioned by user (bounded state, no "
+    "global window); the order key is exact integer microseconds and "
+    "the rolled value is floor(value) as a long, so every per-row "
+    "frame sum is identical integer arithmetic in both engines and the "
+    "checksum pins all of them. RANGE frames include order-key ties on "
+    "both sides by definition, making the result partitioning- and "
+    "sort-stability-independent.",
+    tags=("W", "window", "range-frame"),
+)
+def w_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    base = ev.select(
+        "user_id",
+        F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))").alias("__us"),
+        F.floor("value").cast("long").alias("__iv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    r = base.select(
+        "user_id",
+        F.sum("__iv").over(w).alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max("roll_sum").cast("long").alias("max_roll_sum"),
+        F.sum("roll_sum").cast("long").alias("checksum_roll_sum"),
+        F.max("roll_n").cast("long").alias("max_roll_n"),
+    )
