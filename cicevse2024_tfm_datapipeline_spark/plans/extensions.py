@@ -2457,3 +2457,54 @@ def w_range_frame_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("roll_sum").cast("long").alias("checksum_roll_sum"),
         F.max("roll_n").cast("long").alias("max_roll_n"),
     )
+
+
+@register(
+    "sample_temperature_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks FROM documents
+        GROUP BY source
+    ),
+    w AS (
+        SELECT source, toks,
+               toks * 1.0 / (SELECT sum(toks) FROM s) AS p_raw,
+               pow(toks * 1.0 / (SELECT sum(toks) FROM s), 0.3) AS w_alpha
+        FROM s
+    )
+    SELECT source, toks AS n_tokens,
+           round(p_raw, 6) AS p_raw,
+           round(w_alpha / (SELECT sum(w_alpha) FROM w), 6) AS p_mix,
+           round((w_alpha / (SELECT sum(w_alpha) FROM w)) / p_raw, 6)
+               AS epoch_boost
+    FROM w
+    """,
+    doc="Temperature-scaled mixture weights (alpha = 0.3, the "
+    "multilingual/multi-source rebalancing rule from mT5/PaLM-style "
+    "training): per-source token mass -> natural proportion p_raw -> "
+    "p_mix proportional to p_raw^alpha -> epoch_boost = how many times "
+    "over/under its natural rate each source is sampled. The sizing "
+    "step every multi-source LLM training mix runs before sampling "
+    "(operators/sampling then executes the mix via "
+    "deterministic-mixture quotas). One tiny aggregation; the "
+    "normalization constants are 1-row broadcast scalars.",
+    tags=("sampling", "mixture", "temperature"),
+)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "n_chars")
+    s = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("toks"))
+    tot = s.agg(F.sum("toks").alias("__tot"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        (F.col("toks") * F.lit(1.0) / F.col("__tot")).alias("p_raw"),
+        F.pow(F.col("toks") * F.lit(1.0) / F.col("__tot"), F.lit(0.3)).alias("w_alpha"),
+    )
+    z = w.agg(F.sum("w_alpha").alias("__z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("toks").alias("n_tokens"),
+        pround("p_raw", 6).alias("p_raw"),
+        pround(F.col("w_alpha") / F.col("__z"), 6).alias("p_mix"),
+        pround((F.col("w_alpha") / F.col("__z")) / F.col("p_raw"), 6).alias("epoch_boost"),
+    )

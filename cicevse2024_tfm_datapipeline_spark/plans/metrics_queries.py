@@ -1021,3 +1021,71 @@ def a_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tot_na").cast("long").alias("n_a"),
         F.max("tot_nb").cast("long").alias("n_b"),
     )
+
+
+@register(
+    "a_calibration_bins_ece",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    {_SCORED_SQL},
+    p AS (
+        SELECT least(9, CAST(floor(least(1.0, score) * 10) AS INT)) AS bin,
+               least(1.0, score) AS prob, y_true
+        FROM scored
+    ),
+    b AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(avg(prob), 6) AS avg_score,
+               sum(y_true) * 1.0 / count(*) AS frac_pos
+        FROM p GROUP BY bin
+    ),
+    e AS (
+        SELECT sum(n_rows * abs(avg_score - frac_pos)) / sum(n_rows) AS ece
+        FROM b
+    )
+    SELECT bin, n_rows, avg_score, round(frac_pos, 6) AS frac_pos,
+           round((SELECT ece FROM e), 6) AS ece
+    FROM b
+    """,
+    doc="Calibration / reliability bins + expected calibration error "
+    "(ECE): scores clamped to [0,1], 10 equal-width bins, per-bin mean "
+    "predicted probability vs empirical positive rate, ECE = "
+    "count-weighted mean absolute gap. The model-evaluation companion "
+    "to A13's discrimination metrics (AUC says nothing about "
+    "calibration). One bounded aggregation (<= 10 groups) after the "
+    "scan; the ECE reduction runs on the 10-row bin frame joined back "
+    "as a broadcast scalar — no unpartitioned window. Per-bin gaps "
+    "computed from 6-dp-rounded means so both engines difference "
+    "identical doubles.",
+    tags=("A", "calibration", "metrics"),
+)
+def a_calibration_bins_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _scored(spark, sf_dir)
+    prob = F.least(F.lit(1.0), F.col("score"))
+    p = sc.select(
+        F.least(F.lit(9), F.floor(prob * 10).cast("int")).alias("bin"),
+        prob.alias("prob"),
+        "y_true",
+    )
+    b = p.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        pround(F.avg("prob"), 6).alias("avg_score"),
+        (F.sum("y_true") * F.lit(1.0) / F.count(F.lit(1))).alias("frac_pos"),
+    )
+    e = b.agg(
+        (
+            F.sum(F.col("n_rows") * F.abs(F.col("avg_score") - F.col("frac_pos")))
+            / F.sum("n_rows")
+        ).alias("__ece")
+    )
+    return (
+        b.crossJoin(F.broadcast(e))
+        .select(
+            "bin",
+            "n_rows",
+            "avg_score",
+            pround("frac_pos", 6).alias("frac_pos"),
+            pround("__ece", 6).alias("ece"),
+        )
+    )
