@@ -2508,3 +2508,208 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("w_alpha") / F.col("__z"), 6).alias("p_mix"),
         pround((F.col("w_alpha") / F.col("__z")) / F.col("p_raw"), 6).alias("epoch_boost"),
     )
+
+
+@register(
+    "dedup_edit_distance_verify",
+    oracle=f"""
+    WITH {_sig_sql()},
+    bands AS ({_band_sql()}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id
+    ),
+    lev AS (
+        SELECT p.doc_a, p.doc_b, levenshtein(da.text, db.text) AS d
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT least(9, d // 25) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(d) AS BIGINT) AS min_d,
+           CAST(max(d) AS BIGINT) AS max_d,
+           CAST(sum(d) AS BIGINT) AS sum_d
+    FROM lev GROUP BY 1
+    """,
+    doc="Edit-distance verification of LSH candidates: exact character "
+    "Levenshtein distance (built-in, identical integer DP in both "
+    "engines) computed ONLY for the candidate pairs LSH banding "
+    "produced — the strict-verify stage of fuzzy dedup when "
+    "char-level fidelity matters more than n-gram Jaccard (ocr noise, "
+    "whitespace-mangled scrapes). Candidate-bounded by construction "
+    "(never n²); the text fetch is two id equi-joins against the "
+    "corpus, each AQE-broadcast when the pair set is small. O(len²) "
+    "per pair is the price of exactness — at 100 TB you run it on the "
+    "LSH survivors only, exactly as staged here.",
+    tags=("dedup", "verify", "levenshtein"),
+)
+def dedup_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("__ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("__tb"))
+    lev = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(F.levenshtein("__ta", "__tb").alias("d"))
+    )
+    return lev.groupBy(
+        F.least(F.lit(9), (F.col("d") / 25).cast("long")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("d").cast("long").alias("min_d"),
+        F.max("d").cast("long").alias("max_d"),
+        F.sum("d").cast("long").alias("sum_d"),
+    )
+
+
+@register(
+    "w_cdc_apply_changelog",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, CAST(floor(value) AS BIGINT) AS v
+        FROM (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rn = 1
+    ),
+    chg AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(floor(value) AS BIGINT) AS v
+        FROM (
+            SELECT user_id, event_type, value, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT coalesce(c.user_id, b.user_id) AS user_id,
+               CASE WHEN c.user_id IS NULL THEN 'kept'
+                    WHEN c.op = 'D' THEN 'deleted'
+                    WHEN b.user_id IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS outcome,
+               CASE WHEN c.user_id IS NULL THEN b.v
+                    WHEN c.op = 'D' THEN NULL
+                    ELSE c.v END AS v
+        FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+    )
+    SELECT outcome,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(v) AS BIGINT) AS sum_final_value,
+           CAST(sum(user_id) AS BIGINT) AS sum_user_ids
+    FROM merged GROUP BY outcome
+    """,
+    doc="CDC changelog apply (batch MERGE semantics without a table "
+    "format): a keyed base snapshot full-outer-joined with the "
+    "latest-per-key change event, where 'error' events act as DELETEs "
+    "and anything else UPSERTs — the kept/updated/inserted/deleted "
+    "outcome accounting plus value+key checksums pin the entire merged "
+    "state. Latest-per-key on both sides is the one shuffle each "
+    "(row_number partitioned by key, deterministic (ts, event_id) "
+    "tiebreak); the merge itself is a key equi-join, AQE-broadcast "
+    "when the changelog is small — exactly Delta/Iceberg MERGE INTO "
+    "re-expressed in plain relational algebra.",
+    tags=("W", "cdc", "merge"),
+)
+def w_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    cut = F.lit("2024-01-15 00:00:00").cast(ev.schema["ts"].dataType)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+    base = latest(ev.filter(F.col("ts") < cut)).select(
+        "user_id", F.floor("value").cast("long").alias("bv")
+    )
+    chg = latest(ev.filter(F.col("ts") >= cut)).select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor("value").cast("long").alias("cv"),
+    )
+    b = base.alias("b")
+    c = chg.alias("c")
+    merged = b.join(c, "user_id", "full_outer").select(
+        "user_id",
+        F.when(F.col("c.op").isNull(), "kept")
+        .when(F.col("c.op") == "D", "deleted")
+        .when(F.col("b.bv").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("outcome"),
+        F.when(F.col("c.op").isNull(), F.col("b.bv"))
+        .when(F.col("c.op") == "D", F.lit(None).cast("long"))
+        .otherwise(F.col("c.cv"))
+        .alias("v"),
+    )
+    return merged.groupBy("outcome").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("v").cast("long").alias("sum_final_value"),
+        F.sum("user_id").cast("long").alias("sum_user_ids"),
+    )
+
+
+@register(
+    "pack_length_bucketing",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    b AS (SELECT doc_id, n_tok, least(15, n_tok // 32) AS bucket FROM n),
+    agg AS (
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(max(n_tok) AS BIGINT) AS bucket_max
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_docs, sum_tokens,
+           CAST(n_docs * bucket_max - sum_tokens AS BIGINT) AS padding_waste,
+           round((n_docs * bucket_max - sum_tokens) * 1.0
+                 / nullif(n_docs * bucket_max, 0), 6) AS waste_frac
+    FROM agg
+    """,
+    doc="Sequence-length bucketing for training-batch efficiency: docs "
+    "bucketed by token length (32-token strides, capped), per-bucket "
+    "padding waste = pad-to-bucket-max minus real tokens — the standard "
+    "accounting that motivates length-bucketed batching / packing over "
+    "naive global padding (compare pack_concat_chunks, which removes "
+    "the waste entirely). One scan, one tiny aggregation; the token "
+    "count is the same whitespace tokenizer the rest of the text stack "
+    "uses, so bucket boundaries are engine-identical integers.",
+    tags=("packing", "bucketing", "efficiency"),
+)
+def pack_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.select(F.size(tokens_expr(F.col("text"))).alias("n_tok"))
+    b = n.select("n_tok", F.least(F.lit(15), (F.col("n_tok") / 32).cast("long")).alias("bucket"))
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.max("n_tok").cast("long").alias("bucket_max"),
+    )
+    waste = F.col("n_docs") * F.col("bucket_max") - F.col("sum_tokens")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        waste.cast("long").alias("padding_waste"),
+        pround(
+            waste * F.lit(1.0)
+            / F.when(F.col("n_docs") * F.col("bucket_max") > 0, F.col("n_docs") * F.col("bucket_max")),
+            6,
+        ).alias("waste_frac"),
+    )
