@@ -1089,3 +1089,95 @@ def a_calibration_bins_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround("__ece", 6).alias("ece"),
         )
     )
+
+
+@register(
+    "f_winsorize_p1_p99",
+    oracle="""
+    WITH q AS (
+        SELECT quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           round(sum(least(p99, greatest(p01, value))), 2) AS sum_winsorized
+    FROM events, q
+    GROUP BY event_type
+    """,
+    doc="Winsorization at corpus [p1, p99]: exact interpolated "
+    "percentiles (ONE 1-row aggregate, broadcast to every row) feed a "
+    "pure clip projection — the outlier-robust scaling step run before "
+    "training on heavy-tailed features, composing F13's clip with the "
+    "exact-quantile machinery. Same two-phase stats-then-transform "
+    "shape as W5/z-order: at 100 TB swap approx_percentile into the "
+    "same call site. Clip comparisons run against identical "
+    "interpolated doubles in both engines.",
+    tags=("F", "winsorize", "quantiles"),
+)
+def f_winsorize_p1_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    j = ev.crossJoin(F.broadcast(q))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("value") < F.col("p01")).cast("long")).cast("long").alias("n_clipped_low"),
+        F.sum((F.col("value") > F.col("p99")).cast("long")).cast("long").alias("n_clipped_high"),
+        pround(F.sum(F.least("p99", F.greatest("p01", F.col("value")))), 2).alias("sum_winsorized"),
+    )
+
+
+@register(
+    "a_robust_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(max(med.m), 6) AS median_value,
+           round(max(mad.d), 6) AS mad,
+           CAST(sum(CASE WHEN abs(0.6745 * (e.value - med.m) / mad.d) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Robust (median/MAD) outlier detection per group: modified "
+    "z-score 0.6745·(x − median)/MAD with the standard 3.5 cutoff — "
+    "the heavy-tail-safe complement to the rolling mean/std detector "
+    "(w_rolling_zscore_anomalies), immune to the outliers it hunts. "
+    "Two exact-percentile aggregations (the second over residuals of "
+    "the first, broadcast-joined back) then one counting pass — three "
+    "uniform shuffles on the group key at any scale; approx_percentile "
+    "drops in for the 100 TB form.",
+    tags=("A", "robust", "outliers"),
+)
+def a_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("m"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("m")), 0.5).alias("d"))
+    )
+    j = ev.join(F.broadcast(med), "event_type").join(F.broadcast(mad), "event_type")
+    z = F.abs(F.lit(0.6745) * (F.col("value") - F.col("m")) / F.col("d"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        pround(F.max("m"), 6).alias("median_value"),
+        pround(F.max("d"), 6).alias("mad"),
+        F.sum((z > 3.5).cast("long")).cast("long").alias("n_outliers"),
+    )
