@@ -306,3 +306,102 @@ def resize_bmp_thumbnails(
         schema="media_id long, thumb_h int, thumb_w int, "
         "mean_r double, mean_g double, mean_b double",
     )
+
+
+def ahash_bits(pixels: np.ndarray, grid: int = 8) -> int:
+    """Perceptual average-hash: grayscale → nearest-neighbor downscale to
+    ``grid``² → bit i set iff cell i > mean. Pure integer/NumPy path —
+    the standard cheap image near-dup signature (pHash's simpler
+    sibling); identical images → identical hash, small edits → small
+    Hamming distance."""
+    gray = pixels.astype(np.float64).mean(axis=-1)
+    small = resize_nearest(gray[..., None], grid, grid)[:, :, 0]
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= np.uint64(b) << np.uint64(i)
+    return int(val.astype(np.int64))  # two's complement into a Spark long
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """aHash per BMP payload (Arrow-batched mapInPandas): the image twin
+    of text MinHash — downstream exact-dedup is a groupBy on the hash,
+    near-dup a Hamming-ball bucket join, both plain relational algebra
+    over this column. Non-image rows are skipped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["media_type"] not in ("image/bmp", "image/x-bmp"):
+                    continue
+                px = decode_bmp(bytes(r["payload"]))
+                rows.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "ahash": ahash_bits(px, grid),
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "ahash", "width", "height"]
+            ).astype({"media_id": "int64", "ahash": "int64", "width": "int32", "height": "int32"})
+
+    return media.mapInPandas(
+        batches, schema="media_id long, ahash long, width int, height int"
+    )
+
+
+def audio_spectral_features(media: DataFrame) -> DataFrame:
+    """Real spectral features from WAV payloads via NumPy rFFT (no audio
+    libraries): RMS level, spectral centroid (power-weighted mean
+    frequency) and 85% spectral rolloff — the standard cheap audio
+    fingerprint/quality trio. Arrow-batched mapInPandas; non-audio rows
+    are skipped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["media_type"] != "audio/wav":
+                    continue
+                samples, rate, _ch = decode_wav(bytes(r["payload"]))
+                x = samples.mean(axis=1)  # mono mix; already float64 in [-1, 1]
+                rms = float(np.sqrt(np.mean(x * x)))
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+                tot = spec.sum()
+                centroid = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+                cum = np.cumsum(spec)
+                roll_idx = int(np.searchsorted(cum, 0.85 * tot))
+                rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+                rows.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "n_samples": int(len(x)),
+                        "sample_rate": int(rate),
+                        "rms": rms,
+                        "spectral_centroid_hz": centroid,
+                        "rolloff85_hz": rolloff,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_rate", "rms",
+                    "spectral_centroid_hz", "rolloff85_hz",
+                ],
+            ).astype(
+                {
+                    "media_id": "int64", "n_samples": "int64",
+                    "sample_rate": "int64", "rms": "float64",
+                    "spectral_centroid_hz": "float64", "rolloff85_hz": "float64",
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, n_samples long, sample_rate long, rms double, "
+        "spectral_centroid_hz double, rolloff85_hz double",
+    )

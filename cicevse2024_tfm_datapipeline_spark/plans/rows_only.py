@@ -852,6 +852,75 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_image_ahash_dedup",
+    oracle=None,
+    doc="Image near-dup dedup by perceptual average-hash: BMP payloads "
+    "(generated with forced repeats via id mod 120) decoded by the real "
+    "NumPy parser, aHashed over Arrow batches (operators.multimodal."
+    "image_ahash), then EXACT-deduped with the same hash-groupBy shape "
+    "as text dedup — group-size histogram out. The image twin of "
+    "dedup_exact_group_sizes: downstream of the hash column everything "
+    "is plain relational algebra, so 100 TB of images dedup with one "
+    "uniform shuffle on a 64-bit key. Deterministic payloads -> "
+    "deterministic hashes (rows-only + rerun-stability check).",
+    tags=("multimodal", "dedup"),
+)
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+        image_ahash,
+        synthetic_media,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600).select(
+        (F.col("doc_id") % 120).alias("doc_id")
+    )
+    media = synthetic_media(docs)
+    hashes = image_ahash(media)
+    groups = hashes.groupBy("ahash").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        groups.groupBy("group_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
+@register(
+    "mm_audio_spectral",
+    oracle=None,
+    doc="Real audio feature extraction without audio libraries: PCM16 "
+    "WAV tones decoded by the NumPy RIFF parser, then rFFT spectral "
+    "features (RMS, power-weighted spectral centroid, 85% rolloff) per "
+    "payload over Arrow batches (operators.multimodal."
+    "audio_spectral_features) — the decode→featurize edge of an audio "
+    "training-data pipeline with the actual DSP math, aggregated per "
+    "tone-frequency band. Payloads never leave executors; Python cost "
+    "is amortized per Arrow batch (rows-only + rerun-stability check).",
+    tags=("multimodal", "audio"),
+)
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+        audio_spectral_features,
+        synthetic_media,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    media = synthetic_media(docs)
+    feats = audio_spectral_features(media)
+    band = (F.col("spectral_centroid_hz") / 100).cast("long").alias("centroid_band")
+    return (
+        feats.select(band, "rms", "rolloff85_hz", "n_samples")
+        .groupBy("centroid_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            pround(F.avg("rms"), 4).alias("avg_rms"),
+            pround(F.avg("rolloff85_hz"), 2).alias("avg_rolloff_hz"),
+            F.countDistinct("n_samples").cast("long").alias("n_lengths"),
+        )
+        .orderBy("centroid_band")
+    )
+
+
+@register(
     "ml_surrogate_tree",
     oracle=None,
     doc="M5: Spark-ML DecisionTree surrogate on A6 window-stats features "

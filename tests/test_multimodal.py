@@ -121,3 +121,48 @@ def test_resize_bmp_thumbnails_distributed(spark):
         expect = resize_nearest(px, 4, 4)
         assert abs(out[i]["mean_r"] - float(expect[:, :, 0].mean())) < 1e-9
         assert out[i]["thumb_h"] == 4 and out[i]["thumb_w"] == 4
+
+
+def test_ahash_known_bits_and_duplicate_invariance():
+    import numpy as np
+
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import ahash_bits
+
+    # left half black, right half white, 8x8 → bits = columns 4-7 of each
+    # row set (cell > mean); mean is 127.5 so white cells exceed it
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, 4:, :] = 255
+    h = ahash_bits(px, grid=8)
+    expect = 0
+    for r in range(8):
+        for c in range(4, 8):
+            expect |= 1 << (r * 8 + c)
+    assert h == np.int64(np.uint64(expect)).item()
+    # identical pixels → identical hash; inverted image → complement bits
+    assert ahash_bits(px.copy(), 8) == h
+
+
+def test_audio_spectral_centroid_tracks_tone(spark):
+    import numpy as np
+
+    from cicevse2024_tfm_datapipeline_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    rate = 8000
+    rows = []
+    for mid, freq in [(1, 500.0), (2, 1500.0)]:
+        t = np.arange(2048, dtype=np.float64)
+        wave = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+        rows.append((mid, "audio/wav", bytearray(encode_wav(wave, rate))))
+    rows.append((9, "image/bmp", bytearray(b"BMxx")))  # skipped
+    media = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
+    out = {r["media_id"]: r for r in audio_spectral_features(media).collect()}
+    assert set(out) == {1, 2}
+    # pure tone → centroid and rolloff sit at the tone frequency (±1 bin)
+    for mid, freq in [(1, 500.0), (2, 1500.0)]:
+        assert abs(out[mid]["spectral_centroid_hz"] - freq) < 10.0
+        assert abs(out[mid]["rolloff85_hz"] - freq) < 10.0
+        # sin RMS = A/sqrt(2) with A = 12000/32768 ≈ 0.3662 → ≈ 0.2589
+        assert 0.255 < out[mid]["rms"] < 0.263
