@@ -2713,3 +2713,107 @@ def pack_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_frac"),
     )
+
+
+@register(
+    "a_time_rollup_hierarchy",
+    oracle="""
+    SELECT CAST(coalesce(y, -1) AS BIGINT) AS y,
+           CAST(coalesce(m, -1) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS y,
+               EXTRACT(month FROM o_orderdate) AS m,
+               o_totalprice
+        FROM orders
+    )
+    GROUP BY ROLLUP (y, m)
+    """,
+    doc="Time-hierarchy ROLLUP (year → month → grand total in ONE "
+    "pass): the drill-down report shape, planned as a single Expand + "
+    "aggregation instead of three scans — at 100 TB that is one "
+    "shuffle carrying all hierarchy levels, with map-side partials per "
+    "level. NULL grouping slots are recoded to -1 so both engines "
+    "aggregate and hash identical keys (complements "
+    "a_cube_pricing_rollup, which checks the full CUBE lattice).",
+    tags=("A", "rollup", "olap"),
+)
+def a_time_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        "o_totalprice",
+    )
+    return o.rollup("y", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(
+        F.coalesce(F.col("y").cast("long"), F.lit(-1)).alias("y"),
+        F.coalesce(F.col("m").cast("long"), F.lit(-1)).alias("m"),
+        "n_orders",
+        "revenue",
+    )
+
+
+@register(
+    "w_window_rank_battery",
+    oracle="""
+    WITH r AS (
+        SELECT event_type,
+               CAST(floor(value) AS BIGINT) AS v,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               dense_rank() OVER w AS dr,
+               first_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS first_id,
+               nth_value(event_id, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING) AS third_id
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY floor(value), event_id)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(pr), 6) AS sum_percent_rank,
+           round(sum(cd), 6) AS sum_cume_dist,
+           CAST(max(dr) AS BIGINT) AS max_dense_rank,
+           CAST(max(first_id) AS BIGINT) AS first_id,
+           CAST(max(third_id) AS BIGINT) AS third_id
+    FROM r GROUP BY event_type
+    """,
+    doc="Analytic-rank battery over one partitioned window spec: "
+    "percent_rank, cume_dist, dense_rank, first_value and nth_value "
+    "share a single (event_type, floor(value), event_id) sort — Spark "
+    "fuses same-spec window functions into one Window exec, so the "
+    "whole battery costs exactly one shuffle+sort. Order key is "
+    "integer (floor(value)) with the event_id tiebreak, making every "
+    "rank deterministic under any partitioning; the checksums pin each "
+    "function's full column. percent_rank/cume_dist sums are exact "
+    "small-denominator rationals summed in-order — 6-dp rounding "
+    "absorbs the association difference.",
+    tags=("W", "window", "rank"),
+)
+def w_window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.floor("value").cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = ev.select(
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+        F.first("event_id").over(wf).alias("first_id"),
+        F.nth_value("event_id", 3).over(wf).alias("third_id"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        pround(F.sum("pr"), 6).alias("sum_percent_rank"),
+        pround(F.sum("cd"), 6).alias("sum_cume_dist"),
+        F.max("dr").cast("long").alias("max_dense_rank"),
+        F.max("first_id").cast("long").alias("first_id"),
+        F.max("third_id").cast("long").alias("third_id"),
+    )
