@@ -773,3 +773,110 @@ def j_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
     return out.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(20)
+
+
+@register(
+    "j_tpch_q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (bilateral nation trade volume): the "
+    "fact-to-fact lineitem ⋈ orders join carries a DISJUNCTIVE "
+    "nation-pair residual — Catalyst pushes the single-nation "
+    "disjuncts down each broadcast dimension (supplier/customer "
+    "nations reduce to 2 keys before touching the fact), so the OR "
+    "never degrades to a filterless product. Ship-date window pushes "
+    "into the fact scan; per (supp, cust, year) conditional sums are "
+    "map-combined.",
+    tags=("J", "tpch"),
+)
+def j_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col(
+        "cust_nation"
+    ).isin("NATION_1", "NATION_2") & (F.col("supp_nation") != F.col("cust_nation"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))), F.col("c_nationkey") == F.col("cnk"))
+        .filter(pair)
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+@register(
+    "j_tpch_q10_returned_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item revenue, top 20 customers): "
+    "returnflag filter pushes into the lineitem scan and the order "
+    "window into orders before the fact join; customer and nation ride "
+    "broadcast joins; final top-20 is TakeOrderedAndProject on "
+    "(revenue DESC, custkey) — the tiebreak pins result order through "
+    "the LIMIT. Rounded revenue is the sort key the oracle sorts by "
+    "too, so both engines rank identical values.",
+    tags=("J", "tpch", "topk"),
+)
+def j_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    ).filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation")).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
