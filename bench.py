@@ -51,6 +51,10 @@ HEADLINE = [
     "s10_zorder_cells",
     "dedup_duplicate_spans",
     "j_tpch_q18_large_orders",
+    "j_tpch_q7_nation_volume",
+    "j_tpch_q10_returned_topk",
+    "w_cdc_apply_changelog",
+    "w_range_frame_rolling",
 ]
 
 
