@@ -880,3 +880,52 @@ def j_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
     return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+
+
+@register(
+    "s12_training_shards",
+    oracle="""
+    WITH sh AS (
+        SELECT ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 8 AS shard,
+               doc_id, n_chars
+        FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM sh GROUP BY shard
+    """,
+    doc="Sharded training-data export: md5-keyed shard assignment "
+    "(engine-portable, partitioning-independent — the same "
+    "deterministic-uniform trick the sampling layer uses), written as "
+    "a shard=N Hive layout and READ BACK for the checked accounting, "
+    "so the roundtrip through the file boundary is part of the "
+    "contract. Balanced by hash uniformity (no planner involvement); "
+    "at 100 TB each shard is a separate prefix a downstream trainer "
+    "mounts independently, and the write is one shuffle on the shard "
+    "key.",
+    tags=("S", "sink", "shards"),
+)
+def s12_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from cicevse2024_tfm_datapipeline_spark.plans.rows_only import SCRATCH
+
+    lake = os.path.join(SCRATCH, "training_shards")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 8
+    ).alias("shard")
+    docs.select(shard, "doc_id", "n_chars").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(lake)
+    back = spark.read.parquet(lake)
+    return back.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
