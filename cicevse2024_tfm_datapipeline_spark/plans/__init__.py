@@ -21,6 +21,7 @@ _MODULES = [
     "extensions",
     "rows_only",
     "advanced",
+    "tpch_suite",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
