@@ -79,23 +79,80 @@ def range_bucketed(df: DataFrame, order_cols: Sequence[str], descending: bool = 
     return _pin_buckets(rp.withColumn(PID, F.spark_partition_id()))
 
 
+#: buckets per super-group in the hierarchical prefix combine. The combine
+#: over the B-row partition-summary frame must itself scale: a flat
+#: triangle join is O(B²) pairs (10¹⁰ at B=100k partitions) and a flat
+#: window over the frame would serialize it into one task. Two levels fix
+#: both: a window PARTITIONED by super-group (≤ SUPER rows per task) plus
+#: a triangle over the (B/SUPER)-row super-totals frame — ≤10⁴ pairs even
+#: at B=100k. Deeper nesting is never needed below B ≈ SUPER².
+SUPER = 1024
+
+_SUP = "__scan_sup"
+
+
+def _with_super(frame: DataFrame) -> DataFrame:
+    return frame.withColumn(_SUP, F.floor(F.col(PID) / F.lit(SUPER)))
+
+
 def offsets_from_totals(totals: DataFrame, tot_cols: Sequence[str], prefix: str = "__off_") -> DataFrame:
     """Turn a per-partition totals frame (one row per ``PID``) into prefix
     offsets: ``<prefix><c>`` = sum of ``<c>`` over all STRICTLY EARLIER
-    partitions. Triangle join over the |partitions|-sized frame — tiny,
-    broadcastable, window-free."""
-    a = totals.select(F.col(PID), *[F.col(c) for c in tot_cols])
-    b = totals.select(
-        F.col(PID).alias("__bpid"), *[F.col(c).alias(f"__b_{c}") for c in tot_cols]
+    partitions.
+
+    Hierarchical two-level combine (see ``SUPER``): within each
+    super-group of buckets a PARTITIONED running sum over the
+    strictly-preceding frame; across super-groups a triangle join over
+    the super-totals frame; one broadcast join stitches the two. Work is
+    O(B·log SUPER + (B/SUPER)²) instead of the flat triangle's O(B²),
+    and no window in the plan is unpartitioned."""
+    tagged = _with_super(totals.select(F.col(PID), *[F.col(c) for c in tot_cols]))
+    w_in = (
+        W.partitionBy(_SUP)
+        .orderBy(F.col(PID).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    return (
-        a.join(b, F.col("__bpid") < F.col(PID), "left")
-        .groupBy(PID)
+    within = tagged.select(
+        PID,
+        _SUP,
+        *[
+            F.coalesce(F.sum(c).over(w_in), F.lit(0)).alias(f"__win_{c}")
+            for c in tot_cols
+        ],
+    )
+    # bucket count is pinned to the shuffle-partition conf (range_bucketed),
+    # so "one super-group" is decidable at plan time: the cross-super level
+    # is a no-op — skip its 3 stages rather than scheduling empty work
+    if _n_range_parts(totals) <= SUPER:
+        return within.select(
+            PID, *[F.col(f"__win_{c}").alias(f"{prefix}{c}") for c in tot_cols]
+        )
+    sup_tot = tagged.groupBy(_SUP).agg(
+        *[F.sum(c).alias(f"__st_{c}") for c in tot_cols]
+    )
+    b = sup_tot.select(
+        F.col(_SUP).alias("__bsup"),
+        *[F.col(f"__st_{c}").alias(f"__b_{c}") for c in tot_cols],
+    )
+    sup_off = (
+        sup_tot.select(_SUP)
+        .join(b, F.col("__bsup") < F.col(_SUP), "left")
+        .groupBy(_SUP)
         .agg(
             *[
-                F.coalesce(F.sum(f"__b_{c}"), F.lit(0)).alias(f"{prefix}{c}")
+                F.coalesce(F.sum(f"__b_{c}"), F.lit(0)).alias(f"__so_{c}")
                 for c in tot_cols
             ]
+        )
+    )
+    return (
+        within.join(F.broadcast(sup_off), _SUP)
+        .select(
+            PID,
+            *[
+                (F.col(f"__win_{c}") + F.col(f"__so_{c}")).alias(f"{prefix}{c}")
+                for c in tot_cols
+            ],
         )
     )
 
@@ -219,22 +276,64 @@ def grouped_cumsum(
     totals = bucketed.groupBy(PID, *gcols).agg(
         *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
     )
-    b = totals.select(
-        F.col(PID).alias("__bpid"),
-        *[F.col(c).alias(f"__bg_{c}") for c in gcols],
-        *[F.col(f"__tot_{c}").alias(f"__b_{c}") for c in sum_cols],
+    # hierarchical per-group prefix over the summary frame (same two-level
+    # shape as offsets_from_totals, with the group key added to every
+    # partition spec / join key)
+    tagged = _with_super(totals)
+    w_in = (
+        W.partitionBy(_SUP, *gcols)
+        .orderBy(F.col(PID).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    same_group = [F.col(f"__bg_{c}") == F.col(c) for c in gcols]
-    offs = (
-        totals.join(b, [F.col("__bpid") < F.col(PID), *same_group], "left")
-        .groupBy(PID, *gcols)
-        .agg(
-            *[
-                F.coalesce(F.sum(f"__b_{c}"), F.lit(0)).alias(f"__o_{c}")
-                for c in sum_cols
-            ]
+    within = tagged.select(
+        PID,
+        _SUP,
+        *gcols,
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(w_in), F.lit(0)).alias(f"__win_{c}")
+            for c in sum_cols
+        ],
+    )
+    if _n_range_parts(totals) <= SUPER:
+        # single super-group (decidable at plan time): the within-window
+        # prefix IS the full offset — skip the cross-super stages
+        offs = within.select(
+            PID,
+            *gcols,
+            *[F.col(f"__win_{c}").alias(f"__o_{c}") for c in sum_cols],
         )
-    )
+    else:
+        sup_tot = tagged.groupBy(_SUP, *gcols).agg(
+            *[F.sum(f"__tot_{c}").alias(f"__st_{c}") for c in sum_cols]
+        )
+        b = sup_tot.select(
+            F.col(_SUP).alias("__bsup"),
+            *[F.col(c).alias(f"__bg_{c}") for c in gcols],
+            *[F.col(f"__st_{c}").alias(f"__b_{c}") for c in sum_cols],
+        )
+        same_group = [F.col(f"__bg_{c}") == F.col(c) for c in gcols]
+        sup_off = (
+            sup_tot.select(_SUP, *gcols)
+            .join(b, [F.col("__bsup") < F.col(_SUP), *same_group], "left")
+            .groupBy(_SUP, *gcols)
+            .agg(
+                *[
+                    F.coalesce(F.sum(f"__b_{c}"), F.lit(0)).alias(f"__so_{c}")
+                    for c in sum_cols
+                ]
+            )
+        )
+        offs = (
+            within.join(F.broadcast(sup_off), [_SUP, *gcols])
+            .select(
+                PID,
+                *gcols,
+                *[
+                    (F.col(f"__win_{c}") + F.col(f"__so_{c}")).alias(f"__o_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
     out = local.join(F.broadcast(offs), [PID, *gcols])
     out = out.select(
         *df.columns,

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 from cicevse2024_tfm_datapipeline_spark.operators.scan import (
     PID,
+    SUPER,
+    _SUP,
+    _n_range_parts,
+    _with_super,
     offsets_from_totals,
     range_bucketed,
 )
@@ -114,20 +118,49 @@ def _global_islands(
         ]
     summ = local.groupBy(PID).agg(*summ_aggs)
 
-    # nearest earlier non-empty bucket's last row → fill for first-row lag
-    b = summ.select(
-        F.col(PID).alias("__bpid"),
-        F.col("__last_y").alias("__by"),
-        *([F.col("__last_ep").alias("__bep")] if episode_id_col is not None else []),
-    )
-    fill_aggs = [F.max_by("__by", "__bpid").alias("__pp_y")]
+    # nearest earlier non-empty bucket's last row → fill for first-row lag.
+    # Hierarchical (scan.SUPER) like offsets_from_totals: within a
+    # super-group the summary frame holds only non-empty buckets, so a
+    # partitioned lag IS the nearest-earlier row; across super-groups a
+    # triangle-argmax over the (B/SUPER)-row per-super frame. The edge
+    # values ride in one struct so a legitimately-NULL episode id is never
+    # mistaken for "no previous row".
+    edge_fields = [F.col("__last_y").alias("y")]
     if episode_id_col is not None:
-        fill_aggs.append(F.max_by("__bep", "__bpid").alias("__pp_ep"))
-    fills = (
-        summ.select(PID)
-        .join(b, F.col("__bpid") < F.col(PID), "left")
-        .groupBy(PID)
-        .agg(*fill_aggs)
+        edge_fields.append(F.col("__last_ep").alias("ep"))
+    tagged = _with_super(summ.select(PID, F.struct(*edge_fields).alias("__edge")))
+    w_in = W.partitionBy(_SUP).orderBy(F.col(PID).asc())
+    within = tagged.select(
+        PID, _SUP, F.lag("__edge").over(w_in).alias("__in_edge")
+    )
+    if _n_range_parts(summ) <= SUPER:
+        # single super-group (plan-time decidable): the within-lag is the
+        # nearest earlier bucket — no cross-super stages needed
+        prev_edge = F.col("__in_edge")
+        fills = within
+    else:
+        sup_last = tagged.groupBy(_SUP).agg(
+            F.max_by("__edge", PID).alias("__sl_edge")
+        )
+        bb = sup_last.select(
+            F.col(_SUP).alias("__bsup"), F.col("__sl_edge").alias("__b_edge")
+        )
+        sup_fill = (
+            sup_last.select(_SUP)
+            .join(bb, F.col("__bsup") < F.col(_SUP), "left")
+            .groupBy(_SUP)
+            .agg(F.max_by("__b_edge", "__bsup").alias("__sf_edge"))
+        )
+        prev_edge = F.coalesce(F.col("__in_edge"), F.col("__sf_edge"))
+        fills = within.join(F.broadcast(sup_fill), _SUP)
+    fills = fills.select(
+        PID,
+        prev_edge.getField("y").alias("__pp_y"),
+        *(
+            [prev_edge.getField("ep").alias("__pp_ep")]
+            if episode_id_col is not None
+            else []
+        ),
     )
 
     # first-row boundary per bucket, computed entirely on the tiny frame

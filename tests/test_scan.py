@@ -162,3 +162,72 @@ def test_bucketed_frame_is_pinned_and_ranks_are_a_permutation(spark):
     assert "ExistingRDD" in plan, "bucketed frame no longer pinned (localCheckpoint)"
     got = sorted(r["__rn"] for r in out.collect())
     assert got == list(range(1, n + 1))
+
+
+@pytest.mark.parametrize("super_size", [1, 4])
+def test_hierarchical_combine_multi_super_group(spark, super_size, monkeypatch):
+    """The cross-super level of the two-level prefix combine (taken when
+    bucket count > scan.SUPER, i.e. on clusters with >1024 shuffle
+    partitions) never runs under the 32-partition test conf — force it by
+    shrinking SUPER so every code path (within-super window, super totals
+    triangle, broadcast stitch) executes, then require exact equality with
+    the naive unpartitioned window."""
+    from cicevse2024_tfm_datapipeline_spark.operators import scan
+
+    monkeypatch.setattr(scan, "SUPER", super_size)
+
+    df = spark.createDataFrame(_random_rows(11, 300), ["k", "v", "g"]).repartition(13)
+    got = {
+        r["k"]: r["cum_v"]
+        for r in scan.global_cumsum(df, ["k"], ["v"]).collect()
+    }
+    w = W.orderBy(F.asc("k")).rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+    # grouped variant: per-group running sums through the same machinery
+    got_g = {
+        (r["g"], r["k"]): r["cum_v"]
+        for r in scan.grouped_cumsum(df, ["g"], ["k"], ["v"]).collect()
+    }
+    wg = (
+        W.partitionBy("g").orderBy(F.asc("k")).rowsBetween(W.unboundedPreceding, 0)
+    )
+    want_g = {
+        (r["g"], r["k"]): r["cum"]
+        for r in df.select("g", "k", F.sum("v").over(wg).alias("cum")).collect()
+    }
+    assert got_g == want_g
+
+
+@pytest.mark.parametrize("super_size", [1, 4])
+def test_sessionize_fill_multi_super_group(spark, super_size, monkeypatch):
+    """Same forcing for the sessionize first-row fill: the nearest earlier
+    non-empty bucket must be found across super-group boundaries (lag
+    within a super, triangle-argmax across supers)."""
+    import random as _random
+
+    from cicevse2024_tfm_datapipeline_spark.operators import scan, sessionize
+
+    monkeypatch.setattr(scan, "SUPER", super_size)
+    monkeypatch.setattr(sessionize, "SUPER", super_size)
+
+    rng = _random.Random(23)
+    n = 220
+    rows = [(i, rng.randint(0, 1), rng.choice(["a", "b"])) for i in range(n)]
+    want: dict[int, int | None] = {}
+    island = 0
+    prev_y, prev_ep = None, None
+    for i, y, ep in rows:
+        if y == 1 and (prev_y is None or prev_y != 1 or prev_ep != ep):
+            island += 1
+        want[i] = island if y == 1 else None
+        prev_y, prev_ep = y, ep
+
+    df = spark.createDataFrame(rows, ["idx", "y", "ep"]).repartition(9)
+    out = sessionize.mark_episodes(df, ["idx"], "y", "ep", out_col="episode")
+    got = {r["idx"]: r["episode"] for r in out.collect()}
+    assert got == want
