@@ -335,3 +335,60 @@ def ivf_topk(
         .filter(F.col("__rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("__rk").alias("rank"))
     )
+
+
+def semdedup_marks(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup — cluster-then-threshold semantic deduplication (the
+    published recipe for pruning web-scale corpora by embedding
+    similarity): assign every vector to its nearest centroid (L2), then
+    WITHIN each cell mark a row as duplicate iff some lower-id member has
+    cosine >= threshold; the lowest-id member of every semantic group
+    survives. Returns (id, cell, is_duplicate).
+
+    Scale shape: ``centroids`` is an offline artifact (a prior KMeans
+    build) — collapsed to one literal-sized array row and broadcast, so
+    cell assignment is a per-row argmin fold with NO join fan-out and no
+    shuffle. The only shuffle is the within-cell self-join on cell id;
+    candidate pairs are cell-bounded (the reason SemDeDup clusters first
+    — real deployments use k in the tens of thousands, keeping cells ~
+    corpus/k). The cosine fold is sequential (zip_with + aggregate), so
+    both engines compare bit-identical doubles at the threshold.
+    """
+    raw = embeddings.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    )
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cents")
+    )
+    assigned = (
+        ensure_min_parallelism(raw)
+        .crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "cell", F.expr(f"array_min({_cell_dist_structs('v', '__cents')}).cell")
+        )
+        .drop("__cents")
+    )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dup.withColumn("__d", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce(F.col("__d"), F.lit(0)).cast("int").alias("is_duplicate"),
+        )
+    )

@@ -2817,3 +2817,161 @@ def w_window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("first_id").cast("long").alias("first_id"),
         F.max("third_id").cast("long").alias("third_id"),
     )
+
+
+_SD_SQDIST = (
+    "list_reduce(list_transform(range(1, len({v}) + 1), "
+    "i -> ({v}[i] - c.centroid[i]) * ({v}[i] - c.centroid[i])), (x, y) -> x + y)"
+)
+
+_SD_COS = (
+    "list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]),"
+    " (x, y) -> x + y)"
+    " / (sqrt(list_reduce(list_transform(range(1, len(a.v) + 1),"
+    " i -> a.v[i] * a.v[i]), (x, y) -> x + y))"
+    " * sqrt(list_reduce(list_transform(range(1, len(b.v) + 1),"
+    " i -> b.v[i] * b.v[i]), (x, y) -> x + y)))"
+)
+
+
+@register(
+    "dedup_semdedup_cells",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT CAST(vec_id AS INT) AS cell, v AS centroid FROM e WHERE vec_id < 8
+    ),
+    adist AS (
+        SELECT e.vec_id, e.v, c.cell, {_SD_SQDIST.format(v="e.v")} AS d
+        FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d ASC, cell ASC) AS rn
+            FROM adist) WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b USING (cell)
+        WHERE b.vec_id < a.vec_id AND {_SD_COS} >= 0.35
+    )
+    SELECT a.cell,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id ELSE 0 END) AS BIGINT)
+               AS survivor_id_sum
+    FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    GROUP BY a.cell
+    """,
+    doc="SemDeDup — cluster-then-threshold semantic dedup of an embedding "
+    "corpus (operators/similarity.semdedup_marks): nearest-centroid cell "
+    "assignment via a broadcast argmin fold (centroids are an OFFLINE "
+    "artifact; here the deterministic first-8-vectors fixture so the whole "
+    "chain stays SQL-checkable), then within-cell cosine>=0.35 against any "
+    "lower-id member marks duplicates; lowest id per semantic group "
+    "survives. Candidate pairs are cell-bounded — the clustering exists "
+    "precisely so the quadratic stays inside cells (~corpus/k rows each) "
+    "at 100 TB. Checked per cell: member/removed counts + survivor id-sum.",
+    tags=("dedup", "semdedup", "similarity"),
+)
+def dedup_semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        as_double_array,
+        semdedup_marks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        as_double_array("embedding").alias("centroid"),
+    )
+    marks = semdedup_marks(emb, "vec_id", "embedding", cents, threshold=0.35)
+    return marks.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("is_duplicate").cast("long").alias("n_removed"),
+        F.sum(F.when(F.col("is_duplicate") == 0, F.col("id")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("survivor_id_sum"),
+    )
+
+
+#: fasttext-style linear model weights — an OFFLINE artifact in a real
+#: pipeline (trained classifier); integer weights keep score arithmetic
+#: exact in any engine. (word, weight)
+_QCLF_WEIGHTS = [
+    ("fast", 2), ("spark", 2), ("vector", 1), ("query", 1), ("data", 1),
+    ("slow", -2), ("the", -1), ("a", -1), ("small", -1),
+]
+_QCLF_BIAS = -2
+
+
+@register(
+    "text_quality_linear_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents
+    ),
+    wt (w, wt) AS (VALUES {", ".join(f"('{w}', {x})" for w, x in _QCLF_WEIGHTS)}),
+    scores AS (
+        SELECT t.doc_id, any_value(t.source) AS source,
+               coalesce(sum(wt.wt), 0) + {_QCLF_BIAS} AS score
+        FROM toks t LEFT JOIN wt ON t.w = wt.w
+        GROUP BY t.doc_id
+    )
+    SELECT source,
+           CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS pred_keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM scores
+    GROUP BY source, pred_keep
+    """,
+    doc="Model-based quality filtering, the fasttext-classifier stage of "
+    "LLM corpus prep, as pure relational algebra: a fixed integer weight "
+    "table (the trained model is an offline artifact — literal relation, "
+    "broadcast) joins the exploded unigram stream, one groupBy sums "
+    "weight*count per doc plus bias, sign of the score is the keep/drop "
+    "decision. Integer weights x integer counts -> the score is exact in "
+    "any engine; no sigmoid needed for a threshold decision (monotone). "
+    "Scale: explode -> broadcast join -> doc_id groupBy is one shuffle of "
+    "(doc_id, partial-sum) pairs, map-side combined.",
+    tags=("text", "quality", "classifier"),
+)
+def text_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        ).alias("w"),
+    )
+    wt = F.broadcast(
+        literal_df(spark, list(_QCLF_WEIGHTS), schema="w string, wt int")
+    )
+    scores = (
+        toks.join(wt, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            (F.coalesce(F.sum("wt"), F.lit(0)) + F.lit(_QCLF_BIAS)).alias("score"),
+        )
+    )
+    return scores.groupBy(
+        "source", (F.col("score") > 0).cast("int").alias("pred_keep")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )

@@ -1534,3 +1534,50 @@ def stream_upsert_scd1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("sum_ids"),
         F.sum(F.floor("value").cast("long")).cast("long").alias("sum_floor_value"),
     )
+
+
+@register(
+    "s13_jsonl_sink_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents WHERE doc_id < 300
+    GROUP BY lang
+    """,
+    doc="S13 JSONL sink+source roundtrip, ORACLE-CHECKED: a documents "
+    "slice goes out through df.write.json (one JSON object per line, "
+    "with a NESTED meta struct exercising object encoding) and back in "
+    "through spark.read.json with SCHEMA INFERENCE — no schema hint, the "
+    "reader must rediscover types and the nested shape from the data. "
+    "Aggregates over the inferred nested fields must equal the oracle "
+    "computed straight from parquet. JSONL is the lingua franca of "
+    "LLM-corpus interchange; at scale the read is a parallel line-split "
+    "scan and inference samples files, both standard.",
+    tags=("S13", "jsonl", "source", "sink"),
+)
+def s13_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(SCRATCH, "jsonl_sink")
+    src = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "text",
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("n_chars").alias("n_chars"),
+            ).alias("meta"),
+        )
+    )
+    src.coalesce(2).write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.groupBy(F.col("meta.lang").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("meta.n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("meta.source").cast("long").alias("n_sources"),
+    )
