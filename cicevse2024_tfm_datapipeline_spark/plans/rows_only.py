@@ -1581,3 +1581,151 @@ def s13_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("meta.n_chars").cast("long").alias("sum_chars"),
         F.countDistinct("meta.source").cast("long").alias("n_sources"),
     )
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(v.event_id + c.event_id) AS BIGINT) AS id_checksum,
+           CAST(sum(epoch_us(c.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_lag_us
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+    doc="STREAM-STREAM event-time interval join (view->click attribution "
+    "within 1 hour), the remaining core Structured Streaming join shape: "
+    "both sides are independent file-source streams with watermarks, the "
+    "join carries an equality key (user) plus the event-time range bound "
+    "that lets the state store evict matched/expired rows — unbounded "
+    "state otherwise. Inner join in append mode over the finite input "
+    "emits exactly the batch join result; checked against the batch SQL "
+    "twin per user with microsecond-exact lag sums. Scale: state is "
+    "bounded by watermark horizon x arrival rate per side; the join "
+    "shuffles both streams on user_id like any stateful op.",
+    tags=("streaming", "J", "interval"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+    )
+
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+        .withWatermark("v_ts", "1 day")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 day")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id"),
+        F.col("c_id"),
+        (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+    out = run_to_completion(joined, "stream_ss_join_out", output_mode="append")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("v_id") + F.col("c_id")).cast("long").alias("id_checksum"),
+        F.sum("lag_us").cast("long").alias("sum_lag_us"),
+    )
+
+
+@register(
+    "f_variant_semistructured",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS min_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json lifts the "
+    "props JSON column into the binary VARIANT encoding once, then typed "
+    "variant_get extractions drive the aggregates — the schema-on-read "
+    "pattern for ragged event payloads at scale (shredded binary access, "
+    "no per-row string re-parsing per extracted field, unlike repeated "
+    "get_json_object calls). Checked against DuckDB json_extract on the "
+    "same column.",
+    tags=("F", "variant", "semistructured"),
+)
+def f_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "props")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum((F.col("k") > 50).cast("long")).cast("long").alias("n_big"),
+        F.min("k").cast("long").alias("min_k"),
+    )
+
+
+@register(
+    "s14_custom_datasource",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(r.range AS BIGINT) AS id,
+               (CAST(r.range AS BIGINT) * CAST(r.range AS BIGINT)) % 997 AS val,
+               CAST(CAST(r.range AS BIGINT) % 7 AS INT) AS grp
+        FROM range(0, 5000) r
+    )
+    SELECT grp,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(val) AS BIGINT) AS sum_val,
+           CAST(sum(id) AS BIGINT) AS sum_ids
+    FROM g
+    GROUP BY grp
+    """,
+    doc="S14: CUSTOM PYTHON DATA SOURCE (Spark 4 pyspark.sql.datasource "
+    "API) — sources/readers.register_synthetic_datasource plugs a "
+    "deterministic partition-parallel generator into the DataFrame layer "
+    "as format('synthgen'); 8 InputPartitions each yield a closed-form "
+    "slice, so the scan parallelizes like any file source and the result "
+    "is engine-checkable against the same closed form in SQL. This is "
+    "the template for non-file systems (internal services, bespoke "
+    "formats) entering the engine.",
+    tags=("S14", "source", "datasource"),
+)
+def s14_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import (
+        register_synthetic_datasource,
+    )
+
+    register_synthetic_datasource(spark)
+    df = spark.read.format("synthgen").option("rows", "5000").option("parts", "8").load()
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.sum("id").cast("long").alias("sum_ids"),
+    )

@@ -164,3 +164,48 @@ def scan_config_lake(spark: SparkSession, root: str) -> DataFrame:
 def join_metrics_with_configs(metrics: DataFrame, configs: DataFrame) -> DataFrame:
     """J2: artifact equi-join on run_dir (func_aux/func_plot.py:664-689)."""
     return metrics.join(configs, "run_dir", "inner")
+
+
+def register_synthetic_datasource(spark) -> None:
+    """Register the ``synthgen`` custom Python data source (Spark 4
+    DataSource API, ``pyspark.sql.datasource``): a deterministic
+    partition-parallel generator — the engine's template for plugging a
+    non-file system (internal service, bespoke format) into the DataFrame
+    layer. Each InputPartition yields its own closed-form slice, so the
+    scan is embarrassingly parallel and rerun-stable: row i carries
+    (id, val = (i*i) mod 997, grp = i mod 7).
+
+    Options: ``rows`` (total row count), ``parts`` (input partitions).
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("rows", 1000))
+            self.parts = int(options.get("parts", 8))
+
+        def partitions(self):
+            step = (self.n + self.parts - 1) // self.parts
+            return [
+                InputPartition((p * step, min((p + 1) * step, self.n)))
+                for p in range(self.parts)
+                if p * step < self.n
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                yield (i, (i * i) % 997, i % 7)
+
+    class _SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthgen"
+
+        def schema(self):
+            return "id bigint, val bigint, grp int"
+
+        def reader(self, schema):
+            return _SynthReader(self.options)
+
+    spark.dataSource.register(_SynthSource)
