@@ -1729,3 +1729,52 @@ def s14_custom_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val").cast("long").alias("sum_val"),
         F.sum("id").cast("long").alias("sum_ids"),
     )
+
+
+@register(
+    "text_udtf_chunks",
+    oracle=None,
+    doc="Python UDTF (Spark 4 @udtf) chunker driven through SQL LATERAL: "
+    "one input document row fans out to overlapping chunk rows (stride "
+    "150, length 200 — same spec as the relational text_overlap_chunks, "
+    "which remains the scale path; the UDTF is the extension-API "
+    "demonstration and the escape hatch for chunkers real tokenizers "
+    "implement in Python). Rows-only by design: a UDTF executes as "
+    "BatchEvalPythonUDTF, which the no-row-wise-Python contract bans "
+    "from oracle-checked plans; the pytest differential "
+    "(test_windows::test_udtf_chunks_match_relational) pins it to the "
+    "relational twin element-exactly.",
+    tags=("text", "udtf", "chunking"),
+)
+def text_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class _ChunkUdtf:
+        def eval(self, text: str, size: int, stride: int):
+            if text is None:
+                return
+            n = len(text)
+            idx = 0
+            start = 0
+            while True:
+                yield (idx, text[start : start + size])
+                idx += 1
+                start += stride
+                if start >= n:
+                    break
+
+    spark.udtf.register("chunk_udtf", _ChunkUdtf)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(length(c.chunk)) AS BIGINT) AS sum_chunk_chars,
+               CAST(max(c.chunk_idx) AS INT) AS last_idx
+        FROM udtf_docs d, LATERAL chunk_udtf(d.text, 200, 150) c
+        GROUP BY d.doc_id
+        """
+    )

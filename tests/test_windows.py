@@ -149,3 +149,36 @@ def test_ewma_truncated_bounded_frame_and_validation(spark):
     )
     out = ewma_truncated(df, ["k"], ["i"], "v", alpha=0.3, max_terms=8)
     assert out.filter(F.abs(F.col("ewma") - 7.5) > 1e-12).count() == 0
+
+
+def test_udtf_chunks_match_relational(spark):
+    """The Python-UDTF chunker (rows-only query) must produce, per doc,
+    exactly the chunks the pure-relational stride arithmetic produces:
+    starts 0, 150, 300, ... while start < len, chunk = text[start:start+200]."""
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    SF = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["sum_chunk_chars"], r["last_idx"])
+        for r in load_all()["text_udtf_chunks"].spark(spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in __import__(
+            "cicevse2024_tfm_datapipeline_spark.plans.common", fromlist=["t"]
+        ).t(spark, SF, "documents").filter("doc_id < 500").collect()
+    }
+    for doc_id, text in docs.items():
+        chunks = []
+        start = 0
+        while True:
+            chunks.append(text[start : start + 200])
+            start += 150
+            if start >= len(text):
+                break
+        assert got[doc_id] == (
+            len(chunks),
+            sum(len(c) for c in chunks),
+            len(chunks) - 1,
+        ), doc_id
+    assert set(got) == set(docs)
