@@ -46,6 +46,10 @@ HEADLINE = [
     "r5_hash_permutation",
     "pipeline_fuzzy_corpus",
     "j_tpch_q5_local_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "dedup_semdedup_cells",
+    "text_quality_linear_classifier",
     "dedup_bloom_novelty",
     "w_ewma_smoothing",
     "s10_zorder_cells",

@@ -2975,3 +2975,137 @@ def text_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("score").cast("long").alias("min_score"),
         F.max("score").cast("long").alias("max_score"),
     )
+
+
+#: count-min sketch geometry: d hash rows x w columns. Counters are plain
+#: sums -> the sketch is MERGEABLE (partition sketches add cell-wise),
+#: which is the whole point at scale: one map-side-combined groupBy builds
+#: it, unions of corpora add their sketches.
+_CMS_D, _CMS_W = 4, 256
+
+#: probe tokens: frequent + mid + absent, fixed so both engines query the
+#: same cells
+_CMS_PROBES = ["table", "fast", "spark", "vector", "customer", "zebra"]
+
+
+def _cms_cell_sql(row: int, tok: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({row} AS VARCHAR) || '|' || {tok}), 1, 8))::BIGINT"
+        f" % {_CMS_W})"
+    )
+
+
+@register(
+    "a_countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS w FROM documents
+    ),
+    cells AS (
+        SELECT r.range AS r, {_cms_cell_sql("r.range", "t.w")} AS c,
+               count(*) AS cnt
+        FROM toks t CROSS JOIN range(0, {_CMS_D}) r
+        GROUP BY 1, 2
+    ),
+    probes AS (SELECT unnest(ARRAY{_CMS_PROBES!r}) AS w),
+    probe_cells AS (
+        SELECT p.w, r.range AS r, {_cms_cell_sql("r.range", "p.w")} AS c
+        FROM probes p CROSS JOIN range(0, {_CMS_D}) r
+    ),
+    est AS (
+        SELECT pc.w, min(coalesce(cl.cnt, 0)) AS cms_estimate
+        FROM probe_cells pc LEFT JOIN cells cl ON pc.r = cl.r AND pc.c = cl.c
+        GROUP BY pc.w
+    ),
+    exact AS (
+        SELECT t.w, count(*) AS exact_count FROM toks t
+        WHERE t.w IN (SELECT w FROM probes) GROUP BY 1
+    )
+    SELECT e.w AS token,
+           CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(e.cms_estimate - coalesce(x.exact_count, 0) AS BIGINT)
+               AS overcount
+    FROM est e LEFT JOIN exact x ON e.w = x.w
+    """,
+    doc="Count-min sketch heavy-hitter counting over the corpus token "
+    "stream: d=4 md5 hash rows x w=256 counters built by ONE map-side-"
+    "combined groupBy over the exploded (row, cell) pairs — counters are "
+    "sums, so partition sketches MERGE cell-wise (the reason CMS works "
+    "on streams and unions at 100 TB; the sketch is O(d*w), never "
+    "data-sized). Probes read min over rows; the checked result carries "
+    "exact count, estimate, and the (always >= 0) overcount — the CMS "
+    "guarantee itself is part of the oracle contract.",
+    tags=("A", "sketch", "cms"),
+)
+def a_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
+
+    docs = t(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+        ).alias("w")
+    )
+
+    def cell(row: int, tok) -> "F.Column":
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}|"), tok)), 1, 8), 16, 10)
+            .cast("long")
+            % _CMS_W
+        )
+
+    pairs = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        cell(r, F.col("w")).alias("c"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rc")
+    )
+    cms = pairs.groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = literal_df(
+        spark, [(w,) for w in _CMS_PROBES], schema="w string"
+    )
+    probe_cells = probes.select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        cell(r, F.col("w")).alias("c"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("w", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    est = (
+        probe_cells.join(F.broadcast(cms), ["r", "c"], "left")
+        .groupBy("w")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        toks.join(F.broadcast(probes), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(exact, "w", "left")
+        .select(
+            F.col("w").alias("token"),
+            F.coalesce("exact_count", F.lit(0)).cast("long").alias("exact_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.coalesce("exact_count", F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
