@@ -1646,7 +1646,13 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_id"),
         (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("lag_us"),
     )
-    out = run_to_completion(joined, "stream_ss_join_out", output_mode="append")
+    # a stream-stream join runs TWO state stores per partition per
+    # micro-batch; at smoke scale 32 near-empty state tasks per store
+    # dominate wall time (measured 10s @ 32 vs 2.8s @ 8 on sf0.1) —
+    # production sizes this by throughput
+    out = run_to_completion(
+        joined, "stream_ss_join_out", output_mode="append", shuffle_partitions=8
+    )
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(F.col("v_id") + F.col("c_id")).cast("long").alias("id_checksum"),
