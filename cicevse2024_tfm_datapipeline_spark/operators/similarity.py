@@ -373,6 +373,9 @@ def semdedup_marks(
             "cell", F.expr(f"array_min({_cell_dist_structs('v', '__cents')}).cell")
         )
         .drop("__cents")
+        # three consumers (both pair sides + the output join) — pin so the
+        # K x D argmin fold evaluates once per row, not once per branch
+        .localCheckpoint(eager=False)
     )
     a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))

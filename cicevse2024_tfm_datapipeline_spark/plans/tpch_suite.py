@@ -99,23 +99,20 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = supply.join(dims, supply.l_suppkey == dims.s_suppkey).select(
         "l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name"
     )
-    # self-join on the aggregate: alias the grouped key so the argmin
-    # join-back resolves unambiguously (a bare l_partkey==l_partkey would
-    # collapse to a trivially-true predicate)
-    best = (
-        eligible.groupBy(F.col("l_partkey").alias("best_partkey"))
-        .agg(F.min("unit_cost").alias("best_cost"))
-    )
+    # argmin WITHOUT a self-join: rank over a per-part window keeps ties
+    # (all suppliers at the min survive, the Q2 contract) and scans
+    # lineitem ONCE — the min-agg + equality-join-back alternative
+    # re-executes the whole supply subtree for the aggregate branch
+    # (observed as a second full lineitem scan in the audited plan)
+    from pyspark.sql import Window as W
+
+    wmin = W.partitionBy("l_partkey").orderBy(F.col("unit_cost").asc())
     prt = t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_brand")
     return (
-        eligible.join(
-            best,
-            (eligible.l_partkey == best.best_partkey)
-            & (eligible.unit_cost == best.best_cost),
-        )
-        .drop("best_partkey")
+        eligible.withColumn("__rk", F.rank().over(wmin))
+        .filter(F.col("__rk") == 1)
         .join(prt, F.col("l_partkey") == prt.p_partkey)
         .select(
             "p_partkey", "p_brand", "s_name", "n_name", "s_acctbal",
@@ -353,6 +350,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(sup, li.l_suppkey == sup.s_suppkey, "left_semi")
         .groupBy("l_partkey")
         .agg(F.sum(_scaled(F.col("l_extendedprice"), 100)).alias("value_cents"))
+        # two consumers (the filter side and the scalar total) — pin the
+        # per-part aggregate so the lineitem scan+agg runs once, not per
+        # branch (same multi-consumer discipline as operators/scan)
+        .localCheckpoint(eager=False)
     )
     total = vals.agg(F.sum("value_cents").alias("total_cents"))
     return (
@@ -445,6 +446,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).alias("total_rev_scaled"))
+        # the view is consumed twice (join input + scalar MAX) — pin the
+        # supplier-level aggregate so lineitem scans once
+        .localCheckpoint(eager=False)
     )
     best = revenue.agg(F.max("total_rev_scaled").alias("best_scaled"))
     sup = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
@@ -537,13 +541,19 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     brand = F.broadcast(
         t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9").select("p_partkey")
     )
+    # the per-part AVG is only consumed for brand parts — push the brand
+    # semi-join BELOW the aggregate and pin the filtered slice, so ONE
+    # brand-pruned lineitem scan feeds both the avg and the revenue side
+    # (the unfiltered version scanned lineitem twice, once of them full)
+    li_brand = li.join(brand, li.l_partkey == brand.p_partkey, "left_semi").localCheckpoint(
+        eager=False
+    )
+    pa = li_brand.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
     return (
-        li.join(brand, li.l_partkey == brand.p_partkey, "left_semi")
-        .join(pa, "l_partkey")
+        li_brand.join(pa, "l_partkey")
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             pround(
@@ -724,6 +734,10 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        # three consumers (semi probe side, anti probe side, anti build
+        # side) — pin the deduped late set so the lineitem⋈orders subtree
+        # runs once instead of once per branch
+        .localCheckpoint(eager=False)
     )
     lines = li.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
