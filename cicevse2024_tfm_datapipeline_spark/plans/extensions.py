@@ -3109,3 +3109,138 @@ def a_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+@register(
+    "w_gap_fill_interpolate",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+               floor(sum(value) * 100 + 0.5) / 100.0 AS s,
+               count(*) AS c
+        FROM events WHERE user_id < 10
+        GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM b GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM bounds
+    ),
+    j AS (
+        SELECT g.user_id, g.hr, b.s / b.c AS v
+        FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.hr = b.hr
+    ),
+    f AS (
+        SELECT user_id, hr, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER w_prev AS ph,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER w_next AS nh
+        FROM j
+        WINDOW
+          w_prev AS (PARTITION BY user_id ORDER BY hr
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY user_id ORDER BY hr
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    interp AS (
+        SELECT user_id, hr, v,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv) * (hr - ph) / (nh - ph)
+               END AS iv
+        FROM f
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_filled,
+           CAST(sum(CAST(floor(iv * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS interp_checksum_micro
+    FROM interp
+    GROUP BY user_id
+    """,
+    doc="Time-series gap filling with linear interpolation — the "
+    "resample-and-fill primitive of warehouse timeseries work: hourly "
+    "buckets per user, the missing grid slots materialized via "
+    "sequence()/explode from per-user bounds (no calendar table, no "
+    "driver loop), previous/next known points found with "
+    "last/first(ignorenulls) over partitioned frames, then the standard "
+    "two-point interpolation with edge carry. Windows partition by user "
+    "— parallel at any scale; the grid is bounded by span/granularity "
+    "per key, not data size. Exact-integer checksum (micro-scaled) so "
+    "the oracle compare is float-order-proof; the bucket mean divides a "
+    "canonicalized 2-dp sum (exact) by an integer count.",
+    tags=("W", "timeseries", "interpolation"),
+)
+def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    b = (
+        ev.select(
+            "user_id",
+            (
+                F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+                / F.lit(3600000000)
+            )
+            .cast("long")
+            .alias("hr"),
+            "value",
+        )
+        .groupBy("user_id", "hr")
+        .agg(
+            (pround(F.sum("value"), 2) / F.count(F.lit(1))).alias("v"),
+        )
+    )
+    bounds = b.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    j = grid.join(b, ["user_id", "hr"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    f = j.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_hr, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_hr, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    iv = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hr") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return (
+        f.withColumn("iv", iv)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_slots"),
+            F.sum(F.col("v").isNull().cast("long")).cast("long").alias("n_filled"),
+            F.sum(F.floor(F.col("iv") * 1000000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("interp_checksum_micro"),
+        )
+    )

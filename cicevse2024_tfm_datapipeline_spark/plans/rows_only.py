@@ -1784,3 +1784,36 @@ def text_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+@register(
+    "s15_orc_sink_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_keys,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           CAST(count(DISTINCT l_linestatus) AS BIGINT) AS n_status
+    FROM lineitem WHERE l_orderkey < 3000
+    GROUP BY l_returnflag
+    """,
+    doc="S15 ORC sink+source roundtrip, ORACLE-CHECKED: a lineitem slice "
+    "goes out through df.write.orc (Spark's second columnar format — "
+    "dictionary/RLE encodings, predicate-pushdown-capable stripes) and "
+    "back through spark.read.orc; aggregates must equal the oracle "
+    "computed straight from parquet. Exercises the full type surface "
+    "(long, double, string, timestamp) across the ORC writer/reader "
+    "boundary.",
+    tags=("S15", "orc", "source", "sink"),
+)
+def s15_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(SCRATCH, "orc_sink")
+    src = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    src.coalesce(2).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("sum_keys"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.countDistinct("l_linestatus").cast("long").alias("n_status"),
+    )
