@@ -3244,3 +3244,93 @@ def w_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("interp_checksum_micro"),
         )
     )
+
+
+@register(
+    "ml_knn_classify",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS true_label
+          FROM e WHERE vec_id < 50),
+    scored AS (
+        SELECT q.query_id, q.true_label, e.vec_id AS neighbor_id,
+               e.label AS nbr_label,
+               {_DOT} / ({_NQ} * {_NV}) AS cosine
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+            FROM scored) WHERE rk <= 5
+    ),
+    votes AS (
+        SELECT query_id, true_label, nbr_label, count(*) AS n
+        FROM topk GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT query_id, true_label, nbr_label AS pred_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY n DESC, nbr_label ASC) AS pr
+            FROM votes) WHERE pr = 1
+    )
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(pred_label AS INT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred
+    GROUP BY 1, 2
+    """,
+    doc="kNN classification over the embedding corpus (the standard "
+    "embedding-quality eval harness): 5 nearest neighbors by cosine per "
+    "query, majority vote with deterministic (count desc, label asc) "
+    "tie-break, confusion cells of predicted vs true label — fully "
+    "relational, ORACLE-CHECKED. The query side broadcasts (eval sets "
+    "are small); the corpus never shuffles; per-query heaps via "
+    "partitioned row_number. Swap the brute-force scorer for the "
+    "bucketed/IVF candidate generator at 100 TB — same vote/confusion "
+    "tail.",
+    tags=("ml", "knn", "similarity"),
+)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    labels = F.broadcast(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nbr_label"))
+    )
+    qlabels = F.broadcast(
+        emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+        )
+    )
+    topk = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter(F.col("pr") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"))
+        .join(qlabels, "query_id")
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("pred_label").cast("int").alias("pred_label"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((F.col("true_label") == F.col("pred_label")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+    )
