@@ -3334,3 +3334,121 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_correct"),
     )
+
+
+@register(
+    "a_grouping_sets_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() disambiguation — the "
+    "general multi-level aggregate (ROLLUP and CUBE are its two fixed "
+    "specializations, both already covered): detail, per-returnflag, "
+    "and grand-total levels in ONE pass via Expand (each input row "
+    "fans to its set combinations before a single hash aggregate — no "
+    "re-scan per level), with grouping() encoding which NULLs are "
+    "structural. Cent-scaled exact sums.",
+    tags=("A", "grouping-sets"),
+)
+def a_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    li.select(
+        "l_returnflag", "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+                   AS gid,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS price_cents
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "a_group_median_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+           round(quantile_cont(l_quantity, 0.50), 6) AS median,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q3
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="EXACT per-group quantiles (median + quartiles) via percentile() "
+    "— linear-interpolated type-7 semantics, matching DuckDB "
+    "quantile_cont bit-for-bit on integer-valued quantities (rank "
+    "arithmetic on exact doubles). Spark plans this as a sort-based "
+    "aggregate per group; for data-sized groups at 100 TB the "
+    "approx_percentile sketch (already covered in a_approx_sketches) is "
+    "the constant-memory path — this is the exact small-cardinality "
+    "complement.",
+    tags=("A", "quantiles"),
+)
+def a_group_median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        pround(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q1"),
+        pround(F.expr("percentile(l_quantity, 0.50)"), 6).alias("median"),
+        pround(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q3"),
+    )
+
+
+@register(
+    "ml_kfold_assignments",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                    % 5 AS INT) AS fold
+        FROM documents
+    )
+    SELECT fold, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM f
+    GROUP BY fold, source
+    """,
+    doc="Deterministic k-fold cross-validation assignment (k=5) by "
+    "md5(id) — the fold of a row is a pure function of its identity, so "
+    "the split reproduces on any partitioning, any engine, any rerun "
+    "(the same property as operators/sampling's hash-rank sampling; a "
+    "seeded rand() would be partitioning-dependent). Fold x source "
+    "counts + id checksums pin the exact membership. Harnesses "
+    "(ml/harness.py LOAO) iterate folds by filtering fold != i for "
+    "train, fold = i for eval.",
+    tags=("ml", "kfold", "split"),
+)
+def ml_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    ).cast("int")
+    return (
+        docs.withColumn("fold", fold)
+        .groupBy("fold", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
