@@ -106,3 +106,43 @@ def test_zordered_roundtrip_preserves_rows(spark, tmp_path):
     assert back.count() == ev.count()
     assert sorted(back.columns) == sorted(ev.columns)
     assert back.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """Dynamic partition pruning: when a Hive-partitioned fact joins a
+    FILTERED dimension on the partition column, Catalyst must inject a
+    runtime pruning subquery (dynamicpruning expression) so only the
+    dimension-selected partitions are scanned — the join-driven
+    complement of the static pruning asserted in the partitioned-lake
+    roundtrip. At 100 TB this is the difference between scanning 2 and
+    2000 date partitions of a fact table."""
+    path = str(tmp_path / "dpp_fact")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.select("event_id", "user_id", "value", "event_type").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    # the dim must be a real relation (a literal local relation would be
+    # constant-folded into a STATIC partition filter — correct but not
+    # the runtime path under test)
+    dim_path = str(tmp_path / "dpp_dim")
+    (
+        spark.range(1)
+        .select(F.lit("click").alias("etype"), F.lit(1).alias("flag"))
+        .union(spark.range(1).select(F.lit("view"), F.lit(2)))
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    dim = spark.read.parquet(dim_path)
+    joined = fact.join(
+        dim.filter(F.col("flag") == 1), fact.event_type == F.col("etype")
+    )
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    physical = joined._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "dynamicpruning" in plan.lower() or "dynamicpruning" in physical.lower()
+    ), "no dynamic partition pruning subquery in the plan"
+    # and the result must still be correct: only click rows survive
+    got = joined.agg(F.count(F.lit(1))).collect()[0][0]
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert got == want
