@@ -319,7 +319,13 @@ def duplicate_spans(
         (F.col("pos0") + 1).alias("pos"),
         "shingle",
     )
-    pos = pos.repartition(F.col("shingle"))
+    # two consumers (occurrence-count groupBy + join-back probe): planner
+    # exchange-reuse is NOT guaranteed under AQE (observed 0 ReusedExchange,
+    # 4 scans — the tokenize→shingle→posexplode chain ran twice); pin the
+    # exploded frame so it materializes once. This is the frame both
+    # consumers genuinely need — the standard price of a multi-consumer
+    # pass (same discipline as operators/scan._pin_buckets).
+    pos = pos.repartition(F.col("shingle")).localCheckpoint(eager=False)
     dup = (
         pos.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("cnt"))
