@@ -1,0 +1,143 @@
+"""Edge semantics for the late round-3 operators: SemDeDup, gap-fill
+interpolation, CMS probes — the degenerate shapes (empty cells,
+singleton series, absent keys) that sf-scale selfcheck rows can't
+distinguish."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v array<double>")
+
+
+def test_semdedup_singleton_cells_and_exact_dups(spark):
+    """A cell with one member has no duplicates; exact duplicate vectors
+    (cosine 1.0) collapse to the lowest id; near-orthogonal members all
+    survive."""
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        semdedup_marks,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid 0
+        (1, [0.0, 1.0, 0.0]),   # centroid 1
+        (10, [1.0, 0.01, 0.0]),  # cell 0, dup of 11? no: dup of 0? id 0 is ALSO a member
+        (11, [1.0, 0.01, 0.0]),  # exact dup of 10 -> removed (10 < 11)
+        (12, [0.0, 0.0, 9.0]),   # alone in whichever cell it lands -> survives
+    ]
+    cents = _emb_df(spark, rows[:2]).select(
+        F.col("id").cast("int").alias("cell"), F.col("v").alias("centroid")
+    )
+    marks = semdedup_marks(_emb_df(spark, rows), "id", "v", cents, threshold=0.95)
+    got = {r["id"]: r["is_duplicate"] for r in marks.collect()}
+    assert got[0] == 0          # lowest id in its cell always survives
+    assert got[10] == 1         # cos(10, 0) ~ 0.9999 >= 0.95 -> removed
+    assert got[11] == 1         # exact dup of 10 (and of 0)
+    assert got[12] == 0         # isolated direction survives
+    assert len(got) == 5
+
+
+def test_semdedup_empty_input(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        semdedup_marks,
+    )
+
+    cents = _emb_df(spark, [(0, [1.0, 0.0])]).select(
+        F.col("id").cast("int").alias("cell"), F.col("v").alias("centroid")
+    )
+    empty = _emb_df(spark, []).filter("id > 0")
+    assert semdedup_marks(empty, "id", "v", cents, 0.5).count() == 0
+
+
+def test_gap_fill_edge_carry_and_singleton(spark):
+    """A leading gap carries the NEXT known value backward, a trailing
+    gap carries the PREVIOUS forward, an interior gap interpolates
+    linearly; a single-point series has a 1-slot grid and no fills.
+    Mirrors the w_gap_fill_interpolate plan on a hand-checked frame."""
+    from pyspark.sql import Window
+
+    rows = [
+        # user 1: known at hr 10 (v=10.0) and hr 14 (v=30.0)
+        (1, 10, 10.0),
+        (1, 14, 30.0),
+        # user 2: single point
+        (2, 100, 7.0),
+    ]
+    b = spark.createDataFrame(rows, "user_id long, hr long, v double")
+    bounds = b.groupBy("user_id").agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    grid = bounds.select("user_id", F.explode(F.sequence("h0", "h1")).alias("hr"))
+    j = grid.join(b, ["user_id", "hr"], "left")
+    w_prev = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    f = j.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_hr, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_hr, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    iv = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hr") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    got = {
+        (r["user_id"], r["hr"]): r["iv"]
+        for r in f.withColumn("iv", iv).collect()
+    }
+    assert got[(1, 10)] == 10.0
+    assert got[(1, 11)] == 15.0
+    assert got[(1, 12)] == 20.0
+    assert got[(1, 13)] == 25.0
+    assert got[(1, 14)] == 30.0
+    assert got[(2, 100)] == 7.0
+    assert len(got) == 6
+
+
+def test_cms_estimate_dominates_exact(spark):
+    """The count-min guarantee on the registered query itself: estimate
+    >= exact for every probe, including absent tokens (exact 0)."""
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    rows = load_all()["a_countmin_heavy_hitters"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no probe rows"
+    by_tok = {r["token"]: r for r in rows}
+    assert "zebra" in by_tok and by_tok["zebra"]["exact_count"] == 0
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"], r
+        assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
+
+
+def test_knn_majority_tiebreak_deterministic(spark):
+    """Vote ties break to the smaller label — pinned so the oracle and
+    engine can never disagree on a 50/50 neighborhood."""
+    from pyspark.sql import Window
+
+    votes = spark.createDataFrame(
+        [(1, 3, 2), (1, 7, 2), (2, 5, 5)], "query_id long, nbr_label int, n long"
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nbr_label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(wv))
+        .filter("pr = 1")
+        .select("query_id", "nbr_label")
+    )
+    got = {r["query_id"]: r["nbr_label"] for r in pred.collect()}
+    assert got == {1: 3, 2: 5}
