@@ -3452,3 +3452,57 @@ def ml_kfold_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+@register(
+    "u_unpivot_measures",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'quantity' AS measure,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS cents
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'price',
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount',
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax',
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT)
+        FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM long
+    GROUP BY l_returnflag, measure
+    """,
+    doc="UNPIVOT / melt (wide->long), the inverse of the pivot already "
+    "covered in a10_confusion_pivot: four measure columns rotate into "
+    "(measure, value) rows via the DataFrame unpivot API — planned as a "
+    "single Expand over one scan (each input row fans to its measure "
+    "rows), NOT four unioned re-scans; the oracle spells the UNION ALL "
+    "semantics explicitly. Cent-scaled exact sums per (flag, measure).",
+    tags=("U", "unpivot"),
+)
+def u_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("quantity"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("price"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("discount"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long").alias("tax"),
+    )
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "price", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="cents",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
