@@ -3506,3 +3506,148 @@ def u_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+_BPE_WORDS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+)
+
+
+def _bpe_pairs_sql(sym: str, out: str) -> str:
+    """DuckDB CTE body: weighted adjacent-pair counts over symbol seqs."""
+    return f"""
+    {out} AS (
+        SELECT a || ' ' || b AS pair, sum(f) AS cnt FROM (
+            SELECT parts[i] AS a, parts[i + 1] AS b, t.f
+            FROM (SELECT list_filter(regexp_split_to_array(trim(s), ' '),
+                                     x -> x <> '') AS parts, f
+                  FROM {sym}) t,
+                 unnest(range(1, len(parts))) AS u(i)
+        ) GROUP BY 1
+    )"""
+
+
+@register(
+    "text_bpe_vocab_induction",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, count(*) AS f FROM (
+            SELECT unnest({_BPE_WORDS}) AS w FROM documents) GROUP BY 1
+    ),
+    sym0 AS (
+        SELECT ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                   i -> w[i]), ' ') || ' ' AS s, f
+        FROM words
+    ),
+    {_bpe_pairs_sql("sym0", "p1")},
+    best1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    sym1 AS (
+        SELECT replace(s, ' ' || (SELECT pair FROM best1) || ' ',
+                       ' ' || replace((SELECT pair FROM best1), ' ', '') || ' ') AS s,
+               f
+        FROM sym0
+    ),
+    {_bpe_pairs_sql("sym1", "p2")},
+    best2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    sym2 AS (
+        SELECT replace(s, ' ' || (SELECT pair FROM best2) || ' ',
+                       ' ' || replace((SELECT pair FROM best2), ' ', '') || ' ') AS s,
+               f
+        FROM sym1
+    ),
+    stats AS (
+        SELECT CAST(sum(f * len(list_filter(regexp_split_to_array(trim(s), ' '),
+                                            x -> x <> ''))) AS BIGINT) AS total_symbols
+        FROM sym2
+    )
+    SELECT 1 AS round, (SELECT pair FROM best1) AS merged_pair,
+           CAST((SELECT cnt FROM best1) AS BIGINT) AS pair_count,
+           (SELECT total_symbols FROM stats) AS total_symbols_after
+    UNION ALL
+    SELECT 2, (SELECT pair FROM best2),
+           CAST((SELECT cnt FROM best2) AS BIGINT),
+           (SELECT total_symbols FROM stats)
+    """,
+    doc="Distributed BPE vocabulary induction, two merge rounds — the "
+    "tokenizer-TRAINING step of an LLM pipeline as relational algebra. "
+    "The classic scale trick: merges operate on the WORD-FREQUENCY "
+    "DICTIONARY (vocabulary-sized, bounded), never the corpus — one "
+    "corpus pass builds (word, freq), then each round is a pair-count "
+    "aggregate weighted by freq, a 1-row argmax broadcast "
+    "(deterministic count-desc / pair-asc tie-break), and a left-to-"
+    "right non-overlapping merge via replace() on the sentinel-spaced "
+    "symbol sequence (identical sequential-replace semantics in both "
+    "engines). Emits each round's merged pair + count and the post-"
+    "merge symbol total as the corpus checksum.",
+    tags=("text", "bpe", "tokenizer"),
+)
+def text_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("text")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit("")
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    sym = words.select(
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.filter(F.split("w", ""), lambda x: x != F.lit(""))),
+            F.lit(" "),
+        ).alias("s"),
+        "f",
+    ).localCheckpoint(eager=False)
+
+    def pair_counts(symdf: DataFrame) -> DataFrame:
+        parts = F.filter(F.split(F.trim("s"), " "), lambda x: x != F.lit(""))
+        idx = F.when(
+            F.size(parts) >= 2, F.sequence(F.lit(0), F.size(parts) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            symdf.select(parts.alias("p"), "f", F.explode(idx).alias("i"))
+            .select(
+                F.concat(
+                    F.element_at("p", F.col("i") + 1),
+                    F.lit(" "),
+                    F.element_at("p", F.col("i") + 2),
+                ).alias("pair"),
+                "f",
+            )
+            .groupBy("pair")
+            .agg(F.sum("f").alias("cnt"))
+        )
+
+    def best_of(pairs: DataFrame) -> DataFrame:
+        return pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+
+    rows = []
+    for rnd in (1, 2):
+        best = F.broadcast(best_of(pair_counts(sym)))
+        rows.append(
+            best.select(
+                F.lit(rnd).alias("round"),
+                F.col("pair").alias("merged_pair"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        sym = sym.crossJoin(best.select(F.col("pair").alias("__bp"))).select(
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("__bp"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "), F.replace(F.col("__bp"), F.lit(" "), F.lit("")), F.lit(" ")
+                ),
+            ).alias("s"),
+            "f",
+        ).localCheckpoint(eager=False)
+    parts = F.filter(F.split(F.trim("s"), " "), lambda x: x != F.lit(""))
+    stats = sym.agg(
+        F.sum(F.col("f") * F.size(parts)).cast("long").alias("total_symbols_after")
+    )
+    out = rows[0].unionByName(rows[1])
+    return out.crossJoin(F.broadcast(stats))

@@ -141,3 +141,25 @@ def test_knn_majority_tiebreak_deterministic(spark):
     )
     got = {r["query_id"]: r["nbr_label"] for r in pred.collect()}
     assert got == {1: 3, 2: 5}
+
+
+def test_bpe_merge_rule_hand_checked(spark):
+    """Two BPE rounds on a 3-word dictionary, fully hand-derived:
+    corpus = 'ab ab abc' -> words {ab:2, abc:1}.
+    Round 1 pairs: ('a b', 3) -> merge 'a b' -> {ab:2, ab c:1}.
+    Round 2 pairs: ('ab c', 1) -> merge -> all single symbols.
+    Total symbols after: 2*1 + 1*1 = 3."""
+    import cicevse2024_tfm_datapipeline_spark.plans.extensions as ext
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+    from unittest.mock import patch
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab abc")], "doc_id long, text string"
+    )
+    with patch.object(ext, "t", lambda _s, _d, _n: docs):
+        out = {
+            r["round"]: (r["merged_pair"], r["pair_count"], r["total_symbols_after"])
+            for r in ext.text_bpe_vocab_induction(spark, "unused").collect()
+        }
+    assert out[1] == ("a b", 3, 3)
+    assert out[2] == ("ab c", 1, 3)
