@@ -3651,3 +3651,125 @@ def text_bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = rows[0].unionByName(rows[1])
     return out.crossJoin(F.broadcast(stats))
+
+
+@register(
+    "text_bpe_fertility",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, count(*) AS f FROM (
+            SELECT unnest({_BPE_WORDS}) AS w FROM documents) GROUP BY 1
+    ),
+    sym0 AS (
+        SELECT w, ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+                   i -> w[i]), ' ') || ' ' AS s, f
+        FROM words
+    ),
+    {_bpe_pairs_sql("sym0", "p1")},
+    best1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    sym1 AS (
+        SELECT w, replace(s, ' ' || (SELECT pair FROM best1) || ' ',
+                   ' ' || replace((SELECT pair FROM best1), ' ', '') || ' ') AS s, f
+        FROM sym0
+    ),
+    {_bpe_pairs_sql("sym1", "p2")},
+    best2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair ASC LIMIT 1),
+    dict AS (
+        SELECT w,
+               len(list_filter(regexp_split_to_array(trim(replace(s,
+                   ' ' || (SELECT pair FROM best2) || ' ',
+                   ' ' || replace((SELECT pair FROM best2), ' ', '') || ' ')), ' '),
+                   x -> x <> '')) AS n_sym,
+               len(w) AS n_chars
+        FROM sym1
+    ),
+    docw AS (
+        SELECT source, unnest({_BPE_WORDS}) AS w FROM documents
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(k.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(k.n_sym) AS BIGINT) AS n_tokens,
+           round(sum(k.n_sym) * 1.0 / count(*), 6) AS fertility
+    FROM docw d JOIN dict k ON d.w = k.w
+    GROUP BY d.source
+    """,
+    doc="BPE fertility evaluation — the train->apply loop closed: the two "
+    "merges induced by text_bpe_vocab_induction are applied back to the "
+    "word dictionary (vocab-sized, so the per-word symbol count is "
+    "computed once), then the corpus word stream joins the dict "
+    "(broadcast at real vocab/corpus ratios) to yield per-source token "
+    "counts and fertility (tokens per word) — THE metric tokenizer "
+    "training optimizes. Exact integer counts; the ratio divides exact "
+    "integers.",
+    tags=("text", "bpe", "tokenizer", "fertility"),
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    wexpr = F.explode(
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != F.lit(""))
+    )
+    words = (
+        docs.select(wexpr.alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    )
+    sym = words.select(
+        "w",
+        F.concat(
+            F.lit(" "),
+            F.concat_ws(" ", F.filter(F.split("w", ""), lambda x: x != F.lit(""))),
+            F.lit(" "),
+        ).alias("s"),
+        "f",
+    ).localCheckpoint(eager=False)
+
+    def pair_counts(symdf: DataFrame) -> DataFrame:
+        parts = F.filter(F.split(F.trim("s"), " "), lambda x: x != F.lit(""))
+        idx = F.when(
+            F.size(parts) >= 2, F.sequence(F.lit(0), F.size(parts) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            symdf.select(parts.alias("p"), "f", F.explode(idx).alias("i"))
+            .select(
+                F.concat(
+                    F.element_at("p", F.col("i") + 1),
+                    F.lit(" "),
+                    F.element_at("p", F.col("i") + 2),
+                ).alias("pair"),
+                "f",
+            )
+            .groupBy("pair")
+            .agg(F.sum("f").alias("cnt"))
+        )
+
+    for _ in range(2):
+        best = F.broadcast(
+            pair_counts(sym).orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        )
+        sym = sym.crossJoin(best.select(F.col("pair").alias("__bp"))).select(
+            "w",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("__bp"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("__bp"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("s"),
+            "f",
+        ).localCheckpoint(eager=False)
+    parts = F.filter(F.split(F.trim("s"), " "), lambda x: x != F.lit(""))
+    dct = F.broadcast(
+        sym.select("w", F.size(parts).alias("n_sym"), F.length("w").alias("n_chars"))
+    )
+    docw = docs.select("source", wexpr.alias("w"))
+    return (
+        docw.join(dct, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            pround(F.sum("n_sym") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("fertility"),
+        )
+    )
