@@ -3773,3 +3773,130 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("n_sym") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("fertility"),
         )
     )
+
+
+_KM_SQDIST = (
+    "list_reduce(list_transform(range(1, len(v) + 1), "
+    "i -> (v[i] - c.centroid[i]) * (v[i] - c.centroid[i])), (x, y) -> x + y)"
+)
+
+_KM_ASSIGN = """
+    {out} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell, {dist} AS d,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist} ASC, c.cell ASC) AS rn
+            FROM e CROSS JOIN {cents} c) WHERE rn = 1
+    )"""
+
+_KM_RECOMPUTE = """
+    {out} AS (
+        SELECT cell,
+               list(sum_scaled * 1.0 / (n * 1000000.0) ORDER BY dim) AS centroid
+        FROM (
+            SELECT a.cell, u.i AS dim,
+                   sum(CAST(floor(a.v[u.i] * 1000000 + 0.5) AS BIGINT)) AS sum_scaled,
+                   count(*) AS n
+            FROM {assigned} a, unnest(range(1, len(a.v) + 1)) AS u(i)
+            GROUP BY 1, 2)
+        GROUP BY cell
+    )"""
+
+
+@register(
+    "ml_kmeans_two_rounds",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS centroid FROM e WHERE vec_id < 8),
+    {_KM_ASSIGN.format(out="a1", cents="cents0", dist=_KM_SQDIST)},
+    {_KM_RECOMPUTE.format(out="cents1", assigned="a1")},
+    {_KM_ASSIGN.format(out="a2", cents="cents1", dist=_KM_SQDIST)},
+    {_KM_RECOMPUTE.format(out="cents2", assigned="a2")}
+    SELECT c.cell,
+           CAST((SELECT count(*) FROM a2 WHERE a2.cell = c.cell) AS BIGINT)
+               AS n_members,
+           CAST(list_reduce(list_transform(range(1, len(c.centroid) + 1),
+                    i -> CAST(floor(c.centroid[i] * 1000000 + 0.5) AS BIGINT)),
+                (x, y) -> x + y) AS BIGINT) AS centroid_checksum_micro
+    FROM cents2 c
+    """,
+    doc="KMeans (Lloyd) as PURE relational algebra, two rounds with "
+    "deterministic first-8 init — the offline quantizer-build step that "
+    "feeds sim_ivf_topk / dedup_semdedup_cells, expressed without Spark-ML "
+    "so the whole iteration is oracle-checkable: assignment = broadcast "
+    "argmin fold per row, recompute = per-(cell, dim) EXACT scaled-integer "
+    "sums (accumulation order cannot perturb the centroid, so assignments "
+    "can never flip at a ulp boundary between engines) rebuilt into arrays "
+    "by ordered aggregation. Each round is one shuffle (the cell/dim "
+    "groupBy); centroids stay a broadcast-sized side. Checked: per-cell "
+    "membership counts + micro-scaled centroid checksums after round 2.",
+    tags=("ml", "kmeans", "iterative"),
+)
+def ml_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        _cell_dist_structs,
+        as_double_array,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_array("embedding").alias("v")).localCheckpoint(
+        eager=False
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("centroid")
+    )
+    assigned = None
+    for _ in range(2):
+        cent_arr = cents.agg(
+            F.collect_list(F.struct("cell", "centroid")).alias("__cents")
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cent_arr))
+            .withColumn(
+                "cell",
+                F.expr(f"array_min({_cell_dist_structs('v', '__cents')}).cell"),
+            )
+            .select("vec_id", "v", "cell")
+        )
+        dims = assigned.select(
+            "cell", F.posexplode("v").alias("dim0", "x")
+        ).groupBy("cell", "dim0").agg(
+            F.sum(F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("long")).alias(
+                "sum_scaled"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cents = dims.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("dim0").alias("d"),
+                            (
+                                F.col("sum_scaled")
+                                * F.lit(1.0)
+                                / (F.col("n") * F.lit(1000000.0))
+                            ).alias("x"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("x"),
+            ).alias("centroid")
+        )
+        cents = cents.localCheckpoint(eager=False)
+    members = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    checksum = F.aggregate(
+        F.transform(
+            F.col("centroid"),
+            lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cents.select("cell", checksum.alias("centroid_checksum_micro"))
+        .join(members, "cell")
+        .select("cell", "n_members", "centroid_checksum_micro")
+    )
