@@ -3900,3 +3900,143 @@ def ml_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(members, "cell")
         .select("cell", "n_members", "centroid_checksum_micro")
     )
+
+
+@register(
+    "text_bigram_lm_scores",
+    oracle=f"""
+    WITH toksd AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    tok AS (
+        SELECT doc_id, source, i AS pos, toks[i] AS w,
+               CASE WHEN i > 1 THEN toks[i - 1] END AS prev
+        FROM toksd, unnest(range(1, len(toks) + 1)) AS u(i)
+    ),
+    uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM uni),
+    bi AS (
+        SELECT prev, w, count(*) AS cb FROM tok WHERE prev IS NOT NULL
+        GROUP BY prev, w
+    ),
+    ctx AS (SELECT prev, sum(cb) AS cc FROM bi GROUP BY prev),
+    scored AS (
+        SELECT t.doc_id, t.source,
+               avg(ln(0.7 * (b.cb * 1.0 / x.cc)
+                      + 0.3 * (u.c * 1.0 / tot.n))) AS lp
+        FROM tok t
+        JOIN uni u USING (w) CROSS JOIN tot
+        JOIN bi b ON t.prev = b.prev AND t.w = b.w
+        JOIN ctx x ON t.prev = x.prev
+        WHERE t.prev IS NOT NULL
+        GROUP BY t.doc_id, t.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(-lp), 6) AS avg_doc_nll,
+           round(min(-lp), 6) AS min_doc_nll,
+           round(max(-lp), 6) AS max_doc_nll
+    FROM scored GROUP BY source
+    """,
+    doc="Interpolated BIGRAM LM scoring — the conditional-probability "
+    "upgrade of the unigram perplexity proxy: P(w|prev) = c(prev,w)/"
+    "c(prev) interpolated 0.7/0.3 with the unigram P(w); each document "
+    "averages -ln of the mixture over its bigram positions. Plan shape: "
+    "position-indexed explode carries (prev, w) pairs, one groupBy each "
+    "for unigram/bigram/context counts, then equi-joins back on the "
+    "token keys (Zipf-skewed — AQE skew splitting or a top-V broadcast "
+    "cap at 100 TB), one per-doc aggregate. In-corpus scoring means no "
+    "unseen bigram (smoothing is the interpolation).",
+    tags=("text", "quality", "lm", "bigram"),
+)
+def text_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+        ).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    tok = toks.withColumn("prev", F.lag("w").over(wdoc)).localCheckpoint(eager=False)
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    bi = (
+        tok.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    ctx = bi.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    mix = F.lit(0.7) * (F.col("cb") * F.lit(1.0) / F.col("cc")) + F.lit(0.3) * (
+        F.col("c") * F.lit(1.0) / F.col("n")
+    )
+    scored = (
+        tok.filter(F.col("prev").isNotNull())
+        .join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .join(bi, ["prev", "w"])
+        .join(ctx, "prev")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log(mix)).alias("lp"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        pround(F.avg(-F.col("lp")), 6).alias("avg_doc_nll"),
+        pround(F.min(-F.col("lp")), 6).alias("min_doc_nll"),
+        pround(F.max(-F.col("lp")), 6).alias("max_doc_nll"),
+    )
+
+
+@register(
+    "a_dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n FROM events
+        GROUP BY event_type
+    ),
+    n AS (
+        SELECT event_type, exact_n,
+               (('0x' || substr(md5('dp|31|' || event_type), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS u
+        FROM c
+    )
+    SELECT event_type, exact_n,
+           round(exact_n + (-2.0) * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n,
+           0.5 AS epsilon
+    FROM n
+    """,
+    doc="Differentially-private count release (Laplace mechanism, "
+    "sensitivity 1, epsilon 0.5 -> scale b = 2): the noise draw is the "
+    "inverse-CDF transform of an md5-keyed uniform ((u32 + 0.5)/2^32 — "
+    "never exactly 0 or 0.5-adjacent ln(0), the same hash-RNG discipline "
+    "as the degradation twins), keyed by (seed, group) so the release is "
+    "reproducible on any partitioning AND exactly oracle-checkable — "
+    "deterministic 'randomness' for test parity; production rotates the "
+    "seed per release. Plan: one map-combined count plus a per-group "
+    "scalar transform, nothing data-sized after the aggregate.",
+    tags=("A", "privacy", "dp"),
+)
+def a_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp|31|"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    lap = (
+        F.lit(-2.0)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return c.select(
+        "event_type",
+        "exact_n",
+        pround(F.col("exact_n") + lap, 6).alias("noisy_n"),
+        F.lit(0.5).alias("epsilon"),
+    )
