@@ -4040,3 +4040,180 @@ def a_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("exact_n") + lap, 6).alias("noisy_n"),
         F.lit(0.5).alias("epsilon"),
     )
+
+
+@register(
+    "a_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE vals AS (
+        SELECT user_id AS node,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        FROM events GROUP BY 1
+    ),
+    reach(node, anc) AS (
+        SELECT node, node FROM vals
+        UNION
+        SELECT r.node, r.anc // 2 FROM reach r WHERE r.anc >= 1
+    )
+    SELECT r.anc AS node,
+           CAST(count(*) AS BIGINT) AS n_subtree_nodes,
+           CAST(sum(v.cents) AS BIGINT) AS subtree_cents
+    FROM reach r JOIN vals v ON r.node = v.node
+    WHERE r.anc < 16 AND r.anc >= 1
+    GROUP BY r.anc
+    """,
+    doc="Hierarchical (BOM/org-chart) rollup: aggregate every node's "
+    "value up its ancestor chain. The tree is the implicit binary "
+    "hierarchy parent = node div 2 over event users; the engine builds "
+    "the ancestor closure by POINTER DOUBLING — each round joins the "
+    "closure with itself so reachable distance doubles, giving "
+    "log2(depth) rounds instead of depth (the textbook parallel "
+    "transitive-closure technique; 4 rounds cover depth 16, and at a "
+    "billion-node hierarchy 30 rounds still suffice) — then one "
+    "join+groupBy rolls values up. DuckDB verifies with its native "
+    "recursive CTE; cent-scaled exact sums.",
+    tags=("A", "hierarchy", "closure"),
+)
+def a_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    vals = (
+        ev.groupBy(F.col("user_id").alias("node"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    # closure seeded with (node, node) and (node, parent); each doubling
+    # round composes closure o closure, doubling reachable distance
+    closure = vals.select(
+        "node", F.col("node").alias("anc")
+    ).unionByName(
+        vals.filter(F.col("node") >= 2).select(
+            "node", (F.col("node") / 2).cast("long").alias("anc")
+        )
+    ).distinct()
+    rounds = 4  # doubling: covers depth 2^4 = 16 > max tree depth here
+    for _ in range(rounds):
+        hop = closure.select(F.col("node").alias("mid"), F.col("anc").alias("anc2"))
+        closure = (
+            closure.unionByName(
+                closure.join(hop, closure.anc == hop.mid)
+                .select("node", F.col("anc2").alias("anc"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    return (
+        closure.filter((F.col("anc") < 16) & (F.col("anc") >= 1))
+        .join(vals, "node")
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subtree_nodes"),
+            F.sum("cents").cast("long").alias("subtree_cents"),
+        )
+    )
+
+
+@register(
+    "a_poisson_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT CAST(r.range AS INT) AS rep FROM range(0, 50) r),
+    w AS (
+        SELECT e.event_id, reps.rep,
+               CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+               (('0x' || substr(md5('boot|' || CAST(reps.rep AS VARCHAR)
+                     || '|' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0 AS u
+        FROM events e CROSS JOIN reps
+    ),
+    pw AS (
+        SELECT rep, cents,
+               CASE WHEN u < 0.367879441171442322 THEN 0
+                    WHEN u < 0.735758882342884644 THEN 1
+                    WHEN u < 0.919698602928605805 THEN 2
+                    WHEN u < 0.981011843123846192 THEN 3
+                    WHEN u < 0.996340153172656721 THEN 4
+                    WHEN u < 0.999405815182418852 THEN 5
+                    ELSE 6 END AS k
+        FROM w
+    ),
+    means AS (
+        SELECT rep,
+               sum(k * cents) * 1.0 / (100.0 * sum(k)) AS boot_mean
+        FROM pw GROUP BY rep HAVING sum(k) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           round(quantile_cont(boot_mean, 0.025), 6) AS ci_lo,
+           round(quantile_cont(boot_mean, 0.5), 6) AS ci_mid,
+           round(quantile_cont(boot_mean, 0.975), 6) AS ci_hi
+    FROM means
+    """,
+    doc="POISSON BOOTSTRAP confidence interval for the mean — the "
+    "distributed resampling technique (each replicate weights every row "
+    "by an independent Poisson(1) draw, so no replicate ever needs a "
+    "global sample-with-replacement pass): 50 replicates materialize as "
+    "a row x replicate cross join with md5-keyed inverse-CDF Poisson "
+    "weights (CASE over the cumulative e^-1 * 1/k! ladder — "
+    "deterministic, partitioning-independent, oracle-exact), one "
+    "groupBy per replicate for the weighted means, and exact "
+    "percentile CIs over the 50-value replicate frame. At 100 TB the "
+    "cross join is a flatMap-style expand of the scan (x B), each "
+    "replicate mean map-side combines; B stays constant.",
+    tags=("A", "bootstrap", "statistics"),
+)
+def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    reps = F.explode(F.sequence(F.lit(0), F.lit(49))).alias("rep")
+    w = ev.select("event_id", "cents", reps)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot|"),
+                        F.col("rep").cast("string"),
+                        F.lit("|"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    # inverse-CDF ladder of Poisson(1): cumulative e^-1 / k!
+    k = (
+        F.when(u < 0.367879441171442322, 0)
+        .when(u < 0.735758882342884644, 1)
+        .when(u < 0.919698602928605805, 2)
+        .when(u < 0.981011843123846192, 3)
+        .when(u < 0.996340153172656721, 4)
+        .when(u < 0.999405815182418852, 5)
+        .otherwise(6)
+    )
+    means = (
+        w.withColumn("k", k)
+        .groupBy("rep")
+        .agg(
+            (
+                F.sum(F.col("k") * F.col("cents"))
+                * F.lit(1.0)
+                / (F.lit(100.0) * F.sum("k"))
+            ).alias("boot_mean")
+        )
+        .filter(F.col("boot_mean").isNotNull())
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        pround(F.expr("percentile(boot_mean, 0.025)"), 6).alias("ci_lo"),
+        pround(F.expr("percentile(boot_mean, 0.5)"), 6).alias("ci_mid"),
+        pround(F.expr("percentile(boot_mean, 0.975)"), 6).alias("ci_hi"),
+    )
