@@ -4217,3 +4217,173 @@ def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.expr("percentile(boot_mean, 0.5)"), 6).alias("ci_mid"),
         pround(F.expr("percentile(boot_mean, 0.975)"), 6).alias("ci_hi"),
     )
+
+
+_PCA_V0 = "list_transform(range(1, 65), i -> 1.0 / 8.0)"
+
+
+def _pca_round_sql(vin: str, out: str) -> str:
+    """One power-iteration round in DuckDB: y = X^T X v via per-row
+    scalar dot then exact scaled-int elementwise sums; normalize. The
+    iterate joins in as a 1-row relation (DuckDB lambdas cannot hold
+    subqueries, but joined columns are fine)."""
+    return f"""
+    {out}_contrib AS (
+        SELECT u.i AS dim,
+               sum(CAST(floor(e.v[u.i]
+                       * list_reduce(list_transform(range(1, 65),
+                             j -> e.v[j] * w.v[j]), (x, y) -> x + y)
+                       * 1000000 + 0.5) AS BIGINT)) AS s
+        FROM e CROSS JOIN {vin} w, unnest(range(1, 65)) AS u(i)
+        GROUP BY 1
+    ),
+    {out}_raw AS (
+        SELECT list(s * 1.0 / 1000000.0 ORDER BY dim) AS y FROM {out}_contrib
+    ),
+    {out} AS (
+        SELECT list_transform(y, x -> x / sqrt(list_reduce(
+                   list_transform(y, z -> z * z), (a, b) -> a + b))) AS v
+        FROM {out}_raw
+    )"""
+
+
+@register(
+    "ml_pca_power_iteration",
+    oracle=f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    v0 AS (SELECT {_PCA_V0} AS v),
+    {_pca_round_sql("v0", "v1")},
+    {_pca_round_sql("v1", "v2")},
+    rq AS (
+        SELECT sum(CAST(floor(
+                   list_reduce(list_transform(range(1, 65),
+                       j -> e.v[j] * w.v[j]), (x, y) -> x + y)
+                   * list_reduce(list_transform(range(1, 65),
+                       j -> e.v[j] * w.v[j]), (x, y) -> x + y)
+                   * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS lam
+        FROM e CROSS JOIN v2 w
+    )
+    SELECT CAST(64 AS INT) AS dim,
+           round((SELECT lam FROM rq), 4) AS rayleigh_eigenvalue,
+           (SELECT round(list_reduce(list_transform(w.v, x -> abs(x)),
+                             (a, b) -> a + b), 6) FROM v2 w) AS eigvec_l1,
+           (SELECT round(abs(w.v[1]), 6) FROM v2 w) AS abs_first_component
+    """,
+    doc="PCA dominant eigenvector by POWER ITERATION, two rounds, as "
+    "pure aggregation — distributed linear algebra without any matrix "
+    "library: y = X^T X v computes as one pass (per-row scalar dot "
+    "x.v, scale x by it, elementwise-sum the scaled vectors); the "
+    "64-dim result is broadcast back for the next round. Elementwise "
+    "sums run on micro-scaled BIGINTs so accumulation order cannot "
+    "perturb the iterate — both engines normalize bit-identical "
+    "vectors and the Rayleigh quotient is exact-summed too. This is "
+    "the 100 TB PCA shape: O(rounds) corpus passes, state = one "
+    "d-vector, never a d x d covariance materialization per row.",
+    tags=("ml", "pca", "linear-algebra"),
+)
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        as_double_array,
+        dot_expr,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select(as_double_array("embedding").alias("v")).localCheckpoint(
+        eager=False
+    )
+    v = [1.0 / 8.0] * 64
+    for _ in range(2):
+        vcol = F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+        scaled = e.select(
+            F.posexplode(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(
+                        x * dot_expr(F.col("v"), vcol) * 1000000 + F.lit(0.5)
+                    ).cast("long"),
+                )
+            ).alias("dim0", "c")
+        )
+        sums = (
+            scaled.groupBy("dim0")
+            .agg(F.sum("c").alias("s"))
+            .orderBy("dim0")
+            .collect()
+        )
+        y = [r["s"] / 1000000.0 for r in sums]
+        norm = sum(z * z for z in y) ** 0.5
+        v = [z / norm for z in y]
+    vcol = F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+    d = dot_expr(F.col("v"), vcol)
+    rq = e.agg(
+        (F.sum(F.floor(d * d * 1000000 + F.lit(0.5)).cast("long")) / F.lit(1000000.0)).alias(
+            "lam"
+        )
+    )
+    l1 = sum(abs(x) for x in v)
+    return rq.select(
+        F.lit(64).cast("int").alias("dim"),
+        pround(F.col("lam"), 4).alias("rayleigh_eigenvalue"),
+        pround(F.lit(float(l1)), 6).alias("eigvec_l1"),
+        pround(F.lit(float(abs(v[0]))), 6).alias("abs_first_component"),
+    )
+
+
+@register(
+    "a_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, user_id % 5 AS ubucket,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT event_type, sum(o) AS rn FROM cells GROUP BY 1),
+    cols_t AS (SELECT ubucket, sum(o) AS cn FROM cells GROUP BY 1),
+    tot AS (SELECT sum(o) AS n FROM cells)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((SELECT count(*) - 1 FROM rows_t)
+                * (SELECT count(*) - 1 FROM cols_t) AS BIGINT) AS dof,
+           round(sum((c.o - r.rn * l.cn * 1.0 / t.n)
+                     * (c.o - r.rn * l.cn * 1.0 / t.n)
+                     / (r.rn * l.cn * 1.0 / t.n)), 6) AS chi2
+    FROM cells c
+    JOIN rows_t r USING (event_type)
+    JOIN cols_t l USING (ubucket)
+    CROSS JOIN tot t
+    """,
+    doc="Chi-square test of independence over the event_type x "
+    "user-bucket contingency table: observed counts are one "
+    "map-combined groupBy; row/column marginals and the grand total are "
+    "broadcast-sized re-aggregations of the CELL table (never a second "
+    "corpus pass); expected counts and the statistic are exact-integer-"
+    "derived doubles, summed over the bounded cell frame (6-dp rounding "
+    "absorbs association order). The contingency-table shape is the "
+    "basis of feature-independence screening and drift tests.",
+    tags=("A", "statistics", "chi2"),
+)
+def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("ubucket")
+    )
+    cells = ev.groupBy("event_type", "ubucket").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    ).localCheckpoint(eager=False)
+    rows_t = cells.groupBy("event_type").agg(F.sum("o").alias("rn"))
+    cols_t = cells.groupBy("ubucket").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    dof = (
+        rows_t.count() - 1
+    ) * (cols_t.count() - 1)
+    e_exp = F.col("rn") * F.col("cn") * F.lit(1.0) / F.col("n")
+    return (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "ubucket")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.lit(int(dof)).cast("long").alias("dof"),
+            pround(
+                F.sum((F.col("o") - e_exp) * (F.col("o") - e_exp) / e_exp), 6
+            ).alias("chi2"),
+        )
+    )
