@@ -4387,3 +4387,135 @@ def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2"),
         )
     )
+
+
+@register(
+    "dedup_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH docs60 AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    {_sig_sql("docs60")},
+    toksd2 AS (SELECT doc_id, {_TOKS} AS toks FROM docs60),
+    grams AS (SELECT doc_id, list_distinct({_SHINGLES3}) AS g FROM toksd2),
+    est AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ({" + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES))})
+                   * 1.0 / {NUM_HASHES} AS jaccard_est
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ),
+    ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.g, x -> list_contains(b.g, x))) * 1.0
+               / (len(a.g) + len(b.g)
+                  - len(list_filter(a.g, x -> list_contains(b.g, x)))) AS jaccard
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT e.doc_a, e.doc_b,
+           round(e.jaccard_est, 6) AS jaccard_est,
+           round(x.jaccard, 6) AS jaccard_exact,
+           round(e.jaccard_est - x.jaccard, 6) AS est_error
+    FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    WHERE e.jaccard_est > 0 OR x.jaccard >= 0.2
+    """,
+    doc="MinHash THEORY closed: the signature-agreement fraction "
+    "(matching components / 8) IS the unbiased Jaccard estimator the "
+    "whole LSH pipeline rests on — computed side by side with the exact "
+    "3-gram Jaccard on a bounded candidate set (doc_id < 60; in "
+    "production: LSH candidates), emitting estimate, exact, and "
+    "estimation error per pair. Integer set algebra and component "
+    "equality only -> engine-exact. The per-pair error column is the "
+    "empirical variance the band/row tuning tables assume.",
+    tags=("dedup", "minhash", "jaccard"),
+)
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sig = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, 3)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(NUM_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(NUM_HASHES)],
+    )
+    agree = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(NUM_HASHES)
+    )
+    est = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a",
+        "doc_b",
+        (agree * F.lit(1.0) / F.lit(NUM_HASHES)).alias("jaccard_est"),
+    )
+    exact = ngram_jaccard_pairs(docs, docs, "doc_id", "text", k=3).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jaccard_exact")
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .filter((F.col("jaccard_est") > 0) | (F.col("jaccard_exact") >= 0.2))
+        .select(
+            "doc_a",
+            "doc_b",
+            pround("jaccard_est", 6).alias("jaccard_est"),
+            pround("jaccard_exact", 6).alias("jaccard_exact"),
+            pround(F.col("jaccard_est") - F.col("jaccard_exact"), 6).alias("est_error"),
+        )
+    )
+
+
+@register(
+    "a_funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id, (p_us - v_us) // 3600000000 AS hours_bucket
+        FROM firsts WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= v_us
+    )
+    SELECT CAST(least(hours_bucket // 24, 7) AS BIGINT) AS days_to_convert_capped,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(hours_bucket) AS BIGINT) AS min_hours,
+           CAST(max(hours_bucket) AS BIGINT) AS max_hours
+    FROM conv
+    GROUP BY 1
+    """,
+    doc="Funnel TIME-TO-CONVERT distribution: first view -> first "
+    "purchase latency per user, bucketed into capped day bins — the "
+    "conversion-latency histogram product analytics runs next to the "
+    "ordered funnel (a_funnel_view_click_purchase covers the ordering; "
+    "this covers the latency). One conditional-min groupBy per user (no "
+    "join between the stage streams), exact integer microsecond "
+    "arithmetic end to end.",
+    tags=("A", "funnel", "latency"),
+)
+def a_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", us.alias("us"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("p_us"),
+    )
+    conv = firsts.filter(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("v_us"))
+    ).select(
+        "user_id",
+        ((F.col("p_us") - F.col("v_us")) / F.lit(3600000000)).cast("long").alias("hb"),
+    )
+    return conv.groupBy(
+        F.least((F.col("hb") / 24).cast("long"), F.lit(7).cast("long")).alias(
+            "days_to_convert_capped"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("hb").cast("long").alias("min_hours"),
+        F.max("hb").cast("long").alias("max_hours"),
+    )
