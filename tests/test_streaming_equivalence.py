@@ -316,3 +316,61 @@ def test_transform_with_state_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Exactly-once resume across a query RESTART: run a grouped count
+    stream over batch-1 files with a durable checkpoint, stop it, land
+    batch-2 files, start a NEW query from the same checkpoint, and
+    require the final complete-mode state to equal the batch aggregate
+    over BOTH batches — no lost and no double-counted rows. This is the
+    recovery contract every production stream relies on."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    batch1 = [(i, ["a", "b"][i % 2], i) for i in range(100)]
+    batch2 = [(i, ["a", "b", "c"][i % 3], i * 2) for i in range(100, 250)]
+
+    def land(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.groupBy("etype").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("restart_test")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    land(batch1, "b1")
+    run_once()
+    land(batch2, "b2")
+    run_once()
+
+    got = {
+        r["etype"]: (r["n"], r["sv"])
+        for r in spark.sql("SELECT * FROM restart_test").collect()
+    }
+    want_rows = batch1 + batch2
+    want = {}
+    for _, e, v in want_rows:
+        n, sv = want.get(e, (0, 0))
+        want[e] = (n + 1, sv + v)
+    assert got == want
