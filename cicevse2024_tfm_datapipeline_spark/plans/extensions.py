@@ -4519,3 +4519,90 @@ def a_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hb").cast("long").alias("min_hours"),
         F.max("hb").cast("long").alias("max_hours"),
     )
+
+
+@register(
+    "w_clamped_running_balance",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE WHEN event_type IN ('purchase', 'error')
+                    THEN -CAST(floor(value) AS BIGINT)
+                    ELSE CAST(floor(value) AS BIGINT) END AS delta
+        FROM events
+    ),
+    s0 AS (
+        SELECT user_id, us, event_id,
+               sum(delta) OVER w AS run_sum
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+        SELECT user_id, us, event_id, run_sum,
+               min(run_sum) OVER w AS run_min
+        FROM s0
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+        SELECT user_id,
+               run_sum - least(CAST(0 AS BIGINT), run_min) AS bal,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM s
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(bal) AS BIGINT) AS peak_balance,
+           CAST(sum(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_floor_hits,
+           CAST(max(CASE WHEN rn = 1 THEN bal END) AS BIGINT) AS final_balance
+    FROM c
+    GROUP BY user_id
+    """,
+    doc="Running balance CLAMPED at zero (inventory / wallet semantics: "
+    "withdrawals cannot take the balance negative). The naive form is a "
+    "sequential per-row fold max(0, prev + delta) — but the one-sided "
+    "clamp has a closed form via the reflection identity: clamped_i = "
+    "run_sum_i - min(0, running_min(run_sum)), so the whole computation "
+    "is TWO stacked partitioned windows (cumsum, then running min of "
+    "it), no per-key Python, no recursion, parallel over users at any "
+    "scale. Exact integer deltas; checked per user: peak, floor-hit "
+    "count, final balance.",
+    tags=("W", "window", "clamped-cumsum"),
+)
+def w_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    us = F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "error"),
+        -F.floor("value").cast("long"),
+    ).otherwise(F.floor("value").cast("long"))
+    d = t(spark, sf_dir, "events").select(
+        "user_id", us.alias("us"), "event_id", delta.alias("delta")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = d.withColumn("run_sum", F.sum("delta").over(w)).withColumn(
+        "run_min", F.min("run_sum").over(w)
+    )
+    bal = F.col("run_sum") - F.least(F.lit(0).cast("long"), F.col("run_min"))
+    c = s.select("user_id", "us", "event_id", bal.alias("bal"))
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    return (
+        c.withColumn("__rn", F.row_number().over(wlast))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("bal").cast("long").alias("peak_balance"),
+            F.sum((F.col("bal") == 0).cast("long")).cast("long").alias("n_floor_hits"),
+            F.max(F.when(F.col("__rn") == 1, F.col("bal"))).cast("long").alias(
+                "final_balance"
+            ),
+        )
+    )

@@ -163,3 +163,34 @@ def test_bpe_merge_rule_hand_checked(spark):
         }
     assert out[1] == ("a b", 3, 3)
     assert out[2] == ("ab c", 1, 3)
+
+
+def test_clamped_cumsum_reflection_identity(spark):
+    """The windowed closed form clamped_i = run_sum_i - min(0,
+    running_min(run_sum)) must equal the sequential fold
+    c_i = max(0, c_{i-1} + delta_i) on random delta sequences — the
+    identity w_clamped_running_balance rests on."""
+    import random as _r
+
+    from pyspark.sql import Window
+
+    rng = _r.Random(99)
+    rows = []
+    for g in range(6):
+        for i in range(200):
+            rows.append((g, i, rng.randint(-9, 9)))
+    df = spark.createDataFrame(rows, "g int, i int, delta long")
+    w = Window.partitionBy("g").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        df.withColumn("rs", F.sum("delta").over(w))
+        .withColumn("rm", F.min("rs").over(w))
+        .withColumn("bal", F.col("rs") - F.least(F.lit(0).cast("long"), F.col("rm")))
+    )
+    got = {(r["g"], r["i"]): r["bal"] for r in out.collect()}
+    for g in range(6):
+        c = 0
+        for i in range(200):
+            c = max(0, c + rows[g * 200 + i][2])
+            assert got[(g, i)] == c, (g, i)
