@@ -4606,3 +4606,136 @@ def w_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "a_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_state, event_type AS to_state,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_state, sum(n) AS tn FROM trans GROUP BY 1)
+    SELECT t.from_state, t.to_state, t.n,
+           round(t.n * 1.0 / x.tn, 6) AS p
+    FROM trans t JOIN totals x USING (from_state)
+    """,
+    doc="First-order Markov transition-matrix estimation over per-user "
+    "event sequences: lag over (user, time) yields (from, to) pairs, "
+    "one groupBy counts transitions, row totals re-aggregate the "
+    "|states|^2-bounded transition frame (never a second corpus pass), "
+    "and probabilities divide exact integers. The behavioral-model "
+    "estimator session analytics and next-event prediction start from; "
+    "at 100 TB the lag window partitions by user and the transition "
+    "frame stays tiny.",
+    tags=("A", "markov", "sequence"),
+)
+def a_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    us = F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", us.alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_state"),
+            F.col("event_type").alias("to_state"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = trans.groupBy("from_state").agg(F.sum("n").alias("tn"))
+    return (
+        trans.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n",
+            pround(F.col("n") * F.lit(1.0) / F.col("tn"), 6).alias("p"),
+        )
+    )
+
+
+@register(
+    "a_basket_pair_cooccurrence",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               CAST(count(*) AS BIGINT) AS n_baskets
+        FROM baskets a
+        JOIN baskets b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    nb AS (
+        SELECT CAST(count(*) AS BIGINT) AS total_baskets
+        FROM (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+              FROM events)
+    )
+    SELECT p.item_a, p.item_b, p.n_baskets,
+           round(p.n_baskets * 1.0 / nb.total_baskets, 6) AS support
+    FROM pairs p CROSS JOIN nb
+    """,
+    doc="Market-basket pair co-occurrence (frequent-itemset mining, "
+    "pairwise stage): baskets = distinct (user, day, item) triples, "
+    "pairs form by self-join WITHIN a basket key (fanout bounded by "
+    "basket size squared — the item domain here, never corpus-sized), "
+    "support divides by the exact basket count. The a-priori pruning "
+    "loop stacks more of the same shape on top; the basket self-join "
+    "shuffles once on the (user, day) key.",
+    tags=("A", "basket", "itemset"),
+)
+def a_basket_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = (F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))") / F.lit(86400000000)).cast(
+        "long"
+    )
+    baskets = (
+        t(spark, sf_dir, "events")
+        .select("user_id", day.alias("day"), "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    b2 = baskets.select(
+        F.col("user_id").alias("u2"),
+        F.col("day").alias("d2"),
+        F.col("event_type").alias("item_b"),
+    )
+    pairs = (
+        baskets.join(
+            b2,
+            (baskets.user_id == b2.u2)
+            & (baskets.day == b2.d2)
+            & (baskets.event_type < b2.item_b),
+        )
+        .groupBy(F.col("event_type").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    )
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("total_baskets")
+    )
+    return pairs.crossJoin(F.broadcast(nb)).select(
+        "item_a",
+        "item_b",
+        "n_baskets",
+        pround(F.col("n_baskets") * F.lit(1.0) / F.col("total_baskets"), 6).alias(
+            "support"
+        ),
+    )
