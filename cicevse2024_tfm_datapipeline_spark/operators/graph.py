@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["undirect", "pagerank_fixed", "triangle_count"]
+__all__ = ["undirect", "pagerank_fixed", "triangle_count", "bfs_levels"]
 
 
 def undirect(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
@@ -83,3 +83,37 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .filter(F.col("b") < F.col("c"))
     )
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def bfs_levels(edges: DataFrame, seed: DataFrame, max_depth: int = 4) -> DataFrame:
+    """Breadth-first levels from a ``seed`` node frame over a symmetric
+    edge frame, UNROLLED to ``max_depth`` rounds (node, level) — the
+    bounded-frontier sibling of ``dedup.connected_components``: fixing
+    the depth makes the traversal pure deterministic relational algebra
+    (recursive-CTE-checkable), and dedup/link graphs have tiny diameters
+    so a small bound covers the reachable set.
+
+    Per round: frontier⋈edges equi-join on src + anti-join against the
+    visited set + distinct — all shuffles on node ids, never data-sized
+    beyond the reachable frontier. Each frontier is lazily checkpointed:
+    it feeds both the next expansion and the final union, and without the
+    pin Catalyst would re-execute the whole k-round subtree per consumer
+    (the same multi-consumer discipline as operators/scan)."""
+    level = seed.select(
+        F.col("node"), F.lit(0).cast("long").alias("level")
+    ).localCheckpoint(eager=False)
+    frontier = level
+    for k in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(level.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).cast("long").alias("level"))
+            .localCheckpoint(eager=False)
+        )
+        level = level.unionByName(nxt)
+        frontier = nxt
+    return level

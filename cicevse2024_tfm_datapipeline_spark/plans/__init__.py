@@ -22,6 +22,7 @@ _MODULES = [
     "rows_only",
     "advanced",
     "tpch_suite",
+    "wave4",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
