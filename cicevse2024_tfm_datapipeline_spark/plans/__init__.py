@@ -23,6 +23,7 @@ _MODULES = [
     "advanced",
     "tpch_suite",
     "wave4",
+    "wave5",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
