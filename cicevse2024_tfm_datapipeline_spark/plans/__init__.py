@@ -24,6 +24,7 @@ _MODULES = [
     "tpch_suite",
     "wave4",
     "wave5",
+    "wave6",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
