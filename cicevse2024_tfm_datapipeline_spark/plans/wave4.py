@@ -40,9 +40,14 @@ from cicevse2024_tfm_datapipeline_spark.plans.registry import register
 
 _SH_SETS = f"""
     toksd AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    sh AS (
-        SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS shingle
+    shs AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS shingle_s
         FROM toksd
+    ),
+    sh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle_s), 1, 15)) AS BIGINT) AS shingle
+        FROM shs
     )
 """
 
@@ -64,6 +69,7 @@ _SH_SETS = f"""
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM pref a JOIN pref b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
@@ -90,10 +96,13 @@ _SH_SETS = f"""
     "meeting the threshold must overlap within these prefixes), and "
     "rare-first ordering makes the candidate join keys near-unique, so "
     "the join is skew-free where a full inverted index would hot-spot on "
-    "common shingles. Candidates are then verified exactly by an "
-    "intersection count join. Complements MinHash-LSH (probabilistic, "
-    "false negatives possible) with an EXACT near-dup join at the same "
-    "equi-join scale shape. The τ = 0.5 acceptance is the integer compare "
+    "common shingles. The length filter (2·min(n_a,n_b) ≥ max — a "
+    "necessary condition for J ≥ 0.5) prunes candidates before the "
+    "exact intersection-count verify join. Complements MinHash-LSH "
+    "(probabilistic, false negatives possible) with an EXACT near-dup "
+    "join at the same equi-join scale shape; candidate volume tracks "
+    "corpus shingle density, which this closed-vocabulary synthetic "
+    "corpus maximizes. The τ = 0.5 acceptance is the integer compare "
     "2·|∩| ≥ |∪| and the prefix length uses floor((n+1)/2.0) — no float "
     "threshold can flip membership between engines.",
     tags=("dedup", "jaccard", "prefix-filter"),
@@ -105,15 +114,29 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
+    # shingle strings collapse to 60-bit md5-prefix BIGINTs (same mapping
+    # in the oracle) BEFORE any shuffle: every downstream join/window key
+    # moves 8 bytes instead of a 3-word string. A collision would merge
+    # the same pair of shingles in BOTH engines, so the contract holds
     sh = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles_expr(tokens_expr(F.col("text")), 3))
-        ).alias("shingle"),
+        ).alias("shingle_s"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle_s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("shingle"),
     )
     # multi-consumer (dfreq, ranked, sizes, two verify probes) — pin the
-    # exploded set frame so the tokenize→shingle chain runs once
-    sh = sh.localCheckpoint(eager=False)
+    # exploded set frame so the tokenize→shingle chain runs once. The
+    # repartition is the parallelism floor: the source is a handful of
+    # parquet files, and without an exchange the pinned frame (and every
+    # stage downstream of it) inherits that near-serial partitioning.
+    # The EXPLICIT count keeps AQE from coalescing the floor away
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh = sh.repartition(n_parts, "doc_id").localCheckpoint(eager=False)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wpos = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     ranked = (
@@ -121,17 +144,29 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(wpos))
         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     )
+    # two consumers (both sides of the candidate self-join) — pin, or the
+    # dfreq-join + double-window subtree executes once per side
     pref = ranked.filter(
         F.col("pos") <= F.col("n") - F.floor((F.col("n") + 1) / F.lit(2.0)) + 1
-    )
-    pa = pref.select(F.col("doc_id").alias("doc_a"), "shingle")
-    pb = pref.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ).localCheckpoint(eager=False)
+    pa = pref.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle")
+    pb = pref.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle")
+    # length filter (PPJoin companion): J >= 0.5 forces the smaller set to
+    # be at least half the larger — prune before the expensive verify join
     cand = (
         pa.join(pb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (2 * F.least("na", "nb") >= F.greatest("na", "nb"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # the verify join EXPANDS each candidate pair by ~|set| rows before
+    # the pair-intersection aggregate collapses it back. AQE sizes the
+    # stage from the (tiny) candidate input and coalesces it near-serial;
+    # the explicit partition count pins the expansion's parallelism
+    cand = cand.repartition(n_parts, "doc_a")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     fa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     fb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
