@@ -25,6 +25,7 @@ _MODULES = [
     "wave4",
     "wave5",
     "wave6",
+    "wave7",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
