@@ -59,6 +59,12 @@ HEADLINE = [
     "j_tpch_q10_returned_topk",
     "w_cdc_apply_changelog",
     "w_range_frame_rolling",
+    "dedup_prefix_filter_jaccard",
+    "sim_rrf_fusion",
+    "a_bitmap_intersection",
+    "w_interval_coverage",
+    "a_growth_accounting",
+    "a_cusum_changepoint",
 ]
 
 
