@@ -26,6 +26,7 @@ _MODULES = [
     "wave5",
     "wave6",
     "wave7",
+    "wave8",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
