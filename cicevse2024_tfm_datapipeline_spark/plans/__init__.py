@@ -95,18 +95,25 @@ _PRIORITY = [
     "f_variant_semistructured",
     "s14_custom_datasource",
     "s13_jsonl_sink_roundtrip",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_sales_opportunity",
-    "tpch_q13_custdist",
-    "tpch_q11_important_value",
+    # SURVEY-§2 edges first (they move the coverage count), then ONE
+    # representative TPC-H decorrelation and three of the round's new
+    # bench-listed flagships; the remaining TPC-H shapes and wave
+    # queries are selfcheck-green and rotate into the r04 window
     "s4_csv_sink_roundtrip",
     "s5_tensor_sink_roundtrip",
     "f15_proba_pair",
     "m8_sample_size_grid",
     "p8_p9_network_narrowing",
     "f14_json_sanitize_roundtrip",
+    "tpch_q2_min_cost_supplier",
+    "dedup_prefix_filter_jaccard",
+    "a_growth_accounting",
+    "a_bitmap_intersection",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_sales_opportunity",
+    "tpch_q13_custdist",
+    "tpch_q11_important_value",
     # --- block 3b: round-3 extension analytics that yield the last
     # window slots to never-driven SURVEY-§2 rows above; selfcheck
     # covers them, and they rotate in next round ---
