@@ -195,6 +195,8 @@ def a_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
 
     def bitmap(event_type: str) -> DataFrame:
+        # each bitmap frame feeds its own popcount AND the intersection —
+        # pin it so events scans once per segment, not once per consumer
         return (
             ev.filter(F.col("event_type") == event_type)
             .select("user_id")
@@ -205,6 +207,7 @@ def a_bitmap_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("shiftleft(1L, cast(user_id % 32 as int))")
                 ).alias("bits")
             )
+            .localCheckpoint(eager=False)
         )
 
     v = bitmap("view")

@@ -110,6 +110,66 @@ def a_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact weighted median (quantity-weighted price)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_weighted_median",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    scanned AS (
+        SELECT cents, w,
+               sum(w) OVER (ORDER BY cents, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_w,
+               sum(w) OVER () AS tot_w
+        FROM pts
+    )
+    SELECT min(cents) / 100.0 AS weighted_median_price,
+           CAST(min(tot_w) AS BIGINT) AS total_weight
+    FROM scanned WHERE 2 * cum_w >= tot_w
+    """,
+    doc="Exact weighted median: the smallest price at which the running "
+    "quantity weight reaches half the total — the inventory-weighted "
+    "'typical unit price' that an unweighted median misstates whenever "
+    "cheap lines carry big quantities. One two-phase global cumsum over "
+    "(price, key) order (operators/scan.global_cumsum with totals "
+    "broadcast) and an integer threshold compare 2·cum ≥ total — no "
+    "unpartitioned window, no float boundary. The same scan generalizes "
+    "to any weighted quantile by changing the integer threshold ratio.",
+    tags=("A", "median", "scan"),
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
+
+    pts = t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    scanned = global_cumsum(
+        pts,
+        ["cents", "l_orderkey", "l_linenumber"],
+        ["w"],
+        with_totals=True,
+    )
+    return (
+        scanned.filter(2 * F.col("cum_w") >= F.col("tot_w"))
+        .agg(
+            (F.min("cents") / F.lit(100.0)).alias("weighted_median_price"),
+            F.min("tot_w").cast("long").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window distinct users (explode-to-windows)
 # ---------------------------------------------------------------------------
 

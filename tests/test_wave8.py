@@ -75,3 +75,29 @@ def test_except_all_clamps_at_zero(spark, tmp_path):
         for r in _q("u_except_all_counts").spark(spark, str(tmp_path)).collect()
     }
     assert got == {("view", 1): 2}
+
+
+def test_weighted_median_vs_hand_computed(spark, tmp_path):
+    import datetime
+
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    ship = datetime.datetime(2024, 1, 2)
+    # prices 1.00 (w=7), 5.00 (w=2), 9.00 (w=1): total 10, half 5 ->
+    # cum at 1.00 is 7 >= 5 -> weighted median 1.00 (plain median is 5.00)
+    rows = [
+        (1, 1, 1, 1, 7.0, 1.00, 0.0, 0.0, "N", "O", ship),
+        (2, 1, 1, 1, 2.0, 5.00, 0.0, 0.0, "N", "O", ship),
+        (3, 1, 1, 1, 1.0, 9.00, 0.0, 0.0, "N", "O", ship),
+    ]
+    spark.createDataFrame(rows, li_schema).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    r = load_all()["a_weighted_median"].spark(spark, str(tmp_path)).collect()[0]
+    assert r["total_weight"] == 10
+    assert abs(r["weighted_median_price"] - 1.00) < 1e-9
