@@ -264,8 +264,13 @@ def w5_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("W6", "A13"),
 )
 def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # project to the 5 columns the scan needs BEFORE the global-islands
+    # pass: the two-phase scan pins (localCheckpoint) its whole input,
+    # and materializing the unused power_view columns doubled the
+    # checkpoint write/read bytes of the dominant stage
     pv = power_view(spark, sf_dir).select(
-        "*",
+        "ts",
+        "event_id",
         F.when(F.col("label") == "attack", 1).otherwise(0).alias("y_true"),
         F.when(F.col("value") > 150.0, 1).otherwise(0).alias("y_pred"),
         F.when(F.col("label") == "attack", F.col("attack")).otherwise(F.lit("benign")).alias("ep_id"),
