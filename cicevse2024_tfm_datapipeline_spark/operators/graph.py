@@ -40,8 +40,16 @@ def pagerank_fixed(
     symmetric edge frame: rank_{k+1}(v) = (1-d)/N + d·Σ_{u→v} rank_k(u)/deg(u).
     Returns (node, rank). N and degrees come from the edge frame; isolated
     nodes are absent by construction (dedup graphs carry no singletons)."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # edges / deg / nodes are consumed once PER ITERATION — pin them, or
+    # the (possibly expensive: LSH banding) edge subtree re-executes K
+    # times inside the unrolled plan
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
     n_total = nodes.agg(F.count(F.lit(1)).alias("n"))
     rank = nodes.crossJoin(F.broadcast(n_total)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
