@@ -27,6 +27,7 @@ _MODULES = [
     "wave6",
     "wave7",
     "wave8",
+    "wave9",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
