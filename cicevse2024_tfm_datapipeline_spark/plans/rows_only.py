@@ -1817,3 +1817,53 @@ def s15_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.countDistinct("l_linestatus").cast("long").alias("n_status"),
     )
+
+
+@register(
+    "s16_binaryfile_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(strlen(text) + 1) AS BIGINT) AS total_bytes,
+           CAST(sum(CAST(('0x' || substr(md5(text || chr(10)), 1, 8)) AS BIGINT))
+                AS BIGINT) AS content_checksum
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="S16 binaryFile ingestion roundtrip, ORACLE-CHECKED: documents "
+    "go out as ONE FILE PER DOC (partitionBy(doc_id) text write — the "
+    "line-sink appends one newline per row), then come back through "
+    "spark.read.format('binaryFile') with recursiveFileLookup — the "
+    "opaque-bytes ingest path every multimodal pipeline starts from. "
+    "The doc id is recovered from the partition directory in the file "
+    "PATH, and the md5-of-bytes checksum plus byte length must equal "
+    "the oracle's text-derived values (UTF-8 bytes + the trailing "
+    "newline) — proving content survives the filesystem roundtrip "
+    "bit-exactly. At scale binaryFile scans parallelize per file and "
+    "push pathGlobFilter; tiny-file overhead is the known cost, which "
+    "is why s12 training shards exist for the hot path.",
+    tags=("S16", "binary", "source", "multimodal"),
+)
+def s16_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(SCRATCH, "binfiles")
+    src = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    src.repartition(4).write.mode("overwrite").partitionBy("doc_id").text(path)
+    back = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "false")
+        .option("pathGlobFilter", "*.txt")
+        .load(path + "/doc_id=*")
+    )
+    doc_id = F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1).cast("long")
+    checksum = F.conv(F.substring(F.md5(F.col("content")), 1, 8), 16, 10).cast("long")
+    return back.select(
+        doc_id.alias("doc_id"),
+        F.length("content").alias("nbytes"),
+        checksum.alias("ck"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("nbytes").cast("long").alias("total_bytes"),
+        F.sum("ck").cast("long").alias("content_checksum"),
+    )
