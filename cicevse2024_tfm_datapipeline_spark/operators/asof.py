@@ -73,6 +73,50 @@ def asof_join_backward(
     return out.select(*cols)
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Keyed forward as-of join (inclusive: right_time ≥ left_time) — the
+    NEXT-event lookup (time-to-next-maintenance, next price tick). Same
+    union trick as backward with the scan reversed: order by time
+    DESCENDING (right rows before left rows at equal time so the
+    inclusive bound holds) and carry the nearest LATER right value
+    backward. Rights sharing (key, time) must be pre-deduplicated."""
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__rv_{c}") for c in right_value_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lt.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_value_cols],
+    )
+    win = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = lt.unionByName(rt)
+    for c in right_value_cols:
+        carried = carried.withColumn(
+            f"__rv_{c}", F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(win)
+        )
+    out = carried.filter(F.col("__is_left") == 1)
+    cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"__rv_{c}").alias(c) for c in right_value_cols]
+    return out.select(*cols)
+
+
 def bucketized_range_join(
     left: DataFrame,
     right: DataFrame,

@@ -180,3 +180,46 @@ def w_run_length_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("up_moves"),
     )
+
+
+@register(
+    "j_asof_forward",
+    oracle="""
+    WITH rights AS (
+        SELECT o_custkey % 10 AS k, o_orderdate,
+               max(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id % 10 AS k, r.o_orderkey AS next_orderkey
+    FROM (SELECT * FROM events WHERE event_id < 500) e
+    ASOF LEFT JOIN rights r
+      ON (e.user_id % 10) = r.k AND e.ts <= r.o_orderdate
+    """,
+    doc="As-of join, FORWARD direction (keyed, inclusive): each event "
+    "finds the NEXT order at-or-after its timestamp within the key — "
+    "the time-to-next-event lookup (next maintenance, next price tick) "
+    "that completes the as-of family next to j_asof_backward. Same "
+    "union + carry window shape with the scan order reversed "
+    "(operators/asof.asof_join_forward), one shuffle by key; verified "
+    "against DuckDB's native forward ASOF JOIN (ts <= right time picks "
+    "the smallest later right row).",
+    tags=("asof", "J", "forward"),
+)
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.asof import asof_join_forward
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    orders = t(spark, sf_dir, "orders")
+    rights = (
+        orders.withColumn("k", F.col("o_custkey") % 10)
+        .groupBy("k", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    left = ev.withColumn("k", F.col("user_id") % 10)
+    joined = asof_join_forward(
+        left, rights, key="k", left_time="ts", right_time="o_orderdate",
+        right_value_cols=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id", "k", F.col("o_orderkey").alias("next_orderkey")
+    )

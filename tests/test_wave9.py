@@ -58,3 +58,26 @@ def test_rle_runs_and_flats(spark, tmp_path):
     assert r["n_runs"] == 3
     assert r["longest_run"] == 2
     assert r["up_moves"] == 3
+
+
+def test_asof_forward_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from cicevse2024_tfm_datapipeline_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 1, "c")], "k long, t long, v string"
+    )
+    out = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join_forward(
+            left, right, key="k", left_time="t", right_time="t",
+            right_value_cols=["v"],
+        ).collect()
+    }
+    # inclusive: t=10 matches the right row AT 10; t=25 -> next is 30;
+    # t=40 has no later right -> null; k=2 t=5 has no right at/after 5
+    assert out == {(1, 10): "a", (1, 25): "b", (1, 40): None, (2, 5): None}
