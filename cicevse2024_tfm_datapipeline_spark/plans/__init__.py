@@ -28,6 +28,7 @@ _MODULES = [
     "wave7",
     "wave8",
     "wave9",
+    "wave10",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
