@@ -29,6 +29,7 @@ _MODULES = [
     "wave8",
     "wave9",
     "wave10",
+    "wave11",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
