@@ -77,11 +77,22 @@ def sample_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = shares.agg(
         (F.lit(_BUDGET) - F.sum("floor_share")).alias("leftover")
     )
-    # |sources| rows: a single-partition window over a tiny frame is the
-    # right plan (the frame is an aggregate result, bounded by source
-    # cardinality, not data) — same rationale as small_groups cumsums
-    wrk = W.partitionBy(F.lit(1)).orderBy(F.col("remainder").desc(), F.col("source").asc())
-    ranked = shares.withColumn("rk", F.row_number().over(wrk))
+    # remainder rank over the |sources|-row aggregate frame via the
+    # triangle self-join (count of rows strictly ahead + 1) — the house
+    # pattern for tiny-frame ranks; a lit-partitioned window constant-
+    # folds to an unpartitioned one and trips the plan contract
+    shares = shares.localCheckpoint(eager=False)
+    ahead = shares.select(
+        F.col("remainder").alias("__br"), F.col("source").alias("__bs")
+    )
+    earlier = (F.col("__br") > F.col("remainder")) | (
+        (F.col("__br") == F.col("remainder")) & (F.col("__bs") < F.col("source"))
+    )
+    ranked = (
+        shares.join(ahead, earlier, "left")
+        .groupBy("source", "weight", "floor_share", "remainder")
+        .agg((F.count("__bs") + 1).alias("rk"))
+    )
     return ranked.crossJoin(F.broadcast(short)).select(
         "source",
         "weight",
