@@ -30,6 +30,7 @@ _MODULES = [
     "wave9",
     "wave10",
     "wave11",
+    "wave12",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
