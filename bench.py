@@ -65,6 +65,10 @@ HEADLINE = [
     "w_interval_coverage",
     "a_growth_accounting",
     "a_cusum_changepoint",
+    "a_weighted_median",
+    "text_inverted_index",
+    "f_feature_hashing",
+    "a_incremental_rollup_merge",
 ]
 
 
