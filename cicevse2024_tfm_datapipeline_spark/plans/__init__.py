@@ -31,6 +31,7 @@ _MODULES = [
     "wave10",
     "wave11",
     "wave12",
+    "wave13",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
