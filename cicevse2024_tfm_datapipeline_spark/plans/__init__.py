@@ -32,6 +32,7 @@ _MODULES = [
     "wave11",
     "wave12",
     "wave13",
+    "wave14",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
