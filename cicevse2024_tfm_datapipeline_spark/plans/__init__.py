@@ -33,6 +33,7 @@ _MODULES = [
     "wave12",
     "wave13",
     "wave14",
+    "wave15",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
