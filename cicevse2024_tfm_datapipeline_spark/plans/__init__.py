@@ -34,6 +34,7 @@ _MODULES = [
     "wave13",
     "wave14",
     "wave15",
+    "wave16",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
