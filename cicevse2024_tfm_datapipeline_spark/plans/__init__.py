@@ -35,6 +35,7 @@ _MODULES = [
     "wave14",
     "wave15",
     "wave16",
+    "wave17",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
