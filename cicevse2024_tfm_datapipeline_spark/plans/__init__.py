@@ -36,6 +36,7 @@ _MODULES = [
     "wave15",
     "wave16",
     "wave17",
+    "wave18",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
