@@ -69,6 +69,10 @@ HEADLINE = [
     "text_inverted_index",
     "f_feature_hashing",
     "a_incremental_rollup_merge",
+    "a_hll_deterministic",
+    "a_kaplan_meier",
+    "j_shapley_attribution",
+    "a_psi_drift",
 ]
 
 
