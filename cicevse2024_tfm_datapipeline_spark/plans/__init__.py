@@ -37,6 +37,7 @@ _MODULES = [
     "wave16",
     "wave17",
     "wave18",
+    "wave19",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
