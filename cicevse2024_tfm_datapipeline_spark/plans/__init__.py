@@ -38,6 +38,7 @@ _MODULES = [
     "wave17",
     "wave18",
     "wave19",
+    "wave20",
 ]
 
 # Verification-priority prefix for round 3. Order of blocks:
