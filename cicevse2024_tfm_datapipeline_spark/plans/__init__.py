@@ -41,144 +41,187 @@ _MODULES = [
     "wave20",
 ]
 
-# Verification-priority prefix for round 3. Order of blocks:
-#   1. the 2 queries that sat past the driver cutoff in BOTH prior rounds
-#      (oracles existed, never officially driven),
-#   2. the 3 streaming window queries RED in r02 (TIMESTAMP_NTZ watermark
-#      bug, fixed this round) + the stateful twin,
-#   3. queries NEW this round (none has a prior driver row): OVR
-#      multiclass AUCs, R2-R4 hash-oracle degradation twins, the CSV
-#      source-layer roundtrip, PII redaction, the md5 R5 permutation,
-#      bucketed SMB join, partitioned-lake roundtrip, NTILE curriculum
-#      deciles, unigram LM scoring, vocab OOV, per-group top-K, and
-#      sim_ivf_topk / a_approx_sketches re-planned WITH full oracles,
-#   4. high-value green anchors (keystone chain, dedup/similarity/text
-#      families) so the official artifact keeps fresh rows for the
-#      flagship operators.
-# Block 3c carries the late-wave capability classes (SemDeDup, linear
-# quality classifier, CMS sketch, VARIANT, custom data source, JSONL
-# roundtrip, the distinctive TPC-H decorrelations) — one representative
-# per class inside the window; remaining family members are selfcheck-
-# verified and rotate next round.
+# Verification-priority prefix for round 4 (the driver verifies the FIRST
+# 50 entries of ``queries()`` each round — exactly 50 rows in every
+# CORRECTNESS_r0x.json so far).
+#
+# Rotation state after r03: 137 of 263 registered queries hold an official
+# driver row (r01∪r02∪r03, zero regressions); 126 have only local
+# selfcheck evidence. The r04 window therefore spends 46 of its 50 slots
+# on never-driven queries and keeps just 4 green anchors:
+#   1. the 19 bench-roster queries with no driver row (their BENCH numbers
+#      currently rest on selfcheck only),
+#   2. the 13 remaining TPC-H shapes (completes official coverage of the
+#      full 22-query suite),
+#   3. 14 representatives spanning every still-unverified capability
+#      family (dedup linkage/survivorship, graph, similarity audits, BPE
+#      text, sampling, storage roundtrips, table diff, quality gate,
+#      attribution as-of),
+#   4. anchors: the keystone W1 chain, LSH pairs, one streaming query,
+#      and s7_metrics_lake_flatten (last driven r02; its writer changed in
+#      waves 9-12 — cheap regression insurance per the r03 verdict).
+#
+# ROTATION SCHEDULE (written down per the r03 verdict so full official
+# coverage completes by round 6 at the latest):
+#   r05 window: the next 46 never-driven names in the _R05_PLAN block
+#     below (the remaining analytics/stats battery: calibration/ECE,
+#     winsorize, MAD, CUBE/GROUPING SETS/rollups, ml_* relational
+#     algebra, bigram/boilerplate/overlap text, funnel/cohort/seasonality,
+#     wave-13-18 statistics) + any queries newly registered in round 4,
+#     + 4 anchors.
+#   r06 window: the final ~30 never-driven names (remaining wave-5-18
+#     analytics: skyline, sliding-distinct, except-all, RLE, MWU, JS,
+#     time-weighted avg, Shapley-adjacent leftovers, mm_*/udtf rows-only
+#     re-drives) + anchors; thereafter windows return to anchor rotation.
 # Names not listed keep registration order after the prefix. A name listed
 # here but not registered is ignored (guards against typos breaking load).
 _PRIORITY = [
-    # --- block 1: never officially driven ---
-    "dedup_fuzzy_survivors",
-    "sample_weighted_by_length",
-    # --- block 2: streaming, red in r02 → fixed ---
-    "stream_tumbling_avg",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_stateful_episodes",
-    "stream_dedup_union",
-    "stream_static_join",
-    "stream_sink_partitioned_lake",
-    "stream_append_late_drop",
-    "stream_stream_interval_join",
-    # --- block 3: new or re-planned this round ---
-    "a11_ovr_auc_per_class",
-    "a11_multiclass_auc",
-    "r_degrade_hash_missing_variables",
-    "r_degrade_hash_clock_offset",
-    "r_degrade_hash_drift",
-    "s1_s3_csv_roundtrip",
-    "dedup_duplicate_spans",
-    "text_pii_redaction",
-    "r5_hash_permutation",
-    "j_bucketed_smb_join",
-    "s9_partitioned_lake_roundtrip",
-    "s10_zorder_cells",
-    "w_scd2_history",
-    "dedup_bloom_novelty",
-    "a_corr_matrix",
-    "s11_schema_evolution_merge",
-    "pipeline_fuzzy_corpus",
-    "j_tpch_q5_local_supplier",
-    "stream_upsert_scd1",
-    "g_pagerank_lsh",
-    "w_quality_decile_curriculum",
-    "sim_ivf_topk",
-    "pipeline_corpus_prep",
-    # --- block 3c: new capability classes from the round-3 late wave ---
-    "dedup_semdedup_cells",
-    "text_quality_linear_classifier",
-    "a_countmin_heavy_hitters",
-    "f_variant_semistructured",
-    "s14_custom_datasource",
-    "s13_jsonl_sink_roundtrip",
-    # SURVEY-§2 edges first (they move the coverage count), then ONE
-    # representative TPC-H decorrelation and three of the round's new
-    # bench-listed flagships; the remaining TPC-H shapes and wave
-    # queries are selfcheck-green and rotate into the r04 window
-    "s4_csv_sink_roundtrip",
-    "s5_tensor_sink_roundtrip",
-    "f15_proba_pair",
-    "m8_sample_size_grid",
-    "p8_p9_network_narrowing",
-    "f14_json_sanitize_roundtrip",
-    "tpch_q2_min_cost_supplier",
-    "dedup_prefix_filter_jaccard",
-    "a_growth_accounting",
-    "a_bitmap_intersection",
+    # --- block 1: bench-roster queries with no official driver row ---
+    "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q22_sales_opportunity",
-    "tpch_q13_custdist",
+    "w_ewma_smoothing",
+    "j_tpch_q18_large_orders",
+    "j_tpch_q7_nation_volume",
+    "j_tpch_q10_returned_topk",
+    "w_cdc_apply_changelog",
+    "w_range_frame_rolling",
+    "sim_rrf_fusion",
+    "w_interval_coverage",
+    "a_cusum_changepoint",
+    "a_weighted_median",
+    "text_inverted_index",
+    "f_feature_hashing",
+    "a_incremental_rollup_merge",
+    "a_hll_deterministic",
+    "a_kaplan_meier",
+    "j_shapley_attribution",
+    "a_psi_drift",
+    # --- block 2: the 13 remaining TPC-H shapes (completes the suite) ---
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
     "tpch_q11_important_value",
-    # --- block 3b: round-3 extension analytics that yield the last
-    # window slots to never-driven SURVEY-§2 rows above; selfcheck
-    # covers them, and they rotate in next round ---
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q22_sales_opportunity",
+    "j_tpch_q4_late_orders",
+    "j_tpch_q12_priority_class",
+    "j_tpch_q14_promo_share",
+    # --- block 3: one representative per still-unverified family ---
+    "dedup_containment_pairs",
+    "dedup_golden_record",
+    "g_bfs_levels_lsh",
+    "sim_label_centroid_cosine",
+    "sim_quantization_recall",
+    "text_bpe_vocab_induction",
+    "text_js_divergence_sources",
+    "sample_negative_pairs",
+    "sample_rolling_origin_splits",
+    "s15_orc_sink_roundtrip",
+    "s16_binaryfile_scan",
+    "u_table_diff",
+    "pipeline_quality_report",
+    "j_lasttouch_attribution",
+    # --- block 4: green anchors (keystone, dedup, streaming, S7/J2) ---
+    "w1_chrono_split_counts",
+    "dedup_minhash_lsh_pairs",
+    "stream_tumbling_avg",
+    "s7_metrics_lake_flatten",
+]
+
+# r05 planned window (next 46 never-driven, in intended order). Kept as
+# data, not commentary, so round 5 only swaps _PRIORITY = _R05_PLAN + new
+# + anchors. Any query registered during round 4 gets spliced in ahead of
+# this list next round.
+_R05_PLAN = [
     "j_salted_skew_join",
     "a_cohort_weekly_retention",
     "g_triangle_count_lsh",
     "a_ab_test_proportions",
     "a_ks_two_sample",
-    # --- block 4: green anchors across the operator families ---
-    "w1_chrono_split_counts",
-    "dedup_minhash_lsh_pairs",
-    "dedup_exact_group_sizes",
-    "dedup_lsh_components",
-    "dedup_decontaminate_train",
-    "dedup_latest_per_key",
-    "sim_bruteforce_cosine_topk",
-    "sim_bucketed_ann_topk",
-    "sim_embedding_near_dup",
-    "text_token_stats",
-    "text_quality_by_source",
-    "text_quality_filter_p25",
-    "text_langid_confusion",
-    "text_fingerprint_stats",
-    "text_repetition_signals",
-    "text_top_ngrams",
-    "text_tfidf_topk",
-    "pack_concat_chunks",
-    "sample_stratified_per_class",
-    "sample_mixture_by_source",
-    "r_degrade_hash_packet_loss",
-    "w3_sliding_window_stats",
-    "w3_full_sequences",
-    "w5_train_only_standardize",
-    "w6_sessionize_ttd",
-    "w7_acf_fixed_lags",
-    "w8_topk_by_score",
-    "w_rolling_zscore_anomalies",
-    "a13_roc_curve_points",
-    "a13_roc_auc",
-    "a13_average_precision",
-    "a13_threshold_at_fpr",
-    "a14_normal_approx_ci",
-    "a_salted_skew_agg",
-    "a10_confusion_pivot",
-    "j_asof_backward",
-    "j_range_join_bucketized",
-    "j_tpch_q3_shipping_priority",
-    "u_set_intersect_except",
-    "p6_p7_schema_profile",
-    "s7_metrics_lake_flatten",
-    "mm_binary_metadata",
-    "tpch_q1_pricing_summary",
-    "j1_broadcast_lookup_join",
+    "a_cube_pricing_rollup",
+    "a_calibration_bins_ece",
+    "f_winsorize_p1_p99",
+    "a_robust_mad_outliers",
+    "text_boilerplate_chunks",
+    "text_unigram_lm_scores",
+    "text_vocab_oov_rate",
+    "w_topk_per_group",
+    "a_regr_trend_per_user",
+    "text_overlap_chunks",
+    "text_char_entropy",
+    "a_funnel_view_click_purchase",
+    "sample_temperature_weights",
+    "dedup_edit_distance_verify",
+    "pack_length_bucketing",
+    "a_time_rollup_hierarchy",
+    "w_window_rank_battery",
+    "w_gap_fill_interpolate",
+    "ml_knn_classify",
+    "a_grouping_sets_pricing",
+    "a_group_median_quartiles",
+    "ml_kfold_assignments",
+    "u_unpivot_measures",
+    "text_bpe_fertility",
+    "ml_kmeans_two_rounds",
+    "text_bigram_lm_scores",
+    "a_dp_noisy_counts",
+    "a_hierarchy_rollup",
+    "a_poisson_bootstrap_ci",
+    "ml_pca_power_iteration",
+    "a_chi_square_independence",
+    "dedup_minhash_jaccard_estimate",
+    "a_funnel_time_to_convert",
+    "w_clamped_running_balance",
+    "a_markov_transitions",
+    "a_basket_pair_cooccurrence",
+    "s12_training_shards",
+    "p_data_quality_audit",
+    "g_clustering_coefficient",
+    "text_pmi_collocations",
+    "dedup_mutual_best_match",
+]
+
+# r06 planned window (final never-driven residue; mm_* / udtf re-drives
+# are rows-only by nature and close the official sweep).
+_R06_PLAN = [
+    "a_trending_keys",
+    "u_except_all_counts",
+    "a_seasonality_heatmap",
+    "a_skyline_2d",
+    "a_sliding_distinct_users",
+    "sample_budget_allocation",
+    "w_run_length_encoding",
+    "j_asof_forward",
+    "w_time_weighted_average",
+    "a_mann_whitney_u",
+    "sample_interleave_round_robin",
+    "a_shard_rebalance_moves",
+    "w_split_leakage_audit",
+    "a_simpson_stratified_rates",
+    "text_zipf_slope",
+    "a_binary_segmentation",
+    "w_seasonal_naive_backtest",
+    "g_adamic_adar",
+    "a_difference_in_differences",
+    "a_conformal_naive_coverage",
+    "a_spc_western_electric",
+    "a_markov_conditional_entropy",
+    "a_retention_half_life",
+    "a_burstiness_fano",
+    "text_distinctive_terms",
+    "a_benford_first_digit",
+    "f_quantile_normalize",
+    "a_key_skew_gini",
+    "a_referential_integrity",
+    "w_rolling_median",
+    "w_debounce_bursts",
+    "text_udtf_chunks",
+    "mm_image_ahash_dedup",
+    "mm_audio_spectral",
 ]
 
 
