@@ -180,6 +180,55 @@ def a6_window_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_surrogate_inputs",
+    oracle=f"""
+    WITH base AS ({POWER_BASE_SQL}),
+    framed AS (
+        SELECT attack, state, label,
+               row_number() OVER (PARTITION BY attack, state ORDER BY ts, event_id) AS rn,
+               avg(value)        OVER ({_W3_FRAME}) AS m,
+               stddev_pop(value) OVER ({_W3_FRAME}) AS s,
+               min(value)        OVER ({_W3_FRAME}) AS mn,
+               max(value)        OVER ({_W3_FRAME}) AS mx
+        FROM base
+    )
+    SELECT attack, state, CAST((rn - {SEQ_LEN}) / {STEP} AS BIGINT) AS window_id,
+           round(m, 6) AS value_mean, round(s, 6) AS value_std,
+           mn AS value_min, mx AS value_max,
+           label AS window_label
+    FROM framed
+    WHERE rn >= {SEQ_LEN} AND (rn - {SEQ_LEN}) % {STEP} = 0
+    """,
+    doc="M5 input contract: the EXACT production featurization the "
+    "surrogate tree consumes — operators.windows.window_summary_stats "
+    "with the ml_surrogate_tree parameters (seq_len=5, step=2, label at "
+    "window end; func_aux/func_models.py:351-391) — under a full SQL "
+    "oracle, so only the DecisionTree .fit itself sits outside the "
+    "oracle gate (the fit is pinned by the determinism/fidelity pytest "
+    "in tests/test_ml_edge.py).",
+    tags=("M5", "A6"),
+)
+def ml_surrogate_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import window_summary_stats
+
+    pv = power_view(spark, sf_dir)
+    stats = window_summary_stats(
+        pv, ["attack", "state"], "ts", "event_id", ["value"],
+        seq_len=SEQ_LEN, step=STEP, label_col="label",
+    )
+    return stats.select(
+        "attack",
+        "state",
+        "window_id",
+        pround("value_mean", 6).alias("value_mean"),
+        pround("value_std", 6).alias("value_std"),
+        "value_min",
+        "value_max",
+        "window_label",
+    )
+
+
+@register(
     "w5_train_only_standardize",
     oracle=f"""
     WITH base AS ({POWER_BASE_SQL}),
