@@ -70,13 +70,26 @@ def _pin_buckets(bucketed: DataFrame) -> DataFrame:
     return bucketed.localCheckpoint(eager=False)
 
 
-def range_bucketed(df: DataFrame, order_cols: Sequence[str], descending: bool = False) -> DataFrame:
+def range_bucketed(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    descending: bool = False,
+    pin: bool = True,
+) -> DataFrame:
     """Range-repartition on the scan order and tag each row with its
     partition id. Because range partitions are contiguous and ordered,
     ``PID`` is monotone in the scan order — the bucket key for phase-2
-    windows and the join key for prefix offsets."""
+    windows and the join key for prefix offsets.
+
+    ``pin=False`` skips the checkpoint — ONLY valid when the caller
+    feeds the bucketed frame into a single consumer and pins THAT
+    consumer instead (e.g. sessionize pins the post-window pass so the
+    sort+window subtree runs once); the correctness requirement is that
+    exactly one materialization of the range exchange exists, wherever
+    the checkpoint sits."""
     rp = df.repartitionByRange(_n_range_parts(df), *_ordering(order_cols, descending))
-    return _pin_buckets(rp.withColumn(PID, F.spark_partition_id()))
+    tagged = rp.withColumn(PID, F.spark_partition_id())
+    return _pin_buckets(tagged) if pin else tagged
 
 
 #: buckets per super-group in the hierarchical prefix combine. The combine

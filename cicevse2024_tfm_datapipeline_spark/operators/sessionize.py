@@ -33,6 +33,7 @@ from cicevse2024_tfm_datapipeline_spark.operators.scan import (
     SUPER,
     _SUP,
     _n_range_parts,
+    _pin_buckets,
     _with_super,
     offsets_from_totals,
     range_bucketed,
@@ -83,7 +84,13 @@ def _global_islands(
     """
     ordering = [F.col(c).asc() for c in order_cols]
     ordstruct = F.struct(*[F.col(c) for c in order_cols])
-    bucketed = range_bucketed(df, order_cols)
+    # pin AFTER the window pass, not after the exchange: ``local`` has two
+    # consumers (the per-bucket summary agg and the final join), so
+    # checkpointing the bucketed frame would re-run the sort + three
+    # window operators once per consumer. The single range-exchange
+    # materialization the scan's correctness needs (see _pin_buckets)
+    # sits at ``local`` instead — bucketed has exactly one consumer.
+    bucketed = range_bucketed(df, order_cols, pin=False)
 
     w = W.partitionBy(PID).orderBy(*ordering)
     wcum = w.rowsBetween(W.unboundedPreceding, 0)
@@ -102,6 +109,7 @@ def _global_islands(
     local = local.withColumn("__int_b", interior.cast("int")).withColumn(
         "__lisl", F.sum("__int_b").over(wcum)
     )
+    local = _pin_buckets(local)
 
     # ONE per-bucket summary aggregation (the only re-execution of the
     # window subtree): counts + interior-boundary totals + edge rows
