@@ -27,6 +27,11 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     scans as many splits and this is a no-op; the round-robin shuffle moves
     only the raw rows once and buys full-width CPU — measured 4× on the
     sf0.1 single-file documents table."""
+    if df.isStreaming:
+        # partition count is a micro-batch property; .rdd is illegal on a
+        # streaming frame — the source's maxFilesPerTrigger/cluster conf
+        # governs parallelism there
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

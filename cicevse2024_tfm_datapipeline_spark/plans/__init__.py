@@ -39,6 +39,7 @@ _MODULES = [
     "wave18",
     "wave19",
     "wave20",
+    "wave21",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -134,9 +135,19 @@ _PRIORITY = [
 
 # r05 planned window (next 46 never-driven, in intended order). Kept as
 # data, not commentary, so round 5 only swaps _PRIORITY = _R05_PLAN + new
-# + anchors. Any query registered during round 4 gets spliced in ahead of
-# this list next round.
+# + anchors. Queries registered during round 4 lead the list (no prior
+# driver row and they carry this round's new capability classes); the
+# tail yields to r06 if the 50-slot window overflows.
 _R05_PLAN = [
+    # --- registered in round 4 (wave 21 + the M5 input contract) ---
+    "sample_dsir_importance",
+    "sim_hard_negatives",
+    "dedup_contamination_fraction",
+    "sample_epoch_allocation",
+    "text_heaps_law",
+    "stream_lsh_collisions",
+    "ml_surrogate_inputs",
+    # --- carried over from the r03 backlog ---
     "j_salted_skew_join",
     "a_cohort_weekly_retention",
     "g_triangle_count_lsh",
