@@ -40,6 +40,7 @@ _MODULES = [
     "wave19",
     "wave20",
     "wave21",
+    "wave22",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -139,7 +140,7 @@ _PRIORITY = [
 # driver row and they carry this round's new capability classes); the
 # tail yields to r06 if the 50-slot window overflows.
 _R05_PLAN = [
-    # --- registered in round 4 (wave 21 + the M5 input contract) ---
+    # --- registered in round 4 (waves 21-22 + the M5 input contract) ---
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
@@ -147,6 +148,12 @@ _R05_PLAN = [
     "text_heaps_law",
     "stream_lsh_collisions",
     "ml_surrogate_inputs",
+    "text_textrank_keywords",
+    "a_cuped_adjustment",
+    "w_incremental_join_view",
+    "j_bloom_runtime_filter",
+    "sim_pq_codebook_audit",
+    "a_merkle_corpus_digest",
     # --- carried over from the r03 backlog ---
     "j_salted_skew_join",
     "a_cohort_weekly_retention",
