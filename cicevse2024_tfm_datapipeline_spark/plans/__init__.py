@@ -41,6 +41,7 @@ _MODULES = [
     "wave20",
     "wave21",
     "wave22",
+    "wave23",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -140,7 +141,7 @@ _PRIORITY = [
 # driver row and they carry this round's new capability classes); the
 # tail yields to r06 if the 50-slot window overflows.
 _R05_PLAN = [
-    # --- registered in round 4 (waves 21-22 + the M5 input contract) ---
+    # --- registered in round 4 (waves 21-23 + the M5 input contract) ---
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
@@ -154,6 +155,10 @@ _R05_PLAN = [
     "j_bloom_runtime_filter",
     "sim_pq_codebook_audit",
     "a_merkle_corpus_digest",
+    "dedup_sorted_neighborhood",
+    "text_ccnet_perplexity_buckets",
+    "text_gopher_quality_rules",
+    "dedup_source_overlap_matrix",
     # --- carried over from the r03 backlog ---
     "j_salted_skew_join",
     "a_cohort_weekly_retention",
