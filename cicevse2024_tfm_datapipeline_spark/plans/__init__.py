@@ -42,6 +42,7 @@ _MODULES = [
     "wave21",
     "wave22",
     "wave23",
+    "wave24",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -141,7 +142,7 @@ _PRIORITY = [
 # driver row and they carry this round's new capability classes); the
 # tail yields to r06 if the 50-slot window overflows.
 _R05_PLAN = [
-    # --- registered in round 4 (waves 21-23 + the M5 input contract) ---
+    # --- registered in round 4 (waves 21-24 + the M5 input contract) ---
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
@@ -159,6 +160,9 @@ _R05_PLAN = [
     "text_ccnet_perplexity_buckets",
     "text_gopher_quality_rules",
     "dedup_source_overlap_matrix",
+    "ml_logreg_irls_two_rounds",
+    "sample_neyman_allocation",
+    "a_mutual_information_ranking",
     # --- carried over from the r03 backlog ---
     "j_salted_skew_join",
     "a_cohort_weekly_retention",
