@@ -43,6 +43,7 @@ _MODULES = [
     "wave22",
     "wave23",
     "wave24",
+    "wave25",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -142,7 +143,10 @@ _PRIORITY = [
 # driver row and they carry this round's new capability classes); the
 # tail yields to r06 if the 50-slot window overflows.
 _R05_PLAN = [
-    # --- registered in round 4 (waves 21-24 + the M5 input contract) ---
+    # --- registered in round 4 (waves 21-25 + the M5 input contract) ---
+    "ml_naive_bayes_classify",
+    "j_feature_store_pit_matrix",
+    "ml_kmeanspp_seeding",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
