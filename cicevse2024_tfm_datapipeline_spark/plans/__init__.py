@@ -44,6 +44,10 @@ _MODULES = [
     "wave23",
     "wave24",
     "wave25",
+    "wave26",
+    "wave27",
+    "wave28",
+    "wave29",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -147,6 +151,18 @@ _R05_PLAN = [
     "ml_naive_bayes_classify",
     "j_feature_store_pit_matrix",
     "ml_kmeanspp_seeding",
+    "sim_ranking_metrics",
+    "p_k_anonymity_audit",
+    "sample_doremi_weights",
+    "j_fellegi_sunter_linkage",
+    "f_target_encoding_loo",
+    "sim_srp_lsh_pairs",
+    "a_benjamini_hochberg_fdr",
+    "a_ips_snips_offpolicy",
+    "a_sprt_boundary_crossing",
+    "a_pinball_loss_quantile_eval",
+    "a_mmd_linear_two_sample",
+    "a_mann_kendall_trend",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
