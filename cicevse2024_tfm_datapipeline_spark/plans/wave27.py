@@ -1,0 +1,412 @@
+"""Round-4 wave 27: Fellegi–Sunter probabilistic record linkage over a
+blocked candidate space, leave-one-out target encoding (exact integer-tick
+category sums), and signed-random-projection LSH with banded Hamming
+candidates + exact cosine verify.
+
+Scale extensions beyond the reference pipeline surface. House rules:
+field-agreement log-weights and hyperplane coefficients are precomputed
+integer literals shared by both engines (no runtime log2 / RNG), money
+sums tick to exact BIGINT cents before any division, and every pair space
+is an equi-join on a blocking / band key — no all-pairs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+    as_double_array,
+    dot_expr,
+    norm_expr,
+)
+from cicevse2024_tfm_datapipeline_spark.operators.skew import ensure_min_parallelism
+from cicevse2024_tfm_datapipeline_spark.plans.common import pround, t
+from cicevse2024_tfm_datapipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage
+# ---------------------------------------------------------------------------
+
+#: 1e6-tick log2(m/u) agreement / log2((1-m)/(1-u)) disagreement weights,
+#: precomputed in Python (m, u chosen a priori) and embedded as identical
+#: literals in BOTH engines — no runtime log2 can diverge.
+#:   segment: m=0.90 u=0.20 -> +2169925 / -3000000
+#:   balance band ($500): m=0.85 u=0.10 -> +3087463 / -2584963
+#:   name last digit: m=0.80 u=0.10 -> +3000000 / -2169925
+_W_SEG = (2169925, -3000000)
+_W_BAND = (3087463, -2584963)
+_W_DIG = (3000000, -2169925)
+_MATCH_T = 6_000_000  # all three fields agree
+_POSSIBLE_T = 0  # exactly two agree
+
+
+@register(
+    "j_fellegi_sunter_linkage",
+    oracle=f"""
+    WITH base AS (
+        SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+               right(c_name, 1) AS dig
+        FROM customer
+    ),
+    keyed AS (
+        SELECT *, CAST(floor(cents / 100000.0) AS BIGINT) AS blk,
+               CAST(floor(cents / 50000.0) AS BIGINT) AS band
+        FROM base
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS seg_ag,
+               CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS band_ag,
+               CASE WHEN a.dig = b.dig THEN 1 ELSE 0 END AS dig_ag
+        FROM keyed a JOIN keyed b ON a.nat = b.nat AND a.blk = b.blk
+        WHERE a.id < b.id
+    ),
+    scored AS (
+        SELECT *,
+               CAST(CASE WHEN seg_ag = 1 THEN {_W_SEG[0]} ELSE {_W_SEG[1]} END
+                  + CASE WHEN band_ag = 1 THEN {_W_BAND[0]} ELSE {_W_BAND[1]} END
+                  + CASE WHEN dig_ag = 1 THEN {_W_DIG[0]} ELSE {_W_DIG[1]} END
+                    AS BIGINT) AS w_ticks
+        FROM pairs
+    ),
+    classed AS (
+        SELECT *, CASE WHEN w_ticks >= {_MATCH_T} THEN 'match'
+                       WHEN w_ticks >= {_POSSIBLE_T} THEN 'possible'
+                       ELSE 'nonmatch' END AS classification
+        FROM scored
+    )
+    SELECT classification,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(seg_ag) AS BIGINT) AS n_seg_agree,
+           CAST(sum(band_ag) AS BIGINT) AS n_band_agree,
+           CAST(sum(dig_ag) AS BIGINT) AS n_dig_agree,
+           CAST(min(w_ticks) AS BIGINT) AS min_w_ticks,
+           CAST(max(w_ticks) AS BIGINT) AS max_w_ticks,
+           round(CAST(sum(w_ticks) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS avg_weight
+    FROM classed GROUP BY 1
+    """,
+    doc="Fellegi–Sunter probabilistic record linkage: candidate pairs come "
+    "from a (nation, $1000-balance-block) blocking equi-join — never all "
+    "pairs; each pair is scored by summing per-field agreement / "
+    "disagreement log2(m/u) weights precomputed as 1e6-tick integer "
+    "literals (segment, $500 balance band, name last digit), and "
+    "classified match / possible / nonmatch against the two Fellegi–"
+    "Sunter thresholds. The output is the per-class audit (pair counts, "
+    "per-field agreement counts, weight range) a linkage pipeline reads "
+    "before accepting an auto-merge threshold. Block sizes are bounded "
+    "by the key design, weights fold map-side, and the final frame is "
+    "3 rows at any corpus size.",
+    tags=("join", "dedup", "linkage"),
+)
+def j_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    keyed = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.substring("c_name", -1, 1).alias("dig"),
+        F.floor(cents / F.lit(100000.0)).cast("long").alias("blk"),
+        F.floor(cents / F.lit(50000.0)).cast("long").alias("band"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat")) & (F.col("a.blk") == F.col("b.blk")),
+    ).filter(F.col("a.id") < F.col("b.id"))
+    seg_ag = (F.col("a.seg") == F.col("b.seg")).cast("int")
+    band_ag = (F.col("a.band") == F.col("b.band")).cast("int")
+    dig_ag = (F.col("a.dig") == F.col("b.dig")).cast("int")
+    w = (
+        F.when(seg_ag == 1, F.lit(_W_SEG[0])).otherwise(F.lit(_W_SEG[1]))
+        + F.when(band_ag == 1, F.lit(_W_BAND[0])).otherwise(F.lit(_W_BAND[1]))
+        + F.when(dig_ag == 1, F.lit(_W_DIG[0])).otherwise(F.lit(_W_DIG[1]))
+    ).cast("long")
+    scored = pairs.select(
+        seg_ag.alias("seg_ag"),
+        band_ag.alias("band_ag"),
+        dig_ag.alias("dig_ag"),
+        w.alias("w_ticks"),
+    ).withColumn(
+        "classification",
+        F.when(F.col("w_ticks") >= _MATCH_T, F.lit("match"))
+        .when(F.col("w_ticks") >= _POSSIBLE_T, F.lit("possible"))
+        .otherwise(F.lit("nonmatch")),
+    )
+    return scored.groupBy("classification").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("seg_ag").cast("long").alias("n_seg_agree"),
+        F.sum("band_ag").cast("long").alias("n_band_agree"),
+        F.sum("dig_ag").cast("long").alias("n_dig_agree"),
+        F.min("w_ticks").cast("long").alias("min_w_ticks"),
+        F.max("w_ticks").cast("long").alias("max_w_ticks"),
+        pround(
+            F.sum("w_ticks").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 6
+        ).alias("avg_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_target_encoding_loo",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_orderpriority AS prio,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cat AS (
+        SELECT prio, CAST(count(*) AS BIGINT) AS n_cat,
+               CAST(sum(cents) AS BIGINT) AS sum_cat
+        FROM o GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS gn,
+               CAST(sum(cents) AS BIGINT) AS gsum
+        FROM o
+    ),
+    enc AS (
+        SELECT o.o_orderkey, o.prio, c.n_cat,
+               CAST(g.gsum AS DOUBLE) / g.gn / 100.0 AS gm,
+               CASE WHEN c.n_cat > 1
+                    THEN CAST(c.sum_cat - o.cents AS DOUBLE)
+                         / (c.n_cat - 1) / 100.0
+                    ELSE CAST(g.gsum AS DOUBLE) / g.gn / 100.0 END AS loo,
+               (CAST(c.sum_cat - o.cents AS DOUBLE) / 100.0
+                + 10.0 * (CAST(g.gsum AS DOUBLE) / g.gn / 100.0))
+               / (c.n_cat - 1 + 10) AS smoothed
+        FROM o JOIN cat c USING (prio) CROSS JOIN g
+    )
+    SELECT o_orderkey, prio, n_cat,
+           round(loo, 6) AS loo_encoding,
+           round(smoothed, 6) AS smoothed_encoding,
+           round(gm, 6) AS global_mean
+    FROM enc ORDER BY o_orderkey LIMIT 25
+    """,
+    doc="Leave-one-out target encoding of a categorical feature "
+    "(order priority -> mean order value of the OTHER rows in the "
+    "category, plus the m=10 smoothed variant that shrinks rare "
+    "categories toward the global mean): the standard leakage-free "
+    "categorical encoder for tree/linear models. Prices tick to exact "
+    "BIGINT cents so per-category sums are order-free integers; the "
+    "per-row encoding is then identical double arithmetic on identical "
+    "integer operands in both engines. The category frame is "
+    "|categories|-sized and broadcast back — encoding 100 TB of rows "
+    "costs one map-side-combined aggregate plus one broadcast join, no "
+    "window sort, no per-row shuffle.",
+    tags=("feature", "encoding"),
+)
+def f_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cat = o.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("cents").cast("long").alias("sum_cat"),
+    )
+    g = o.agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum("cents").cast("long").alias("gsum"),
+    )
+    gm = F.col("gsum").cast("double") / F.col("gn") / F.lit(100.0)
+    loo = F.when(
+        F.col("n_cat") > 1,
+        (F.col("sum_cat") - F.col("cents")).cast("double")
+        / (F.col("n_cat") - 1)
+        / F.lit(100.0),
+    ).otherwise(gm)
+    smoothed = (
+        (F.col("sum_cat") - F.col("cents")).cast("double") / F.lit(100.0)
+        + F.lit(10.0) * gm
+    ) / (F.col("n_cat") - 1 + 10)
+    return (
+        o.join(F.broadcast(cat), "prio")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "prio",
+            "n_cat",
+            pround(loo, 6).alias("loo_encoding"),
+            pround(smoothed, 6).alias("smoothed_encoding"),
+            pround(gm, 6).alias("global_mean"),
+        )
+        .orderBy("o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signed-random-projection LSH (multi-band Hamming candidates)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 16
+_MAX_DIM = 64
+
+
+def _srp_coef(p: int, d: int) -> int:
+    """Deterministic pseudo-random hyperplane coefficient in [-1000, 1000]
+    (integer LCG mix — computed once in Python, embedded as literals)."""
+    return ((1315423911 * (p + 1) + 2654435761 * (d + 1) + 97531) % 2001) - 1000
+
+
+_SRP = [[_srp_coef(p, d) for d in range(_MAX_DIM)] for p in range(_N_PLANES)]
+
+
+def _srp_sig_sql(v: str) -> str:
+    """DuckDB: 16-bit SRP signature of list column ``v`` (sequential-fold
+    projections against the shared coefficient literals)."""
+    terms = []
+    for p in range(_N_PLANES):
+        w = "[" + ", ".join(str(c) for c in _SRP[p]) + "]"
+        proj = (
+            f"list_reduce(list_transform(range(1, len({v}) + 1), "
+            f"i -> {v}[i] * ({w})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def srp_signature_expr(v) -> F.Column:
+    """Spark: 16-bit SRP signature — one codegen'd projection per plane,
+    sequential zip_with/aggregate fold (same summation order as the
+    oracle's list_reduce), coefficient slice matched to the vector dim."""
+    col = F.col(v) if isinstance(v, str) else v
+    sig = F.lit(0)
+    for p in range(_N_PLANES):
+        w = F.slice(
+            F.lit([float(c) for c in _SRP[p]]), 1, F.size(col)
+        )
+        proj = dot_expr(col, w)
+        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig.cast("long")
+
+
+@register(
+    "sim_srp_lsh_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    sigs AS (SELECT vec_id, v, label, {_srp_sig_sql("v")} AS sig FROM e),
+    bands AS (
+        SELECT vec_id, 0 AS band_idx, sig & 255 AS band_val FROM sigs
+        UNION ALL
+        SELECT vec_id, 1 AS band_idx, (sig >> 8) & 255 AS band_val FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.vec_id < b.vec_id
+    ),
+    vf AS (
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming,
+               CAST(CASE WHEN sa.label = sb.label THEN 1 ELSE 0 END
+                    AS BIGINT) AS same_label,
+               list_reduce(list_transform(range(1, len(sa.v) + 1),
+                                          i -> sa.v[i] * sb.v[i]),
+                           (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(1, len(sa.v) + 1),
+                                                  i -> sa.v[i] * sa.v[i]),
+                                   (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(1, len(sb.v) + 1),
+                                                    i -> sb.v[i] * sb.v[i]),
+                                     (x, y) -> x + y))) AS cosine
+        FROM cand c
+        JOIN sigs sa ON sa.vec_id = c.id_a
+        JOIN sigs sb ON sb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, hamming, same_label, round(cosine, 6) AS cosine
+    FROM vf WHERE cosine >= 0.35
+    """,
+    doc="Signed-random-projection LSH for cosine similarity: 16 "
+    "deterministic pseudo-random hyperplanes (integer-LCG coefficients "
+    "embedded as literals in both engines) give each vector a 16-bit "
+    "signature; candidates are pairs agreeing on at least one of two "
+    "8-bit bands (banded Hamming LSH — an equi-join on (band, value), "
+    "never all pairs), then verified with the exact sequential-fold "
+    "cosine at threshold 0.5. Output carries the signature Hamming "
+    "distance and a label-agreement flag, the quality signals an index "
+    "tuner reads. Differs from the axis-aligned sign-bucket path "
+    "(sim_embedding_near_dup): proper random hyperplanes + multi-band "
+    "OR-construction = tunable recall. At 100 TB the band join's "
+    "candidate volume tracks true neighborhood density; signatures fold "
+    "map-side in one scan.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = ensure_min_parallelism(t(spark, sf_dir, "embeddings"))
+    sigs = emb.select(
+        "vec_id",
+        as_double_array("embedding").alias("v"),
+        "label",
+        srp_signature_expr(as_double_array("embedding")).alias("sig"),
+    )
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.col("sig").bitwiseAND(F.lit(255)).alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.shiftright("sig", 8).bitwiseAND(F.lit(255)).alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("label").alias("la"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("sig").alias("sig_b"),
+    )
+    vf = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+            (F.col("la") == F.col("lb")).cast("long").alias("same_label"),
+            (
+                dot_expr(F.col("va"), F.col("vb"))
+                / (norm_expr(F.col("va")) * norm_expr(F.col("vb")))
+            ).alias("cosine"),
+        )
+    )
+    return vf.filter(F.col("cosine") >= 0.35).select(
+        "id_a", "id_b", "hamming", "same_label", pround("cosine", 6).alias("cosine")
+    )

@@ -1,0 +1,128 @@
+"""Wave-27 operators: Fellegi–Sunter classes on a hand-built block,
+leave-one-out target encoding math on tiny categories, and SRP-LSH
+recovering planted exact duplicates."""
+
+from __future__ import annotations
+
+import datetime
+
+
+def _q(name):
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    return load_all()[name]
+
+
+def test_fellegi_sunter_classes(spark, tmp_path):
+    # One nation, one $1000 block (all balances in [0, 1000)).
+    # ids 1,2: all three fields agree          -> match
+    # ids 1,3: seg+digit agree, band differs    -> possible
+    # ids 1,4 / 2,4 / 3,4: <=1 field agrees     -> nonmatch
+    cust = [
+        (1, "Customer#1", 7, 100.00, "AUTO"),  # band 0, dig '1'
+        (2, "Customer#31", 7, 120.00, "AUTO"),  # band 0, dig '1'
+        (3, "Customer#41", 7, 900.00, "AUTO"),  # band 1, dig '1'
+        (4, "Customer#52", 7, 905.00, "MACH"),  # band 1, dig '2'
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    out = {
+        r["classification"]: r
+        for r in _q("j_fellegi_sunter_linkage").spark(spark, str(tmp_path)).collect()
+    }
+    assert out["match"]["n_pairs"] == 1
+    assert out["match"]["min_w_ticks"] == 2169925 + 3087463 + 3000000
+    # possible: (1,3) seg+dig, (2,3) seg+dig, (3,4) band only? band agrees,
+    # seg+dig differ -> 3087463 - 3000000 - 2169925 < 0 -> nonmatch.
+    assert out["possible"]["n_pairs"] == 2
+    assert out["nonmatch"]["n_pairs"] == 3
+    assert out["possible"]["min_w_ticks"] >= 0
+    assert out["nonmatch"]["max_w_ticks"] < 0
+
+
+def test_target_encoding_loo_math(spark, tmp_path):
+    d = datetime.date(2024, 1, 1)
+    # cat A: prices 10, 20, 30 -> LOO for the 10-row = (20+30)/2 = 25
+    # cat B: single row 50 -> LOO falls back to global mean 110/4 = 27.5
+    orders = [
+        (1, 1, "O", 10.0, d, "A"),
+        (2, 1, "O", 20.0, d, "A"),
+        (3, 1, "O", 30.0, d, "A"),
+        (4, 1, "O", 50.0, d, "B"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["o_orderkey"]: r
+        for r in _q("f_target_encoding_loo").spark(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 4
+    gm = 110.0 / 4
+    assert abs(out[1]["loo_encoding"] - 25.0) < 1e-9
+    assert abs(out[2]["loo_encoding"] - 20.0) < 1e-9
+    assert abs(out[4]["loo_encoding"] - gm) < 1e-9
+    assert abs(out[1]["global_mean"] - gm) < 1e-9
+    # smoothed for row 1: ((50) + 10*27.5) / (2 + 10) = 325/12
+    assert abs(out[1]["smoothed_encoding"] - 325.0 / 12) < 1e-6
+
+
+def test_srp_lsh_recovers_exact_duplicates(spark, tmp_path):
+    # three planted duplicate groups (identical vectors -> identical
+    # signatures -> hamming 0, cosine 1) + lone noise vectors.
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    planted = []
+    for g in range(3):
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        ids = []
+        for _ in range(2):
+            rows.append((vid, list(base), g))
+            ids.append(vid)
+            vid += 1
+        planted.append(tuple(ids))
+    for _ in range(10):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)], 99))
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = _q("sim_srp_lsh_pairs").spark(spark, str(tmp_path)).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in out}
+    for pair in planted:
+        assert pair in got
+        assert got[pair]["hamming"] == 0
+        assert got[pair]["same_label"] == 1
+        assert abs(got[pair]["cosine"] - 1.0) < 1e-6
+    for r in out:
+        assert r["cosine"] >= 0.35
+
+
+def test_srp_signature_matches_manual_fold(spark):
+    # pin the signature definition: manual python fold over the literal
+    # coefficients must reproduce the Spark-side signature bit-for-bit.
+    from cicevse2024_tfm_datapipeline_spark.plans.wave27 import (
+        _SRP,
+        srp_signature_expr,
+    )
+    from pyspark.sql import functions as F
+
+    vec = [0.25, -0.5, 0.75, -1.0, 0.1, 0.2, -0.3, 0.4]
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    got = df.select(srp_signature_expr(F.col("v")).alias("s")).collect()[0]["s"]
+    want = 0
+    for p in range(16):
+        acc = 0.0
+        for i, x in enumerate(vec):
+            acc = acc + x * float(_SRP[p][i])
+        if acc >= 0:
+            want += 1 << p
+    assert got == want
