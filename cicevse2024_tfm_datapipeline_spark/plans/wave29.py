@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
 from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
     as_double_array,
     dot_expr,
@@ -111,7 +112,7 @@ def a_pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wt.orderBy("cents", "event_id")).alias("vr"),
         F.count(F.lit(1)).over(wt).cast("long").alias("n_train"),
     )
-    qs = spark.createDataFrame([(q,) for q in _QS], "q10 int")
+    qs = literal_df(spark, [(q,) for q in _QS], "q10 int")
     fc = tr_rank.join(
         F.broadcast(qs),
         F.col("vr")
