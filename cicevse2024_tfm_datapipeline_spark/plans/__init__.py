@@ -48,6 +48,7 @@ _MODULES = [
     "wave27",
     "wave28",
     "wave29",
+    "wave30",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -163,6 +164,9 @@ _R05_PLAN = [
     "a_pinball_loss_quantile_eval",
     "a_mmd_linear_two_sample",
     "a_mann_kendall_trend",
+    "f_binned_woe_iv",
+    "dedup_blocking_quality_audit",
+    "ml_ridge_closed_form",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
