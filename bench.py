@@ -73,6 +73,12 @@ HEADLINE = [
     "a_kaplan_meier",
     "j_shapley_attribution",
     "a_psi_drift",
+    "sample_dsir_importance",
+    "ml_logreg_irls_two_rounds",
+    "sample_doremi_weights",
+    "sim_srp_lsh_pairs",
+    "a_ips_snips_offpolicy",
+    "ml_ridge_closed_form",
 ]
 
 
