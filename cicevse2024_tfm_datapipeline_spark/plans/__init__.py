@@ -49,6 +49,7 @@ _MODULES = [
     "wave28",
     "wave29",
     "wave30",
+    "wave31",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -167,6 +168,9 @@ _R05_PLAN = [
     "f_binned_woe_iv",
     "dedup_blocking_quality_audit",
     "ml_ridge_closed_form",
+    "a_lift_gain_curves",
+    "a_rfm_segmentation",
+    "a_apriori_triples",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
