@@ -50,6 +50,7 @@ _MODULES = [
     "wave29",
     "wave30",
     "wave31",
+    "wave32",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -171,6 +172,9 @@ _R05_PLAN = [
     "a_lift_gain_curves",
     "a_rfm_segmentation",
     "a_apriori_triples",
+    "ml_gbm_two_stumps",
+    "text_kneser_ney_bigram",
+    "a_empirical_bayes_shrinkage",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
