@@ -51,6 +51,7 @@ _MODULES = [
     "wave30",
     "wave31",
     "wave32",
+    "wave33",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -175,6 +176,9 @@ _R05_PLAN = [
     "ml_gbm_two_stumps",
     "text_kneser_ney_bigram",
     "a_empirical_bayes_shrinkage",
+    "a_classical_decomposition",
+    "a_att_subclassification",
+    "a_cross_correlation_lags",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
