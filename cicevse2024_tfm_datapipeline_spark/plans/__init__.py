@@ -179,6 +179,7 @@ _R05_PLAN = [
     "a_classical_decomposition",
     "a_att_subclassification",
     "a_cross_correlation_lags",
+    "stream_sprt_decisions",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",

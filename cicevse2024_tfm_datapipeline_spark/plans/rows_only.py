@@ -1867,3 +1867,91 @@ def s16_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nbytes").cast("long").alias("total_bytes"),
         F.sum("ck").cast("long").alias("content_checksum"),
     )
+
+
+@register(
+    "stream_sprt_decisions",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN 693147 ELSE -287682 END AS llr
+        FROM events
+    ),
+    cum AS (
+        SELECT user_id,
+               row_number() OVER w AS rn,
+               CAST(sum(llr) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(CASE WHEN c >= 2944439 OR c <= -2944439
+                             THEN rn END) AS BIGINT) AS first_cross
+        FROM cum GROUP BY 1
+    ),
+    crossed AS (
+        SELECT p.user_id, p.n_events, p.first_cross,
+               c.c AS llr_at_decision
+        FROM per_user p
+        LEFT JOIN cum c ON c.user_id = p.user_id AND c.rn = p.first_cross
+    )
+    SELECT c.user_id, c.n_events,
+           CASE WHEN c.first_cross IS NULL THEN 'undecided'
+                WHEN c.llr_at_decision >= 2944439 THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           coalesce(c.first_cross, CAST(0 AS BIGINT)) AS n_to_decision,
+           coalesce(CAST(c.llr_at_decision AS BIGINT), CAST(0 AS BIGINT))
+               AS llr_ticks_at_decision
+    FROM crossed c
+    """,
+    doc="CUSTOM STATEFUL streaming operator, ORACLE-CHECKED: the SPRT "
+    "early-stopping monitor (a_sprt_boundary_crossing's streaming twin) "
+    "as applyInPandasWithState — per-user integer-tick cumulative LLR "
+    "with a sticky first Wald-boundary crossing carried in state, "
+    "vectorized NumPy folds per micro-batch, update-mode emissions whose "
+    "last row per user must hash-match the batch windowed-cumsum SQL. "
+    "The experimentation monitor that stops arms EARLY while events are "
+    "still arriving — the whole point of running it as a stream.",
+    tags=("streaming", "stateful", "stats"),
+)
+def stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        run_to_completion,
+        sprt_decision_state,
+    )
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(693147))
+        .otherwise(F.lit(-287682))
+        .cast("long")
+        .alias("llr"),
+    )
+    dec = sprt_decision_state(
+        stream, "user_id", "ts", "event_id", "llr", 2944439, -2944439
+    )
+    out = run_to_completion(dec, "stream_sprt_out", output_mode="update")
+    # update mode re-emits per batch; n_events is monotone, so the row
+    # with the max n_events per user is the final state.
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("decision_code", "n_events").alias("dc"),
+        F.max_by("n_to_decision", "n_events").alias("n_to_decision"),
+        F.max_by("llr_at", "n_events").alias("llr_ticks_at_decision"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("dc") == 0, F.lit("undecided"))
+        .when(F.col("dc") == 1, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        "n_to_decision",
+        "llr_ticks_at_decision",
+    )

@@ -269,6 +269,78 @@ def stateful_episode_counts(
     )
 
 
+def sprt_decision_state(
+    events: DataFrame,
+    group_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    llr_col: str,
+    upper: int,
+    lower: int,
+):
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState): the
+    sequential probability ratio test as arbitrary per-group state — each
+    group carries its running integer-tick log-likelihood ratio and the
+    first Wald-boundary crossing (decision is sticky once made; events
+    keep counting so the emitted row always reflects the full stream).
+
+    Per batch the rows sort by event time and fold in vectorized NumPy:
+    cumulative LLR, first index crossing either boundary if still
+    undecided. Emission (update mode): (group, n_events, decision_code
+    [0 undecided / 1 accept-H1 / -1 accept-H0], n_to_decision,
+    llr_at_decision) — the last emission per group equals the batch
+    windowed-cumsum SQL.
+
+    Ordering contract: same as stateful_episode_counts — event-time
+    ordered arrival across batches.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group_col} long, n_events long, decision_code integer,"
+        " n_to_decision long, llr_at long"
+    )
+    state_schema = "cum long, n long, decision integer, n_to long, llr_at long"
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            cum, n, decision, n_to, llr_at = state.get
+        else:
+            cum, n, decision, n_to, llr_at = 0, 0, 0, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+            llr = pdf[llr_col].to_numpy(dtype=np.int64)
+            if len(llr) == 0:
+                continue
+            c = cum + np.cumsum(llr)
+            if decision == 0:
+                crossed = (c >= upper) | (c <= lower)
+                idx = np.flatnonzero(crossed)
+                if idx.size:
+                    i = int(idx[0])
+                    decision = 1 if c[i] >= upper else -1
+                    n_to = n + i + 1
+                    llr_at = int(c[i])
+            cum = int(c[-1])
+            n += len(llr)
+        state.update((cum, n, decision, n_to, llr_at))
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_events": [n],
+                "decision_code": [decision],
+                "n_to_decision": [n_to],
+                "llr_at": [llr_at],
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def dedup_stream(events: DataFrame, key_cols, watermark: str = "1 day") -> DataFrame:
     """Streaming exact dedup: keep the first arrival per key, with state
     EVICTED once the watermark passes — the unbounded-stream counterpart

@@ -374,3 +374,24 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
         n, sv = want.get(e, (0, 0))
         want[e] = (n + 1, sv + v)
     assert got == want
+
+
+def test_stream_sprt_matches_batch(spark):
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    qs = load_all()
+    got = {
+        r["user_id"]: r
+        for r in qs["stream_sprt_decisions"].spark(spark, SF).collect()
+    }
+    want = {
+        r["user_id"]: r
+        for r in qs["a_sprt_boundary_crossing"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["n_events"] == w["n_events"]
+        assert g["decision"] == w["decision"]
+        assert g["n_to_decision"] == w["n_to_decision"]
+        assert g["llr_ticks_at_decision"] == w["llr_ticks_at_decision"]
