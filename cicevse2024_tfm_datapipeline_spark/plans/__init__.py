@@ -52,6 +52,7 @@ _MODULES = [
     "wave31",
     "wave32",
     "wave33",
+    "wave34",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -180,6 +181,9 @@ _R05_PLAN = [
     "a_att_subclassification",
     "a_cross_correlation_lags",
     "stream_sprt_decisions",
+    "sim_mips_norm_reduction",
+    "a_quantile_treatment_effect",
+    "text_bleu2_near_pairs",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
