@@ -53,6 +53,7 @@ _MODULES = [
     "wave32",
     "wave33",
     "wave34",
+    "wave35",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -184,6 +185,9 @@ _R05_PLAN = [
     "sim_mips_norm_reduction",
     "a_quantile_treatment_effect",
     "text_bleu2_near_pairs",
+    "a_logrank_test",
+    "a_sequential_patterns",
+    "a_dau_mau_stickiness",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
