@@ -54,6 +54,7 @@ _MODULES = [
     "wave33",
     "wave34",
     "wave35",
+    "wave36",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -188,6 +189,9 @@ _R05_PLAN = [
     "a_logrank_test",
     "a_sequential_patterns",
     "a_dau_mau_stickiness",
+    "a_iv_wald_estimator",
+    "g_kcore_two_rounds",
+    "text_dedup_threshold_curve",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
