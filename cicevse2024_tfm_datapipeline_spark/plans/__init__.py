@@ -55,6 +55,7 @@ _MODULES = [
     "wave34",
     "wave35",
     "wave36",
+    "wave37",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -192,6 +193,9 @@ _R05_PLAN = [
     "a_iv_wald_estimator",
     "g_kcore_two_rounds",
     "text_dedup_threshold_curve",
+    "a_fairness_parity_audit",
+    "a_cramers_v_matrix",
+    "text_lexical_diversity",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
