@@ -56,6 +56,7 @@ _MODULES = [
     "wave35",
     "wave36",
     "wave37",
+    "wave38",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -196,6 +197,9 @@ _R05_PLAN = [
     "a_fairness_parity_audit",
     "a_cramers_v_matrix",
     "text_lexical_diversity",
+    "a_vif_multicollinearity",
+    "a_theil_sen_slope",
+    "a_two_way_anova",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
