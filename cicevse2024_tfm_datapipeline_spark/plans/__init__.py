@@ -57,6 +57,7 @@ _MODULES = [
     "wave36",
     "wave37",
     "wave38",
+    "wave39",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -200,6 +201,9 @@ _R05_PLAN = [
     "a_vif_multicollinearity",
     "a_theil_sen_slope",
     "a_two_way_anova",
+    "s18_csv_quarantine_permissive",
+    "s19_dynamic_partition_overwrite",
+    "w_bitemporal_asof",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
