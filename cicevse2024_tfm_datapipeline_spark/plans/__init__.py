@@ -58,6 +58,7 @@ _MODULES = [
     "wave37",
     "wave38",
     "wave39",
+    "wave40",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -204,6 +205,9 @@ _R05_PLAN = [
     "s18_csv_quarantine_permissive",
     "s19_dynamic_partition_overwrite",
     "w_bitemporal_asof",
+    "a_association_rules",
+    "text_novelty_vs_train",
+    "sample_holdout_stability",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
