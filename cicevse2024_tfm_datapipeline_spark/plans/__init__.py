@@ -81,17 +81,17 @@ _MODULES = [
 #      and s7_metrics_lake_flatten (last driven r02; its writer changed in
 #      waves 9-12 — cheap regression insurance per the r03 verdict).
 #
-# ROTATION SCHEDULE (written down per the r03 verdict so full official
-# coverage completes by round 6 at the latest):
-#   r05 window: the next 46 never-driven names in the _R05_PLAN block
-#     below (the remaining analytics/stats battery: calibration/ECE,
-#     winsorize, MAD, CUBE/GROUPING SETS/rollups, ml_* relational
-#     algebra, bigram/boilerplate/overlap text, funnel/cohort/seasonality,
-#     wave-13-18 statistics) + any queries newly registered in round 4,
-#     + 4 anchors.
-#   r06 window: the final ~30 never-driven names (remaining wave-5-18
-#     analytics: skyline, sliding-distinct, except-all, RLE, MWU, JS,
-#     time-weighted avg, Shapley-adjacent leftovers, mm_*/udtf rows-only
+# ROTATION SCHEDULE (updated end of round 4; registry grew to 335 with
+# waves 25-40, so full official coverage now completes by round 7):
+#   r05 window: the FIRST 46 names of the _R05_PLAN block below — the
+#     round-4 waves 21-40 additions lead (new capability classes with no
+#     driver row), then the high-value round-3 leftovers — + 4 anchors.
+#   r06 window: the next 46 of _R05_PLAN (remaining analytics/stats
+#     battery: calibration/ECE, winsorize, MAD, CUBE/GROUPING SETS,
+#     ml_* relational algebra, bigram/boilerplate/overlap text,
+#     funnel/cohort/seasonality, wave-13-18 statistics) + anchors.
+#   r07 window: the final never-driven tail (skyline, sliding-distinct,
+#     except-all, RLE, MWU, JS, time-weighted avg, mm_*/udtf rows-only
 #     re-drives) + anchors; thereafter windows return to anchor rotation.
 # Names not listed keep registration order after the prefix. A name listed
 # here but not registered is ignored (guards against typos breaking load).
