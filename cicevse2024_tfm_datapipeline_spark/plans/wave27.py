@@ -350,8 +350,14 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         srp_signature_expr(as_double_array("embedding")).alias("sig"),
     )
+    # bands carry (sig, v, label) so the pair join needs no verify joins
+    # back to the signature frame — dedupe of both-band collisions is one
+    # groupBy instead of DISTINCT + two id-equi-joins (4 shuffles -> 2)
     bands = sigs.select(
         "vec_id",
+        "sig",
+        "v",
+        "label",
         F.explode(
             F.array(
                 F.struct(
@@ -364,36 +370,35 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("b"),
-    ).select("vec_id", "b.band_idx", "b.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val")),
-        )
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .distinct()
-    )
-    sa = sigs.select(
+    ).select("vec_id", "sig", "v", "label", "b.band_idx", "b.band_val")
+    a = bands.select(
         F.col("vec_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
         F.col("v").alias("va"),
         F.col("label").alias("la"),
-        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_val",
     )
-    sb = sigs.select(
+    b = bands.select(
         F.col("vec_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
         F.col("v").alias("vb"),
         F.col("label").alias("lb"),
-        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_val",
     )
     vf = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+            F.first("va").alias("va"),
+            F.first("vb").alias("vb"),
+            F.first("la").alias("la"),
+            F.first("lb").alias("lb"),
+        )
         .select(
             "id_a",
             "id_b",
