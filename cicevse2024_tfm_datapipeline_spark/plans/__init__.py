@@ -59,6 +59,7 @@ _MODULES = [
     "wave38",
     "wave39",
     "wave40",
+    "wave41",
 ]
 
 # Verification-priority prefix for round 4 (the driver verifies the FIRST
@@ -208,6 +209,8 @@ _R05_PLAN = [
     "a_association_rules",
     "text_novelty_vs_train",
     "sample_holdout_stability",
+    "a_peak_concurrency",
+    "a_price_index_fisher",
     "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
