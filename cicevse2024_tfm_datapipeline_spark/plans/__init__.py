@@ -62,132 +62,73 @@ _MODULES = [
     "wave41",
 ]
 
-# Verification-priority prefix for round 4 (the driver verifies the FIRST
+# Verification-priority prefix for round 5 (the driver verifies the FIRST
 # 50 entries of ``queries()`` each round — exactly 50 rows in every
 # CORRECTNESS_r0x.json so far).
 #
-# Rotation state after r03: 137 of 263 registered queries hold an official
-# driver row (r01∪r02∪r03, zero regressions); 126 have only local
-# selfcheck evidence. The r04 window therefore spends 46 of its 50 slots
-# on never-driven queries and keeps just 4 green anchors:
-#   1. the 19 bench-roster queries with no driver row (their BENCH numbers
-#      currently rest on selfcheck only),
-#   2. the 13 remaining TPC-H shapes (completes official coverage of the
-#      full 22-query suite),
-#   3. 14 representatives spanning every still-unverified capability
-#      family (dedup linkage/survivorship, graph, similarity audits, BPE
-#      text, sampling, storage roundtrips, table diff, quality gate,
-#      attribution as-of),
-#   4. anchors: the keystone W1 chain, LSH pairs, one streaming query,
-#      and s7_metrics_lake_flatten (last driven r02; its writer changed in
-#      waves 9-12 — cheap regression insurance per the r03 verdict).
+# Rotation state after r04: 173 of 334 registered queries hold an official
+# driver row (r01∪r02∪r03∪r04, zero regressions ever); 149 oracled queries
+# have only local selfcheck evidence. Per the r04 verdict, round 5 FREEZES
+# registry growth and spends 46 of the 50 slots on never-driven queries:
+#   1. the round-4 headline claims and bench-roster members with no
+#      official row (IRLS, GBM stumps, DSIR, DoReMi, Fellegi–Sunter,
+#      SRP-LSH, BH-FDR, ml_surrogate_inputs, the two new streaming
+#      operators, IPS/SNIPS, ridge) — verdict items 1/4/5;
+#   2. the remaining wave-21-41 additions in r05-plan order, keeping the
+#      NEW-r4 storage claims (CSV quarantine, dynamic partition overwrite,
+#      bitemporal as-of) inside the window;
+#   3. anchors: the keystone W1 chain, LSH pairs, one streaming query
+#      (rotated to the session window this round), and TPC-H Q1 (benched
+#      every round; green r01).
 #
-# ROTATION SCHEDULE (updated end of round 4; registry grew to 335 with
-# waves 25-40, so full official coverage now completes by round 7):
-#   r05 window: the FIRST 46 names of the _R05_PLAN block below — the
-#     round-4 waves 21-40 additions lead (new capability classes with no
-#     driver row), then the high-value round-3 leftovers — + 4 anchors.
-#   r06 window: the next 46 of _R05_PLAN (remaining analytics/stats
-#     battery: calibration/ECE, winsorize, MAD, CUBE/GROUPING SETS,
-#     ml_* relational algebra, bigram/boilerplate/overlap text,
-#     funnel/cohort/seasonality, wave-13-18 statistics) + anchors.
-#   r07 window: the final never-driven tail (skyline, sliding-distinct,
-#     except-all, RLE, MWU, JS, time-weighted avg, mm_*/udtf rows-only
-#     re-drives) + anchors; thereafter windows return to anchor rotation.
+# ROTATION SCHEDULE (updated start of round 5):
+#   r06 window: the FIRST 46 names of _R06_PLAN below (wave-38 stats
+#     battery displaced from r05, the remaining wave-2x text/sim/dedup
+#     tail, then the r03 backlog: calibration/ECE, winsorize, MAD,
+#     CUBE/GROUPING SETS, ml_* relational algebra, funnel/cohort) +
+#     anchors.
+#   r07 window: the final never-driven residue in _R07_PLAN (skyline,
+#     sliding-distinct, except-all, RLE, MWU, time-weighted avg,
+#     mm_*/udtf rows-only re-drives) + anchors; thereafter windows return
+#     to anchor rotation.
 # Names not listed keep registration order after the prefix. A name listed
 # here but not registered is ignored (guards against typos breaking load).
 _PRIORITY = [
-    # --- block 1: bench-roster queries with no official driver row ---
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_suppliers",
-    "w_ewma_smoothing",
-    "j_tpch_q18_large_orders",
-    "j_tpch_q7_nation_volume",
-    "j_tpch_q10_returned_topk",
-    "w_cdc_apply_changelog",
-    "w_range_frame_rolling",
-    "sim_rrf_fusion",
-    "w_interval_coverage",
-    "a_cusum_changepoint",
-    "a_weighted_median",
-    "text_inverted_index",
-    "f_feature_hashing",
-    "a_incremental_rollup_merge",
-    "a_hll_deterministic",
-    "a_kaplan_meier",
-    "j_shapley_attribution",
-    "a_psi_drift",
-    # --- block 2: the 13 remaining TPC-H shapes (completes the suite) ---
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q11_important_value",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q22_sales_opportunity",
-    "j_tpch_q4_late_orders",
-    "j_tpch_q12_priority_class",
-    "j_tpch_q14_promo_share",
-    # --- block 3: one representative per still-unverified family ---
-    "dedup_containment_pairs",
-    "dedup_golden_record",
-    "g_bfs_levels_lsh",
-    "sim_label_centroid_cosine",
-    "sim_quantization_recall",
-    "text_bpe_vocab_induction",
-    "text_js_divergence_sources",
-    "sample_negative_pairs",
-    "sample_rolling_origin_splits",
-    "s15_orc_sink_roundtrip",
-    "s16_binaryfile_scan",
-    "u_table_diff",
-    "pipeline_quality_report",
-    "j_lasttouch_attribution",
-    # --- block 4: green anchors (keystone, dedup, streaming, S7/J2) ---
-    "w1_chrono_split_counts",
-    "dedup_minhash_lsh_pairs",
-    "stream_tumbling_avg",
-    "s7_metrics_lake_flatten",
-]
-
-# r05 planned window (next 46 never-driven, in intended order). Kept as
-# data, not commentary, so round 5 only swaps _PRIORITY = _R05_PLAN + new
-# + anchors. Queries registered during round 4 lead the list (no prior
-# driver row and they carry this round's new capability classes); the
-# tail yields to r06 if the 50-slot window overflows.
-_R05_PLAN = [
-    # --- registered in round 4 (waves 21-25 + the M5 input contract) ---
+    # --- block 1: round-4 headline claims + bench-roster members with no
+    # official driver row (r04 verdict items 1, 4 and 5) ---
+    "ml_logreg_irls_two_rounds",
+    "ml_gbm_two_stumps",
+    "sample_dsir_importance",
+    "sample_doremi_weights",
+    "j_fellegi_sunter_linkage",
+    "sim_srp_lsh_pairs",
+    "a_benjamini_hochberg_fdr",
+    "ml_surrogate_inputs",
+    "stream_lsh_collisions",
+    "stream_sprt_decisions",
+    "a_ips_snips_offpolicy",
+    "ml_ridge_closed_form",
+    # --- block 2: remaining wave-21-41 never-driven queries ---
     "ml_naive_bayes_classify",
     "j_feature_store_pit_matrix",
     "ml_kmeanspp_seeding",
     "sim_ranking_metrics",
     "p_k_anonymity_audit",
-    "sample_doremi_weights",
-    "j_fellegi_sunter_linkage",
     "f_target_encoding_loo",
-    "sim_srp_lsh_pairs",
-    "a_benjamini_hochberg_fdr",
-    "a_ips_snips_offpolicy",
     "a_sprt_boundary_crossing",
     "a_pinball_loss_quantile_eval",
     "a_mmd_linear_two_sample",
     "a_mann_kendall_trend",
     "f_binned_woe_iv",
     "dedup_blocking_quality_audit",
-    "ml_ridge_closed_form",
     "a_lift_gain_curves",
     "a_rfm_segmentation",
     "a_apriori_triples",
-    "ml_gbm_two_stumps",
     "text_kneser_ney_bigram",
     "a_empirical_bayes_shrinkage",
     "a_classical_decomposition",
     "a_att_subclassification",
     "a_cross_correlation_lags",
-    "stream_sprt_decisions",
     "sim_mips_norm_reduction",
     "a_quantile_treatment_effect",
     "text_bleu2_near_pairs",
@@ -198,26 +139,35 @@ _R05_PLAN = [
     "g_kcore_two_rounds",
     "text_dedup_threshold_curve",
     "a_fairness_parity_audit",
-    "a_cramers_v_matrix",
     "text_lexical_diversity",
-    "a_vif_multicollinearity",
-    "a_theil_sen_slope",
-    "a_two_way_anova",
     "s18_csv_quarantine_permissive",
     "s19_dynamic_partition_overwrite",
     "w_bitemporal_asof",
+    # --- block 3: green anchors (keystone, dedup, streaming, TPC-H) ---
+    "w1_chrono_split_counts",
+    "dedup_minhash_lsh_pairs",
+    "stream_session_window",
+    "tpch_q1_pricing_summary",
+]
+
+# r06 planned window (next never-driven queries, in intended order; the
+# first 46 become _PRIORITY next round, the tail yields to r07).
+_R06_PLAN = [
+    # --- wave-38 stats battery displaced from the r05 window ---
+    "a_cramers_v_matrix",
+    "a_vif_multicollinearity",
+    "a_theil_sen_slope",
+    "a_two_way_anova",
+    # --- remaining wave-2x/3x/4x additions ---
     "a_association_rules",
     "text_novelty_vs_train",
     "sample_holdout_stability",
     "a_peak_concurrency",
     "a_price_index_fisher",
-    "sample_dsir_importance",
     "sim_hard_negatives",
     "dedup_contamination_fraction",
     "sample_epoch_allocation",
     "text_heaps_law",
-    "stream_lsh_collisions",
-    "ml_surrogate_inputs",
     "text_textrank_keywords",
     "a_cuped_adjustment",
     "w_incremental_join_view",
@@ -228,7 +178,6 @@ _R05_PLAN = [
     "text_ccnet_perplexity_buckets",
     "text_gopher_quality_rules",
     "dedup_source_overlap_matrix",
-    "ml_logreg_irls_two_rounds",
     "sample_neyman_allocation",
     "a_mutual_information_ranking",
     # --- carried over from the r03 backlog ---
@@ -280,9 +229,9 @@ _R05_PLAN = [
     "dedup_mutual_best_match",
 ]
 
-# r06 planned window (final never-driven residue; mm_* / udtf re-drives
+# r07 planned window (final never-driven residue; mm_* / udtf re-drives
 # are rows-only by nature and close the official sweep).
-_R06_PLAN = [
+_R07_PLAN = [
     "a_trending_keys",
     "u_except_all_counts",
     "a_seasonality_heatmap",
