@@ -629,7 +629,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP_NTZ event-time column is rejected by ``withWatermark``
     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). ``timestamp_micros`` yields
     TIMESTAMP (LTZ); with the UTC session the wall-clock values equal the
-    stored naive micros, matching the DuckDB oracle."""
+    stored naive micros, matching the DuckDB oracle.
+
+    Delivery-order guarantee: the glob matches exactly ONE parquet file,
+    so the file source delivers the whole table in a single micro-batch —
+    order-sensitive stateful consumers (sprt_decision_state, which
+    additionally asserts the contract in its fold) see all rows at once
+    and their within-batch sort is the global order. If this source ever
+    grows to multiple files, they must be named/delivered in event-time
+    order (maxFilesPerTrigger interacts with lexicographic listing)."""
     import pyspark.sql.types as T
 
     from cicevse2024_tfm_datapipeline_spark.sources.readers import _nano_ts_columns, load_table

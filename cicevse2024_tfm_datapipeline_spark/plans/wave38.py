@@ -69,7 +69,7 @@ _DETR = (
         SELECT r12, r13, r23, {_DETR} AS detr FROM corr_m
     )
     SELECT f.feature,
-           round(CASE f.feature WHEN 'quantity' THEN v.r12
+           round(CASE f.feature WHEN 'quantity' THEN 1.0
                  WHEN 'discount' THEN v.r12 ELSE v.r13 END, 6) AS r_with_x1,
            round(CASE f.feature WHEN 'quantity'
                       THEN (1.0 - v.r23 * v.r23) / v.detr
@@ -124,8 +124,10 @@ def a_vif_multicollinearity(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, [("quantity",), ("discount",), ("tax",)], "feature string"
     )
     out = vif.crossJoin(F.broadcast(feats))
+    # r_with_x1 is the Pearson r of each feature against x1 (quantity):
+    # exactly 1.0 for quantity itself, r12 for discount, r13 for tax
     r_with = (
-        F.when(F.col("feature") == "quantity", F.col("r12"))
+        F.when(F.col("feature") == "quantity", F.lit(1.0))
         .when(F.col("feature") == "discount", F.col("r12"))
         .otherwise(F.col("r13"))
     )

@@ -33,7 +33,7 @@ from cicevse2024_tfm_datapipeline_spark.plans.wave5 import _US
     ),
     swept AS (
         SELECT t, delta,
-               CAST(sum(delta) OVER (ORDER BY t, delta DESC, user_id, day
+               CAST(sum(delta) OVER (ORDER BY t, delta, user_id, day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS BIGINT) AS conc
         FROM bounds
@@ -54,8 +54,10 @@ from cicevse2024_tfm_datapipeline_spark.plans.wave5 import _US
     "(with the first instant attaining it) is the capacity-planning "
     "number ('how many sessions were ever open at once'). The running "
     "sum rides the two-phase global cumsum — boundary order is made "
-    "total with a (time, +1-before--1, user, day) tiebreak so both "
-    "engines sweep identically; the row scan reduces to one interval "
+    "total with a (time, -1-before-+1, user, day) tiebreak, i.e. at "
+    "equal timestamps an exclusive end closes before a new start opens, "
+    "so an interval starting exactly where another ends is NOT counted "
+    "as concurrent with it; the row scan reduces to one interval "
     "aggregate, and the sweep is 2x|intervals| rows. Complements the "
     "interval-coverage (union length) query with the max-overlap "
     "readout.",
@@ -74,10 +76,12 @@ def a_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "day")
     )
-    # total order: time, starts before ends (delta desc), then user/day
+    # total order: time, ends before starts (delta asc: -1 < +1) — the
+    # correct tiebreak for exclusive ends, so touching intervals never
+    # overlap — then user/day to make the order total
     swept = global_cumsum(
-        bounds.withColumn("__negd", -F.col("delta")),
-        ["t", "__negd", "user_id", "day"],
+        bounds,
+        ["t", "delta", "user_id", "day"],
         ["delta"],
     ).select("t", F.col("cum_delta").cast("long").alias("conc"))
     peak = swept.agg(F.max("conc").alias("pk"))

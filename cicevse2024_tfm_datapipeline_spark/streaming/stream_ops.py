@@ -291,8 +291,16 @@ def sprt_decision_state(
     llr_at_decision) — the last emission per group equals the batch
     windowed-cumsum SQL.
 
-    Ordering contract: same as stateful_episode_counts — event-time
-    ordered arrival across batches.
+    Ordering contract (ENFORCED): events must arrive in global
+    (ts, tiebreak) order ACROSS micro-batches — the sort inside the fold
+    only totalizes order WITHIN a batch, so a later batch delivering a
+    row that sorts before the previous batch's last row would silently
+    shift the first-crossing readout. The fold carries the last folded
+    (ts, tiebreak) in state and raises on any cross-batch regression
+    instead of producing a wrong decision. Single-file sources (the
+    `_events_stream` shape: one parquet file = one batch) satisfy the
+    contract trivially; multi-file delivery must be time-partitioned in
+    file order.
     """
     import numpy as np
     import pandas as pd
@@ -302,18 +310,39 @@ def sprt_decision_state(
         f"{group_col} long, n_events long, decision_code integer,"
         " n_to_decision long, llr_at long"
     )
-    state_schema = "cum long, n long, decision integer, n_to long, llr_at long"
+    state_schema = (
+        "cum long, n long, decision integer, n_to long, llr_at long,"
+        " last_ts long, last_tb long"
+    )
+
+    def _as_i64(series: pd.Series) -> "np.ndarray":
+        # canonical int64 order key for either a long or a timestamp column
+        if pd.api.types.is_datetime64_any_dtype(series):
+            return series.astype("datetime64[us]").astype("int64").to_numpy()
+        return series.to_numpy(dtype=np.int64)
 
     def fold(key, pdf_iter, state: GroupState):
         if state.exists:
-            cum, n, decision, n_to, llr_at = state.get
+            cum, n, decision, n_to, llr_at, last_ts, last_tb = state.get
         else:
             cum, n, decision, n_to, llr_at = 0, 0, 0, 0, 0
+            last_ts, last_tb = None, None
         for pdf in pdf_iter:
             pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
             llr = pdf[llr_col].to_numpy(dtype=np.int64)
             if len(llr) == 0:
                 continue
+            tsv = _as_i64(pdf[ts_col])
+            tbv = pdf[tiebreak_col].to_numpy(dtype=np.int64)
+            if last_ts is not None and (int(tsv[0]), int(tbv[0])) < (last_ts, last_tb):
+                raise ValueError(
+                    "sprt_decision_state: cross-batch ordering contract "
+                    f"violated for group {key[0]!r}: batch head "
+                    f"({int(tsv[0])}, {int(tbv[0])}) sorts before previously "
+                    f"folded tail ({last_ts}, {last_tb}); deliver events in "
+                    "global (ts, tiebreak) order across micro-batches"
+                )
+            last_ts, last_tb = int(tsv[-1]), int(tbv[-1])
             c = cum + np.cumsum(llr)
             if decision == 0:
                 crossed = (c >= upper) | (c <= lower)
@@ -325,7 +354,17 @@ def sprt_decision_state(
                     llr_at = int(c[i])
             cum = int(c[-1])
             n += len(llr)
-        state.update((cum, n, decision, n_to, llr_at))
+        state.update(
+            (
+                cum,
+                n,
+                decision,
+                n_to,
+                llr_at,
+                last_ts if last_ts is not None else -(2**62),
+                last_tb if last_tb is not None else -(2**62),
+            )
+        )
         yield pd.DataFrame(
             {
                 group_col: [key[0]],
