@@ -170,6 +170,38 @@ def offsets_from_totals(totals: DataFrame, tot_cols: Sequence[str], prefix: str 
     )
 
 
+def prev_nonempty_value(frame: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """For a per-partition summary frame ``(PID, value)`` return
+    ``(PID, out_col = value of the NEAREST STRICTLY-EARLIER PID present in
+    the frame)`` — the boundary-fill primitive for scans whose first row
+    per bucket needs its true predecessor (empty range partitions leave
+    PID gaps, so ``PID - 1`` is not enough).
+
+    Same hierarchical two-level shape as ``offsets_from_totals``: within a
+    super-group the frame holds only non-empty buckets, so a PARTITIONED
+    lag IS the nearest-earlier value; across super-groups a triangle
+    argmax over the (B/SUPER)-row super-tails frame. NULL where no
+    earlier bucket exists."""
+    tagged = _with_super(frame.select(F.col(PID), F.col(value_col).alias("__pv_val")))
+    w_in = W.partitionBy(_SUP).orderBy(F.col(PID).asc())
+    within = tagged.select(PID, _SUP, F.lag("__pv_val").over(w_in).alias("__in_val"))
+    if _n_range_parts(frame) <= SUPER:
+        # single super-group (plan-time decidable, like offsets_from_totals)
+        return within.select(PID, F.col("__in_val").alias(out_col))
+    sup_last = tagged.groupBy(_SUP).agg(F.max_by("__pv_val", PID).alias("__sl_val"))
+    bb = sup_last.select(F.col(_SUP).alias("__bsup"), F.col("__sl_val").alias("__b_val"))
+    sup_fill = (
+        sup_last.select(_SUP)
+        .join(bb, F.col("__bsup") < F.col(_SUP), "left")
+        .groupBy(_SUP)
+        .agg(F.max_by("__b_val", "__bsup").alias("__sf_val"))
+    )
+    return (
+        within.join(F.broadcast(sup_fill), _SUP)
+        .select(PID, F.coalesce("__in_val", "__sf_val").alias(out_col))
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: Sequence[str],

@@ -30,28 +30,34 @@ from pyspark.sql import functions as F
 
 from cicevse2024_tfm_datapipeline_spark.operators.scan import (
     PID,
-    SUPER,
-    _SUP,
-    _n_range_parts,
     _pin_buckets,
-    _with_super,
     offsets_from_totals,
+    prev_nonempty_value,
     range_bucketed,
 )
+
+
+def _boundary_cols(
+    cur_y: Column, cur_ep: Column | None, prev_y: Column, prev_ep: Column | None
+) -> Column:
+    is_attack = cur_y == 1
+    b = is_attack & (prev_y.isNull() | (prev_y != 1))
+    if cur_ep is not None:
+        b = is_attack & (
+            prev_y.isNull() | (prev_y != 1) | (~prev_ep.eqNullSafe(cur_ep))
+        )
+    return b
 
 
 def _boundary_expr(
     y_true_col: str, episode_id_col: str | None, prev_y: Column, prev_ep: Column | None
 ) -> Column:
-    is_attack = F.col(y_true_col) == 1
-    b = is_attack & (prev_y.isNull() | (prev_y != 1))
-    if episode_id_col is not None:
-        b = is_attack & (
-            prev_y.isNull()
-            | (prev_y != 1)
-            | (~prev_ep.eqNullSafe(F.col(episode_id_col)))
-        )
-    return b
+    return _boundary_cols(
+        F.col(y_true_col),
+        F.col(episode_id_col) if episode_id_col is not None else None,
+        prev_y,
+        prev_ep,
+    )
 
 
 def _global_islands(
@@ -136,36 +142,13 @@ def _global_islands(
     edge_fields = [F.col("__last_y").alias("y")]
     if episode_id_col is not None:
         edge_fields.append(F.col("__last_ep").alias("ep"))
-    tagged = _with_super(summ.select(PID, F.struct(*edge_fields).alias("__edge")))
-    w_in = W.partitionBy(_SUP).orderBy(F.col(PID).asc())
-    within = tagged.select(
-        PID, _SUP, F.lag("__edge").over(w_in).alias("__in_edge")
-    )
-    if _n_range_parts(summ) <= SUPER:
-        # single super-group (plan-time decidable): the within-lag is the
-        # nearest earlier bucket — no cross-super stages needed
-        prev_edge = F.col("__in_edge")
-        fills = within
-    else:
-        sup_last = tagged.groupBy(_SUP).agg(
-            F.max_by("__edge", PID).alias("__sl_edge")
-        )
-        bb = sup_last.select(
-            F.col(_SUP).alias("__bsup"), F.col("__sl_edge").alias("__b_edge")
-        )
-        sup_fill = (
-            sup_last.select(_SUP)
-            .join(bb, F.col("__bsup") < F.col(_SUP), "left")
-            .groupBy(_SUP)
-            .agg(F.max_by("__b_edge", "__bsup").alias("__sf_edge"))
-        )
-        prev_edge = F.coalesce(F.col("__in_edge"), F.col("__sf_edge"))
-        fills = within.join(F.broadcast(sup_fill), _SUP)
-    fills = fills.select(
+    fills = prev_nonempty_value(
+        summ.select(PID, F.struct(*edge_fields).alias("__edge")), "__edge", "__pp"
+    ).select(
         PID,
-        prev_edge.getField("y").alias("__pp_y"),
+        F.col("__pp").getField("y").alias("__pp_y"),
         *(
-            [prev_edge.getField("ep").alias("__pp_ep")]
+            [F.col("__pp").getField("ep").alias("__pp_ep")]
             if episode_id_col is not None
             else []
         ),
@@ -194,6 +177,138 @@ def _global_islands(
         F.when(
             is_attack, F.col("__lisl") + F.col("__first_b") + F.col("__off___bsum")
         ).alias("__island"),
+    )
+
+
+def _global_ttd_episodes(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    y_true_col: str,
+    y_pred_col: str,
+    episode_id_col: str | None,
+) -> DataFrame:
+    """Fused single-pass global TTD: per-episode ``(start_idx, det_idx)``
+    without EVER materializing per-row global ids.
+
+    ``ttd_stats`` only consumes per-episode ``min(idx)`` and
+    ``min(idx | pred=1)``, so the per-row output of ``_global_islands``
+    (global row number + island id on every row, which forces pinning the
+    full bucketed frame and joining offsets back onto it) is wasted work.
+    Instead the big data is touched EXACTLY ONCE:
+
+      big pass:   range-bucket, per-bucket window (row_number, lags →
+                  interior boundaries, local-island cumsum), then an
+                  immediate map-side-combined aggregate per
+                  (bucket, local island): row count, first/last (y, ep)
+                  edges, min row-number over attack rows and over
+                  detected-attack rows.
+      tiny frame: everything else — per-bucket summaries, the
+                  nearest-earlier-bucket boundary fill, prefix offsets,
+                  island-id stitching for runs that span buckets, and the
+                  per-episode min — runs on the |segments|-sized frame
+                  (≈ islands + buckets rows; worst case ≤ |rows| when
+                  every other row flips label, still never bigger than
+                  the full frame the old path pinned).
+
+    The lazy localCheckpoint moves from the full bucketed frame to the
+    segment frame, so the one materialization the scan's correctness
+    requires (every consumer must see one row→partition mapping — see
+    scan._pin_buckets) now costs |segments|, not |rows|, and the
+    sort+window subtree genuinely executes once."""
+    ordering = [F.col(c).asc() for c in order_cols]
+    bucketed = range_bucketed(df, order_cols, pin=False)
+
+    w = W.partitionBy(PID).orderBy(*ordering)
+    wcum = w.rowsBetween(W.unboundedPreceding, 0)
+    lag_cols = [F.lag(y_true_col).over(w).alias("__lp_y")]
+    if episode_id_col is not None:
+        lag_cols.append(F.lag(episode_id_col).over(w).alias("__lp_ep"))
+    keep = dict.fromkeys(  # order cols stay visible for the cumsum window
+        [*order_cols, y_true_col, y_pred_col]
+        + ([episode_id_col] if episode_id_col is not None else [])
+    )
+    local = bucketed.select(
+        PID,
+        *keep,
+        F.row_number().over(w).alias("__lrn"),
+        *lag_cols,
+    )
+    interior = _boundary_expr(
+        y_true_col,
+        episode_id_col,
+        F.col("__lp_y"),
+        F.col("__lp_ep") if episode_id_col is not None else None,
+    ) & (F.col("__lrn") > 1)
+    local = local.withColumn(
+        "__lisl", F.sum(interior.cast("int")).over(wcum)
+    )
+
+    is_att = F.col(y_true_col) == 1
+    edge = F.struct(
+        F.col(y_true_col).alias("y"),
+        *([F.col(episode_id_col).alias("ep")] if episode_id_col is not None else []),
+    )
+    # the ONLY consumer of the bucketed frame: one map-side-combined
+    # aggregate per (bucket, local island) — pinned because every
+    # downstream branch (per-bucket summary, fills, offsets, episode
+    # merge) must read one consistent materialization of it
+    seg = (
+        local.groupBy(PID, "__lisl")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min_by(edge, "__lrn").alias("__first_edge"),
+            F.max_by(edge, "__lrn").alias("__last_edge"),
+            F.min(F.when(is_att, F.col("__lrn"))).alias("__att_lrn"),
+            F.min(
+                F.when(is_att & (F.col(y_pred_col) == 1), F.col("__lrn"))
+            ).alias("__det_lrn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    summ = seg.groupBy(PID).agg(
+        F.sum("__cnt").alias("__cnt"),
+        F.max("__lisl").alias("__int_bsum"),
+        F.min_by("__first_edge", "__lisl").alias("__first_edge"),
+        F.max_by("__last_edge", "__lisl").alias("__last_edge"),
+    )
+    fills = prev_nonempty_value(
+        summ.select(PID, F.col("__last_edge").alias("__edge")), "__edge", "__pp"
+    )
+    prev_y = F.col("__pp").getField("y")
+    prev_ep = F.col("__pp").getField("ep") if episode_id_col is not None else None
+    first_b = _boundary_cols(
+        F.col("__first_edge").getField("y"),
+        F.col("__first_edge").getField("ep") if episode_id_col is not None else None,
+        prev_y,
+        prev_ep,
+    )
+    enriched = (
+        summ.join(fills, PID)
+        .withColumn("__first_b", first_b.cast("int"))
+        .withColumn("__bsum", F.col("__int_bsum") + F.col("__first_b"))
+    )
+    offs = offsets_from_totals(enriched, ["__cnt", "__bsum"])
+    pidinfo = enriched.select(PID, "__first_b").join(offs, PID)
+
+    # island id = local island + own-first-boundary + boundary-count
+    # offset — identical per segment row to the per-row formula in
+    # _global_islands, so segments of a bucket-spanning run stitch to the
+    # same id; start/det become global via the row-count offset
+    gseg = (
+        seg.filter(F.col("__att_lrn").isNotNull())
+        .join(F.broadcast(pidinfo), PID)
+        .select(
+            (F.col("__lisl") + F.col("__first_b") + F.col("__off___bsum")).alias(
+                "__island"
+            ),
+            (F.col("__att_lrn") + F.col("__off___cnt")).alias("__seg_start"),
+            (F.col("__det_lrn") + F.col("__off___cnt")).alias("__seg_det"),
+        )
+    )
+    return gseg.groupBy("__island").agg(
+        F.min("__seg_start").alias("start_idx"),
+        F.min("__seg_det").alias("det_idx"),
     )
 
 
@@ -259,16 +374,22 @@ def ttd_stats(
         marked = _partitioned_islands(
             df, order_cols, y_true_col, episode_id_col, partition_cols
         )
-    else:
-        marked = _global_islands(df, order_cols, y_true_col, episode_id_col)
-    eps = (
-        marked.filter(F.col("__island").isNotNull())
-        .groupBy(*(list(partition_cols) + ["__island"]))
-        .agg(
-            F.min("__idx").alias("start_idx"),
-            F.min(F.when(F.col(y_pred_col) == 1, F.col("__idx"))).alias("det_idx"),
+        eps = (
+            marked.filter(F.col("__island").isNotNull())
+            .groupBy(*(list(partition_cols) + ["__island"]))
+            .agg(
+                F.min("__idx").alias("start_idx"),
+                F.min(F.when(F.col(y_pred_col) == 1, F.col("__idx"))).alias(
+                    "det_idx"
+                ),
+            )
         )
-    )
+    else:
+        # fused single-pass path: per-episode stats straight from the
+        # (bucket, local island) segment frame — no per-row global ids
+        eps = _global_ttd_episodes(
+            df, order_cols, y_true_col, y_pred_col, episode_id_col
+        )
     delay = (F.col("det_idx") - F.col("start_idx")) * F.lit(float(window_hop_seconds))
     per_ep = eps.select(
         F.lit(1).alias("one"),

@@ -212,8 +212,8 @@ def test_sessionize_fill_multi_super_group(spark, super_size, monkeypatch):
 
     from cicevse2024_tfm_datapipeline_spark.operators import scan, sessionize
 
+    # the fill now lives in scan.prev_nonempty_value (shared by sessionize)
     monkeypatch.setattr(scan, "SUPER", super_size)
-    monkeypatch.setattr(sessionize, "SUPER", super_size)
 
     rng = _random.Random(23)
     n = 220

@@ -63,3 +63,39 @@ def test_ttd_matches_reference_scan(spark, case):
         assert out["avg_ttd_seconds"] is None
     else:
         assert abs(out["avg_ttd_seconds"] - exp_avg) < 1e-9
+
+
+@pytest.mark.parametrize("seed,n,parts,super_size", [(7, 300, 11, 2), (19, 257, 7, 1), (42, 500, 16, 1024)])
+def test_global_ttd_fused_path_randomized(spark, seed, n, parts, super_size, monkeypatch):
+    """The fused single-pass global TTD (no per-row global ids) must match
+    the sequential reference scan with islands spanning bucket/super
+    boundaries: many buckets, tiny SUPER, long runs."""
+    import random as _random
+
+    from cicevse2024_tfm_datapipeline_spark.operators import scan
+    from cicevse2024_tfm_datapipeline_spark.operators.sessionize import ttd_stats
+
+    monkeypatch.setattr(scan, "SUPER", super_size)
+    rng = _random.Random(seed)
+    y_true, y_pred, eps = [], [], []
+    while len(y_true) < n:
+        run = rng.randint(1, 12)
+        attack = rng.random() < 0.5
+        ep = rng.choice(["a", "b", "c"])
+        for _ in range(run):
+            y_true.append(1 if attack else 0)
+            y_pred.append(1 if rng.random() < 0.3 else 0)
+            eps.append(ep if attack else "benign")
+    y_true, y_pred, eps = y_true[:n], y_pred[:n], eps[:n]
+    rows = [(i, y_true[i], y_pred[i], eps[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["idx", "yt", "yp", "ep"]).repartition(parts)
+    out = ttd_stats(
+        df, ["idx"], "yt", "yp", window_hop_seconds=3.0, episode_id_col="ep"
+    ).collect()[0]
+    exp_total, exp_det, exp_avg = ref_ttd(y_true, y_pred, 3.0, eps)
+    assert out["episodes_total"] == exp_total
+    assert out["episodes_detected"] == exp_det
+    if exp_avg is None:
+        assert out["avg_ttd_seconds"] is None
+    else:
+        assert abs(out["avg_ttd_seconds"] - exp_avg) < 1e-9
