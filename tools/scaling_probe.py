@@ -30,6 +30,14 @@ FLAGSHIPS = [
     "a_bitmap_intersection",
     "w_interval_coverage",
     "a_incremental_rollup_merge",
+    # round-4 tier (waves 21-41)
+    "sim_srp_lsh_pairs",
+    "ml_gbm_two_stumps",
+    "ml_logreg_irls_two_rounds",
+    "sample_dsir_importance",
+    "sample_doremi_weights",
+    "j_fellegi_sunter_linkage",
+    "g_kcore_two_rounds",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
