@@ -19,6 +19,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: state sentinel for "no rows folded yet" in the ordering-contract columns
+_NO_TS = -(2**62)
+
+
+def _order_key_i64(series):
+    """Canonical int64 order key for either a long or a timestamp column
+    (cross-batch ordering enforcement in the stateful folds)."""
+    import numpy as np
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return series.astype("datetime64[us]").astype("int64").to_numpy()
+    return series.to_numpy(dtype=np.int64)
+
 
 def read_events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
     """File-source stream over the synthetic events parquet — used by the
@@ -212,28 +226,58 @@ def stateful_episode_counts(
     single-source run equal the batch gaps-and-islands computation,
     including a trailing open episode.
 
-    Ordering contract: rows must arrive in event-time order ACROSS
-    batches (within a batch they are sorted here); production sources
-    need watermark-ordered replay or a session-gap timeout design.
+    Ordering contract (ENFORCED): rows must arrive in event-time order
+    ACROSS batches (within a batch they are sorted here); production
+    sources need watermark-ordered replay or a session-gap timeout
+    design. Like sprt_decision_state, the fold carries the last folded
+    (ts, tiebreak) in state and raises on a cross-batch regression
+    instead of silently over/under-counting episodes.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = f"{group_col} long, episodes_total long, episodes_detected long"
-    state_schema = "prev_y integer, total long, detected long, cur_det integer"
+    state_schema = (
+        "prev_y integer, total long, detected long, cur_det integer,"
+        " last_ts long, last_tb long"
+    )
+    fold = make_episode_fold(group_col, ts_col, tiebreak_col, y_true_col, y_pred_col)
+    return events.groupBy(group_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
 
-    def fold(key, pdf_iter, state: GroupState):
+
+def make_episode_fold(
+    group_col: str, ts_col: str, tiebreak_col: str, y_true_col: str, y_pred_col: str
+):
+    """Build the episode-count fold (module-level so tests can drive it
+    with a fake GroupState — e.g. to pin the ordering-contract raise)."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(key, pdf_iter, state):
         if state.exists:
-            prev_y, total, detected, cur_det = state.get
+            prev_y, total, detected, cur_det, last_ts, last_tb = state.get
         else:
             prev_y, total, detected, cur_det = 0, 0, 0, 0
+            last_ts, last_tb = None, None
+        if last_ts == _NO_TS:
+            last_ts, last_tb = None, None
         for pdf in pdf_iter:
             pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
             y = pdf[y_true_col].to_numpy(dtype=np.int64)
             p = pdf[y_pred_col].to_numpy(dtype=np.int64)
             if len(y) == 0:
                 continue
+            tsv = _order_key_i64(pdf[ts_col])
+            tbv = pdf[tiebreak_col].to_numpy(dtype=np.int64)
+            if last_ts is not None and (int(tsv[0]), int(tbv[0])) < (last_ts, last_tb):
+                raise ValueError(
+                    "stateful_episode_counts: cross-batch ordering contract "
+                    f"violated for group {key[0]!r}: batch head "
+                    f"({int(tsv[0])}, {int(tbv[0])}) sorts before previously "
+                    f"folded tail ({last_ts}, {last_tb})"
+                )
+            last_ts, last_tb = int(tsv[-1]), int(tbv[-1])
             prev = np.concatenate(([prev_y], y[:-1]))
             starts = (y == 1) & (prev != 1)
             ep = np.cumsum(starts)  # 0 = episode carried from prior batch
@@ -255,7 +299,16 @@ def stateful_episode_counts(
                 cur_det = int(det_local[tail_ep]) if tail_ep > 0 else cur_det
             else:
                 cur_det = 0
-        state.update((prev_y, total, detected, cur_det))
+        state.update(
+            (
+                prev_y,
+                total,
+                detected,
+                cur_det,
+                last_ts if last_ts is not None else _NO_TS,
+                last_tb if last_tb is not None else _NO_TS,
+            )
+        )
         yield pd.DataFrame(
             {
                 group_col: [key[0]],
@@ -264,9 +317,7 @@ def stateful_episode_counts(
             }
         )
 
-    return events.groupBy(group_col).applyInPandasWithState(
-        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-    )
+    return fold
 
 
 def sprt_decision_state(
@@ -302,9 +353,7 @@ def sprt_decision_state(
     contract trivially; multi-file delivery must be time-partitioned in
     file order.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
         f"{group_col} long, n_events long, decision_code integer,"
@@ -314,25 +363,39 @@ def sprt_decision_state(
         "cum long, n long, decision integer, n_to long, llr_at long,"
         " last_ts long, last_tb long"
     )
+    fold = make_sprt_fold(group_col, ts_col, tiebreak_col, llr_col, upper, lower)
+    return events.groupBy(group_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
 
-    def _as_i64(series: pd.Series) -> "np.ndarray":
-        # canonical int64 order key for either a long or a timestamp column
-        if pd.api.types.is_datetime64_any_dtype(series):
-            return series.astype("datetime64[us]").astype("int64").to_numpy()
-        return series.to_numpy(dtype=np.int64)
 
-    def fold(key, pdf_iter, state: GroupState):
+def make_sprt_fold(
+    group_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    llr_col: str,
+    upper: int,
+    lower: int,
+):
+    """Build the SPRT fold (module-level so tests can drive it with a
+    fake GroupState — e.g. to pin the ordering-contract raise)."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(key, pdf_iter, state):
         if state.exists:
             cum, n, decision, n_to, llr_at, last_ts, last_tb = state.get
         else:
             cum, n, decision, n_to, llr_at = 0, 0, 0, 0, 0
+            last_ts, last_tb = None, None
+        if last_ts == _NO_TS:
             last_ts, last_tb = None, None
         for pdf in pdf_iter:
             pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
             llr = pdf[llr_col].to_numpy(dtype=np.int64)
             if len(llr) == 0:
                 continue
-            tsv = _as_i64(pdf[ts_col])
+            tsv = _order_key_i64(pdf[ts_col])
             tbv = pdf[tiebreak_col].to_numpy(dtype=np.int64)
             if last_ts is not None and (int(tsv[0]), int(tbv[0])) < (last_ts, last_tb):
                 raise ValueError(
@@ -361,8 +424,8 @@ def sprt_decision_state(
                 decision,
                 n_to,
                 llr_at,
-                last_ts if last_ts is not None else -(2**62),
-                last_tb if last_tb is not None else -(2**62),
+                last_ts if last_ts is not None else _NO_TS,
+                last_tb if last_tb is not None else _NO_TS,
             )
         )
         yield pd.DataFrame(
@@ -375,9 +438,7 @@ def sprt_decision_state(
             }
         )
 
-    return events.groupBy(group_col).applyInPandasWithState(
-        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-    )
+    return fold
 
 
 def dedup_stream(events: DataFrame, key_cols, watermark: str = "1 day") -> DataFrame:
