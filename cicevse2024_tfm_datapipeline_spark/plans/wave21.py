@@ -307,16 +307,21 @@ def dedup_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         word_shingles_expr(tokens_expr("text"), 3).alias("shingles"),
     )
+    # per-doc dedup happens INSIDE the array (array_distinct) before the
+    # explode: (doc_id, s) is then unique by construction, so the train
+    # side needs NO corpus-sized distinct shuffle — the only wide op on
+    # the exploded frame is the per-doc groupBy, whose map-side combine
+    # collapses each doc's (contiguous) shingles before the exchange.
+    # The eval side still needs a global distinct, but on 10% of the
+    # corpus and after the per-doc dedup.
     eval_sh = (
         sh.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode("shingles").alias("s"))
+        .select(F.explode(F.array_distinct("shingles")).alias("s"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    train_sh = (
-        sh.filter(F.col("doc_id") % 10 != 0)
-        .select("doc_id", "source", F.explode("shingles").alias("s"))
-        .distinct()
+    train_sh = sh.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source", F.explode(F.array_distinct("shingles")).alias("s")
     )
     per_doc = (
         train_sh.join(F.broadcast(eval_sh), "s", "left")

@@ -393,12 +393,21 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
+    # array_distinct cuts the partial-agg input per doc; the lazy pin
+    # matters more: sh has THREE consumers (per_src + both join sides),
+    # and without it the tokenize+explode+distinct subtree — the only
+    # corpus-sized work in the query — executes once per consumer. The
+    # pinned frame is (src, shingle)-distinct, i.e. vocabulary-bounded,
+    # never corpus-sized.
     sh = (
         docs.select(
             F.expr("cast(substring(source, 4) as int)").alias("src"),
-            F.explode(word_shingles_expr(tokens_expr("text"), 3)).alias("s"),
+            F.explode(
+                F.array_distinct(word_shingles_expr(tokens_expr("text"), 3))
+            ).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     per_src = sh.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a = sh.select(F.col("src").alias("src_a"), "s")

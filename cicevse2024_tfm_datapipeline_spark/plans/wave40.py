@@ -208,15 +208,18 @@ def text_novelty_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles_expr(tokens_expr("text"), 3).alias("shingles"),
         (F.col("doc_id") % 5 == 0).cast("int").alias("is_eval"),
     )
+    # per-doc shingle dedup via array_distinct BEFORE the explode:
+    # (doc_id, g) is unique by construction, so the eval side needs no
+    # (doc, shingle)-keyed shuffle at all and the train-vocab distinct's
+    # map-side combine sees pre-deduped input
     sh = d.select(
-        "doc_id", "source", "is_eval", F.explode("shingles").alias("g")
+        "doc_id",
+        "source",
+        "is_eval",
+        F.explode(F.array_distinct("shingles")).alias("g"),
     )
     train_vocab = sh.filter(F.col("is_eval") == 0).select("g").distinct()
-    eval_sh = (
-        sh.filter(F.col("is_eval") == 1)
-        .groupBy("doc_id", "source", "g")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    eval_sh = sh.filter(F.col("is_eval") == 1).select("doc_id", "source", "g")
     tv = train_vocab.withColumn("seen", F.lit(1))
     per_doc = (
         eval_sh.join(tv, "g", "left")
