@@ -339,8 +339,14 @@ def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     inst = docs.select(
         "source", F.explode(tokens_expr("text")).alias("term")
     )
-    cd = inst.groupBy("source", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # (source, term) counts feed THREE branches (per-source totals, the
+    # global term counts, and the per-term log-ratio frame) — pin the
+    # vocabulary×sources-sized frame so the corpus tokenize+explode scan,
+    # the only data-sized work here, executes once instead of per branch
+    cd = (
+        inst.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     td = cd.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
     gt = cd.groupBy("term").agg(F.sum("c").cast("long").alias("gc"))
