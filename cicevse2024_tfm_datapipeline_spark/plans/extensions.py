@@ -1704,17 +1704,29 @@ def dedup_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_might_contain,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    newb = docs.filter(F.col("doc_id") % 5 == 0).withColumn("__dg", F.md5("text"))
+    # digest once, drop text immediately: both corpus branches (bloom
+    # build + exact-dup audit) read the pinned DISTINCT digest frame
+    # (idempotent insertion makes the bloom over distinct digests the
+    # identical bitmap), and both new-side consumers (probe + exact
+    # semi-join) read the pinned digest projection — the text column is
+    # md5'd exactly once per side instead of once per branch
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("__dg")
+    )
+    corp_dg = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select("__dg")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    newb = docs.filter(F.col("doc_id") % 5 == 0).localCheckpoint(eager=False)
 
     bitmap = bloom_bitmap(
-        corpus, F.md5(F.col("text")), m_bits=1 << 16, k=4, tag="bloomnov"
+        corp_dg, F.col("__dg"), m_bits=1 << 16, k=4, tag="bloomnov"
     )
     flagged = bloom_might_contain(
         newb, bitmap, "doc_id", F.col("__dg"), m_bits=1 << 16, k=4, tag="bloomnov"
     )
-    corp_dg = corpus.select(F.md5("text").alias("__dg")).distinct()
     exact = (
         newb.join(corp_dg, "__dg", "left_semi")
         .select("doc_id")

@@ -282,12 +282,20 @@ def a_ips_snips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("action"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("r_cents"),
     )
-    prop = ev.groupBy("action").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    glob = prop.agg(F.sum("cnt").cast("long").alias("n"))
-    ba = ev.groupBy("bucket", "action").agg(
-        F.count(F.lit(1)).cast("long").alias("n_ba"),
-        F.sum("r_cents").cast("long").alias("sum_ba"),
+    # ONE scan of events: the (bucket, action) rollup is pinned (tiny —
+    # |buckets|x|actions| rows) and the propensity counts, global total
+    # and behavior-policy reward sum all re-aggregate it instead of
+    # re-scanning the data (the unpinned form read events once per branch)
+    ba = (
+        ev.groupBy("bucket", "action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ba"),
+            F.sum("r_cents").cast("long").alias("sum_ba"),
+        )
+        .localCheckpoint(eager=False)
     )
+    prop = ba.groupBy("action").agg(F.sum("n_ba").cast("long").alias("cnt"))
+    glob = prop.agg(F.sum("cnt").cast("long").alias("n"))
     win = Window.partitionBy("bucket").orderBy(
         (F.col("sum_ba").cast("double") / F.col("n_ba")).desc(),
         F.col("action").asc(),
@@ -330,7 +338,7 @@ def a_ips_snips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sw2"),
         F.sum("n_matched").cast("long").alias("total_matched"),
     )
-    beh = ev.agg(F.sum("r_cents").cast("long").alias("gsum"))
+    beh = ba.agg(F.sum("sum_ba").cast("long").alias("gsum"))
     return (
         matched.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(glob))
