@@ -271,10 +271,15 @@ _MINSUP_FRAC = 0.005
 def a_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # pins: b has three consumers (n, L1, the pruned frame), bf five
+    # (both sides of the pair join + three sides of the triple join), and
+    # n is referenced by every level's filter — unpinned, the
+    # join+distinct basket subtree re-executed once per consumer
     b = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = b.agg(
         F.countDistinct("oid").cast("long").alias("nb"),
@@ -282,7 +287,7 @@ def a_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2).cast("long"),
             F.floor(F.countDistinct("oid") * _MINSUP_FRAC).cast("long"),
         ).alias("ms"),
-    )
+    ).localCheckpoint(eager=False)
     # L1: frequent items
     l1 = (
         b.groupBy("item")
@@ -291,7 +296,9 @@ def a_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s1") >= F.col("ms"))
         .select("item")
     )
-    bf = b.join(F.broadcast(l1), "item")  # items pruned to L1
+    bf = b.join(F.broadcast(l1), "item").localCheckpoint(
+        eager=False
+    )  # items pruned to L1
     # L2: frequent pairs
     x = bf.select(F.col("oid"), F.col("item").alias("ia"))
     y = bf.select(F.col("oid"), F.col("item").alias("ib"))

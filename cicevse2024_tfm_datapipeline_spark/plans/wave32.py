@@ -193,10 +193,18 @@ def ml_gbm_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(side, F.col("y")).otherwise(0)).cast("long").alias("syl"),
         )
     )
+    # the tiny frames between rounds are PINNED (lazy localCheckpoint):
+    # the argmax ladder joins its input against three of its own
+    # aggregates (2^3 copies of the subtree in the logical plan), and
+    # round 2 embeds round 1's best — unpinned, the plan grows
+    # multiplicatively and Catalyst analysis alone cost ~7 s while the
+    # round-1 scan re-executed once per copy. Each pin is a <=19-row
+    # frame; the boosting scans run once per round, as designed.
     cand1v = (
         cand1.crossJoin(F.broadcast(glob))
         .filter((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
         .withColumn("gain1", F.expr(_GAIN1))
+        .localCheckpoint(eager=False)
     )
 
     def argmax(df: DataFrame, gain: str) -> DataFrame:
@@ -216,7 +224,7 @@ def ml_gbm_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_F0).alias("f0"),
         F.expr(_G1L).alias("g1l"),
         F.expr(_G1R).alias("g1r"),
-    )
+    ).localCheckpoint(eager=False)
     l1 = F.expr(_SIDE1)
     cand2 = (
         li.crossJoin(F.broadcast(best1))
@@ -235,13 +243,14 @@ def ml_gbm_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sr2l", F.expr(_SR2L))
         .withColumn("sr2r", F.expr(_SR2R))
         .withColumn("gain2", F.expr(_GAIN2))
+        .localCheckpoint(eager=False)
     )
     best2 = argmax(cand2v, "gain2").select(
         F.col("feat").alias("bf2"),
         F.col("thr").alias("bt2"),
         F.expr(_G2L).alias("g2l"),
         F.expr(_G2R).alias("g2r"),
-    )
+    ).localCheckpoint(eager=False)
     model = best1.crossJoin(best2)
     fin = (
         li.crossJoin(F.broadcast(model))
