@@ -1705,11 +1705,13 @@ def dedup_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # digest once, drop text immediately: both corpus branches (bloom
-    # build + exact-dup audit) read the pinned DISTINCT digest frame
-    # (idempotent insertion makes the bloom over distinct digests the
-    # identical bitmap), and both new-side consumers (probe + exact
-    # semi-join) read the pinned digest projection — the text column is
-    # md5'd exactly once per side instead of once per branch
+    # build + exact-dup audit) read the pinned DISTINCT digest frame —
+    # idempotent insertion makes the bloom over distinct digests the
+    # identical bitmap, and the pin stops the corpus text scan + distinct
+    # from running once per branch. The new side stays unpinned: its two
+    # consumers re-run only a projected scan of the (small) new slice,
+    # cheaper than a checkpoint at any scale where the new batch is the
+    # minority side.
     docs = t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.md5("text").alias("__dg")
     )
@@ -1719,7 +1721,7 @@ def dedup_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    newb = docs.filter(F.col("doc_id") % 5 == 0).localCheckpoint(eager=False)
+    newb = docs.filter(F.col("doc_id") % 5 == 0)
 
     bitmap = bloom_bitmap(
         corp_dg, F.col("__dg"), m_bits=1 << 16, k=4, tag="bloomnov"
