@@ -115,3 +115,75 @@ def test_sprt_fold_decision_sticky_across_batches():
     assert int(out["decision_code"].iloc[0]) == 1  # sticky accept-H1
     assert int(out["n_to_decision"].iloc[0]) == 1
     assert int(out["n_events"].iloc[0]) == 3
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 1), st.sampled_from("ab")),
+            min_size=1,
+            max_size=40,
+        ),
+        cuts=st.lists(st.integers(1, 39), max_size=4),
+    )
+    def test_episode_fold_split_invariant(data, cuts):
+        """ANY partition of the event sequence into ordered micro-batches
+        must produce the same final (total, detected) as one batch AND as
+        the sequential reference scan."""
+        rows = [(i, i, y, p) for i, (y, p, _) in enumerate(data)]
+        bounds = sorted({c for c in cuts if c < len(rows)})
+        batches, prev = [], 0
+        for b in bounds + [len(rows)]:
+            if b > prev:
+                batches.append(
+                    pd.DataFrame(rows[prev:b], columns=["ts", "eid", "y", "p"])
+                )
+                prev = b
+        fold = make_episode_fold("g", "ts", "eid", "y", "p")
+        out, _ = _drive(fold, batches)
+        y = [r[2] for r in rows]
+        p = [r[3] for r in rows]
+        exp_total, exp_det = _ref_episodes(y, p)
+        assert int(out["episodes_total"].iloc[0]) == exp_total
+        assert int(out["episodes_detected"].iloc[0]) == exp_det
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        llrs=st.lists(st.integers(-4, 4), min_size=1, max_size=40),
+        cuts=st.lists(st.integers(1, 39), max_size=4),
+        bound=st.integers(3, 9),
+    )
+    def test_sprt_fold_split_invariant(llrs, cuts, bound):
+        """SPRT first-crossing statistics must be invariant to micro-batch
+        boundaries: any ordered split equals the sequential fold."""
+        rows = [(i, i, v) for i, v in enumerate(llrs)]
+        bounds = sorted({c for c in cuts if c < len(rows)})
+        batches, prev = [], 0
+        for b in bounds + [len(rows)]:
+            if b > prev:
+                batches.append(pd.DataFrame(rows[prev:b], columns=["ts", "eid", "llr"]))
+                prev = b
+        fold = make_sprt_fold("g", "ts", "eid", "llr", bound, -bound)
+        out, _ = _drive(fold, batches)
+        # sequential reference
+        cum, dec, n_to, llr_at = 0, 0, 0, 0
+        for i, v in enumerate(llrs):
+            cum += v
+            if dec == 0 and (cum >= bound or cum <= -bound):
+                dec = 1 if cum >= bound else -1
+                n_to, llr_at = i + 1, cum
+        assert int(out["n_events"].iloc[0]) == len(llrs)
+        assert int(out["decision_code"].iloc[0]) == dec
+        assert int(out["n_to_decision"].iloc[0]) == n_to
+        assert int(out["llr_at"].iloc[0]) == llr_at
