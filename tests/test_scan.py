@@ -231,3 +231,33 @@ def test_sessionize_fill_multi_super_group(spark, super_size, monkeypatch):
     out = sessionize.mark_episodes(df, ["idx"], "y", "ep", out_col="episode")
     got = {r["idx"]: r["episode"] for r in out.collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("super_size", [1, 3, 1024])
+def test_prev_nonempty_value_with_pid_gaps(spark, super_size, monkeypatch):
+    """prev_nonempty_value must return the nearest STRICTLY-earlier PID's
+    value across empty-bucket gaps and super-group boundaries, and NULL
+    for the first non-empty bucket."""
+    from pyspark.sql import functions as F
+
+    from cicevse2024_tfm_datapipeline_spark.operators import scan
+
+    monkeypatch.setattr(scan, "SUPER", super_size)
+    # sparse PIDs with gaps (empty range partitions leave holes)
+    pids = [0, 2, 3, 7, 11, 12, 20]
+    rows = [(p, f"v{p}") for p in pids]
+    frame = spark.createDataFrame(rows, [scan.PID, "val"])
+    out = {
+        r[scan.PID]: r["prev"]
+        for r in scan.prev_nonempty_value(frame, "val", "prev").collect()
+    }
+    want = {0: None, 2: "v0", 3: "v2", 7: "v3", 11: "v7", 12: "v11", 20: "v12"}
+    assert out == want
+
+
+def test_prev_nonempty_value_single_bucket(spark):
+    from cicevse2024_tfm_datapipeline_spark.operators import scan
+
+    frame = spark.createDataFrame([(5, "only")], [scan.PID, "val"])
+    got = scan.prev_nonempty_value(frame, "val", "prev").collect()
+    assert len(got) == 1 and got[0]["prev"] is None
