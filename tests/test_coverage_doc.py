@@ -48,3 +48,38 @@ def test_coverage_doc_names_resolve():
     # conservative final filter: must appear in a table row
     stale = {n for n in stale if re.search(rf"\|[^|\n]*\b{n}\b", text)}
     assert not stale, f"COVERAGE.md cites unknown queries: {sorted(stale)}"
+
+
+def test_driver_window_contract():
+    """The driver verifies the FIRST 50 entries of queries(): the
+    priority prefix must be exactly 50 registered, duplicate-free names,
+    every one carrying a DuckDB oracle (a rows-only query in the window
+    would burn a certification slot on a weaker check)."""
+    from cicevse2024_tfm_datapipeline_spark import plans
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    qs = load_all()
+    prio = plans._PRIORITY
+    assert len(prio) == 50
+    assert len(set(prio)) == 50, "duplicate name in _PRIORITY"
+    missing = [n for n in prio if n not in qs]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    window = list(qs)[:50]
+    assert window == [n for n in prio if n in qs]
+    no_oracle = [n for n in window if qs[n].oracle is None]
+    assert not no_oracle, f"window entries without oracle: {no_oracle}"
+
+
+def test_rotation_plans_resolve():
+    """Names queued for future windows (_R06_PLAN/_R07_PLAN) must exist —
+    a typo would silently shrink a future certification window."""
+    from cicevse2024_tfm_datapipeline_spark import plans
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    registry = set(load_all())
+    for plan_name in ("_R06_PLAN", "_R07_PLAN"):
+        plan = getattr(plans, plan_name, None)
+        if plan is None:
+            continue
+        missing = [n for n in plan if n not in registry]
+        assert not missing, f"{plan_name} names not registered: {missing}"
