@@ -199,7 +199,8 @@ def windows_via_pandas(
     import pandas as pd
 
     feat = list(features)
-    out_fields = [f"{c} string" for c in group_cols]
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_fields = [f"{c} {in_types[c]}" for c in group_cols]
     out_fields.append("window_id long")
     out_fields += [f"{f}_seq array<double>" for f in feat]
     if label_col is not None:
@@ -210,7 +211,12 @@ def windows_via_pandas(
         pdf = pdf.sort_values([time_col, tiebreak_col], kind="mergesort")
         n = len(pdf)
         if n < seq_len:
-            return pd.DataFrame({f.split(" ")[0]: [] for f in out_fields})
+            # object dtype, not the default float64: Arrow cannot convert
+            # an empty float64 ndarray to list<double>, so a short group
+            # (n < seq_len) would crash the whole job otherwise
+            return pd.DataFrame(
+                {f.split(" ")[0]: pd.Series([], dtype=object) for f in out_fields}
+            )
         starts = np.arange(0, n - seq_len + 1, step)
         data: dict[str, object] = {c: pdf[c].iloc[0] for c in group_cols}
         rows = {c: [data[c]] * len(starts) for c in group_cols}

@@ -62,103 +62,48 @@ _MODULES = [
     "wave41",
 ]
 
-# Verification-priority prefix for round 5 (the driver verifies the FIRST
+# Verification-priority prefix for round 6 (the driver verifies the FIRST
 # 50 entries of ``queries()`` each round — exactly 50 rows in every
 # CORRECTNESS_r0x.json so far).
 #
-# Rotation state after r04: 173 of 334 registered queries hold an official
-# driver row (r01∪r02∪r03∪r04, zero regressions ever); 149 oracled queries
-# have only local selfcheck evidence. Per the r04 verdict, round 5 FREEZES
-# registry growth and spends 46 of the 50 slots on never-driven queries:
-#   1. the round-4 headline claims and bench-roster members with no
-#      official row (IRLS, GBM stumps, DSIR, DoReMi, Fellegi–Sunter,
-#      SRP-LSH, BH-FDR, ml_surrogate_inputs, the two new streaming
-#      operators, IPS/SNIPS, ridge) — verdict items 1/4/5;
-#   2. the remaining wave-21-41 additions in r05-plan order, keeping the
-#      NEW-r4 storage claims (CSV quarantine, dynamic partition overwrite,
-#      bitemporal as-of) inside the window;
-#   3. anchors: the keystone W1 chain, LSH pairs, one streaming query
-#      (rotated to the session window this round), and TPC-H Q1 (benched
-#      every round; green r01).
+# Rotation state after r05: 219 of 334 registered queries hold an official
+# driver row (r01∪...∪r05, zero regressions ever); 103 oracled queries have
+# only local selfcheck evidence. Per the r05 verdict (item 1), round 6
+# executes the written _R06_PLAN: registry stays FROZEN, and the 46
+# non-anchor slots are the FIRST 46 names of the r05-committed _R06_PLAN —
+#   1. the wave-38 stats battery displaced from the r05 window
+#      (Cramér's V, VIF, Theil–Sen, two-way ANOVA);
+#   2. the remaining wave-2x/3x/4x text/sim/dedup/sampling tail
+#      (sorted-neighborhood, contamination fraction, CCNet buckets,
+#      Gopher rules, novelty-vs-train, hard negatives, PQ audit,
+#      epoch allocation, source-overlap matrix, ...). This block also
+#      re-drives `a_peak_concurrency` whose exclusive-end tiebreak changed
+#      in r05 (ADVICE item 3 — official row must reflect new semantics);
+#   3. the r03 backlog: calibration/ECE, winsorize, MAD, CUBE/GROUPING
+#      SETS, funnel/cohort, salted skew join, LSH triangles;
+#   4. anchors: the keystone W1 chain, LSH pairs, one streaming query,
+#      and TPC-H Q1 (benched every round; green r01–r05).
 #
-# ROTATION SCHEDULE (updated start of round 5):
-#   r06 window: the FIRST 46 names of _R06_PLAN below (wave-38 stats
-#     battery displaced from r05, the remaining wave-2x text/sim/dedup
-#     tail, then the r03 backlog: calibration/ECE, winsorize, MAD,
-#     CUBE/GROUPING SETS, ml_* relational algebra, funnel/cohort) +
-#     anchors.
-#   r07 window: the final never-driven residue in _R07_PLAN (skyline,
-#     sliding-distinct, except-all, RLE, MWU, time-weighted avg,
-#     mm_*/udtf rows-only re-drives) + anchors; thereafter windows return
-#     to anchor rotation.
+# ROTATION SCHEDULE (updated start of round 6):
+#   r07 window: the FIRST 46 names of _R07_PLAN below (the _R06_PLAN tail
+#     that did not fit this round — window-rank battery, gap-fill, kNN,
+#     GROUPING SETS, unpivot, BPE fertility, k-means, PCA, Markov,
+#     clustering coefficient, ... — then the original r07 residue:
+#     skyline, sliding-distinct, except-all, RLE, MWU) + anchors.
+#   r08 window: the final never-driven residue (the trailing _R07_PLAN
+#     names incl. the mm_*/udtf rows-only re-drives, which record
+#     `no_oracle` rows — still the official "ran, rows stable" evidence
+#     the ledger lacks) + anchors; thereafter windows return to anchor
+#     rotation.
 # Names not listed keep registration order after the prefix. A name listed
 # here but not registered is ignored (guards against typos breaking load).
 _PRIORITY = [
-    # --- block 1: round-4 headline claims + bench-roster members with no
-    # official driver row (r04 verdict items 1, 4 and 5) ---
-    "ml_logreg_irls_two_rounds",
-    "ml_gbm_two_stumps",
-    "sample_dsir_importance",
-    "sample_doremi_weights",
-    "j_fellegi_sunter_linkage",
-    "sim_srp_lsh_pairs",
-    "a_benjamini_hochberg_fdr",
-    "ml_surrogate_inputs",
-    "stream_lsh_collisions",
-    "stream_sprt_decisions",
-    "a_ips_snips_offpolicy",
-    "ml_ridge_closed_form",
-    # --- block 2: remaining wave-21-41 never-driven queries ---
-    "ml_naive_bayes_classify",
-    "j_feature_store_pit_matrix",
-    "ml_kmeanspp_seeding",
-    "sim_ranking_metrics",
-    "p_k_anonymity_audit",
-    "f_target_encoding_loo",
-    "a_sprt_boundary_crossing",
-    "a_pinball_loss_quantile_eval",
-    "a_mmd_linear_two_sample",
-    "a_mann_kendall_trend",
-    "f_binned_woe_iv",
-    "dedup_blocking_quality_audit",
-    "a_lift_gain_curves",
-    "a_rfm_segmentation",
-    "a_apriori_triples",
-    "text_kneser_ney_bigram",
-    "a_empirical_bayes_shrinkage",
-    "a_classical_decomposition",
-    "a_att_subclassification",
-    "a_cross_correlation_lags",
-    "sim_mips_norm_reduction",
-    "a_quantile_treatment_effect",
-    "text_bleu2_near_pairs",
-    "a_logrank_test",
-    "a_sequential_patterns",
-    "a_dau_mau_stickiness",
-    "a_iv_wald_estimator",
-    "g_kcore_two_rounds",
-    "text_dedup_threshold_curve",
-    "a_fairness_parity_audit",
-    "text_lexical_diversity",
-    "s18_csv_quarantine_permissive",
-    "s19_dynamic_partition_overwrite",
-    "w_bitemporal_asof",
-    # --- block 3: green anchors (keystone, dedup, streaming, TPC-H) ---
-    "w1_chrono_split_counts",
-    "dedup_minhash_lsh_pairs",
-    "stream_session_window",
-    "tpch_q1_pricing_summary",
-]
-
-# r06 planned window (next never-driven queries, in intended order; the
-# first 46 become _PRIORITY next round, the tail yields to r07).
-_R06_PLAN = [
-    # --- wave-38 stats battery displaced from the r05 window ---
+    # --- block 1: wave-38 stats battery (displaced from r05) ---
     "a_cramers_v_matrix",
     "a_vif_multicollinearity",
     "a_theil_sen_slope",
     "a_two_way_anova",
-    # --- remaining wave-2x/3x/4x additions ---
+    # --- block 2: remaining wave-2x/3x/4x additions ---
     "a_association_rules",
     "text_novelty_vs_train",
     "sample_holdout_stability",
@@ -180,7 +125,7 @@ _R06_PLAN = [
     "dedup_source_overlap_matrix",
     "sample_neyman_allocation",
     "a_mutual_information_ranking",
-    # --- carried over from the r03 backlog ---
+    # --- block 3: r03 backlog ---
     "j_salted_skew_join",
     "a_cohort_weekly_retention",
     "g_triangle_count_lsh",
@@ -202,6 +147,19 @@ _R06_PLAN = [
     "dedup_edit_distance_verify",
     "pack_length_bucketing",
     "a_time_rollup_hierarchy",
+    # --- block 4: green anchors (keystone, dedup, streaming, TPC-H) ---
+    "w1_chrono_split_counts",
+    "dedup_minhash_lsh_pairs",
+    "stream_session_window",
+    "tpch_q1_pricing_summary",
+]
+
+# r07 planned window (next never-driven queries, in intended order; the
+# first 46 become _PRIORITY next round, the tail yields to r08). The head
+# is the _R06_PLAN tail that did not fit in the 46-slot r06 window; the
+# tail is the original r07 residue.
+_R07_PLAN = [
+    # --- _R06_PLAN tail (displaced from the r06 window) ---
     "w_window_rank_battery",
     "w_gap_fill_interpolate",
     "ml_knn_classify",
@@ -227,11 +185,7 @@ _R06_PLAN = [
     "g_clustering_coefficient",
     "text_pmi_collocations",
     "dedup_mutual_best_match",
-]
-
-# r07 planned window (final never-driven residue; mm_* / udtf re-drives
-# are rows-only by nature and close the official sweep).
-_R07_PLAN = [
+    # --- original r07 residue ---
     "a_trending_keys",
     "u_except_all_counts",
     "a_seasonality_heatmap",

@@ -25,13 +25,45 @@ _NO_TS = -(2**62)
 
 def _order_key_i64(series):
     """Canonical int64 order key for either a long or a timestamp column
-    (cross-batch ordering enforcement in the stateful folds)."""
+    (cross-batch ordering enforcement in the stateful folds).
+
+    Hardened per the r05 advisory: tz-aware datetimes are normalized to
+    UTC-naive before the int64 cast (a direct tz-aware→datetime64[us]
+    astype is a TypeError in pandas 2.x), and null keys raise a clear
+    contract error instead of surfacing as an opaque cast failure.
+    Spark hands pandas UDFs tz-naive timestamps today, so the tz branch
+    is defensive — but session-tz handling is configurable, and the fold
+    must not silently misorder if that changes."""
     import numpy as np
     import pandas as pd
 
+    if series.isna().any():
+        raise ValueError(
+            f"ordering key column {series.name!r} contains nulls — the "
+            "stateful-fold ordering contract requires non-null keys"
+        )
     if pd.api.types.is_datetime64_any_dtype(series):
+        if getattr(series.dtype, "tz", None) is not None:
+            series = series.dt.tz_convert("UTC").dt.tz_localize(None)
         return series.astype("datetime64[us]").astype("int64").to_numpy()
     return series.to_numpy(dtype=np.int64)
+
+
+def _buffer_sorted_batch(pdf_iter, ts_col: str, tiebreak_col: str):
+    """Concatenate ALL Arrow chunks of a micro-batch and totally sort
+    once (r05 advisory): per-chunk sorting made the cross-batch ordering
+    check raise on a large group split across chunks in non-sorted chunk
+    order, even when the batch as a whole was sortable. Memory is bounded
+    by the group's rows within ONE micro-batch — the same bound
+    applyInPandasWithState already implies for per-group state handling.
+    Returns None for an empty batch."""
+    import pandas as pd
+
+    frames = [p for p in pdf_iter if len(p)]
+    if not frames:
+        return None
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    return pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
 
 
 def read_events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
@@ -227,11 +259,12 @@ def stateful_episode_counts(
     including a trailing open episode.
 
     Ordering contract (ENFORCED): rows must arrive in event-time order
-    ACROSS batches (within a batch they are sorted here); production
-    sources need watermark-ordered replay or a session-gap timeout
-    design. Like sprt_decision_state, the fold carries the last folded
-    (ts, tiebreak) in state and raises on a cross-batch regression
-    instead of silently over/under-counting episodes.
+    ACROSS batches; WITHIN a batch all Arrow chunks are buffered and
+    totally sorted before folding, so chunk arrival order is irrelevant.
+    Production sources need watermark-ordered replay or a session-gap
+    timeout design. Like sprt_decision_state, the fold carries the last
+    folded (ts, tiebreak) in state and raises on a cross-batch
+    regression instead of silently over/under-counting episodes.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -262,12 +295,10 @@ def make_episode_fold(
             last_ts, last_tb = None, None
         if last_ts == _NO_TS:
             last_ts, last_tb = None, None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        pdf = _buffer_sorted_batch(pdf_iter, ts_col, tiebreak_col)
+        if pdf is not None:
             y = pdf[y_true_col].to_numpy(dtype=np.int64)
             p = pdf[y_pred_col].to_numpy(dtype=np.int64)
-            if len(y) == 0:
-                continue
             tsv = _order_key_i64(pdf[ts_col])
             tbv = pdf[tiebreak_col].to_numpy(dtype=np.int64)
             if last_ts is not None and (int(tsv[0]), int(tbv[0])) < (last_ts, last_tb):
@@ -343,15 +374,16 @@ def sprt_decision_state(
     windowed-cumsum SQL.
 
     Ordering contract (ENFORCED): events must arrive in global
-    (ts, tiebreak) order ACROSS micro-batches — the sort inside the fold
-    only totalizes order WITHIN a batch, so a later batch delivering a
-    row that sorts before the previous batch's last row would silently
-    shift the first-crossing readout. The fold carries the last folded
-    (ts, tiebreak) in state and raises on any cross-batch regression
-    instead of producing a wrong decision. Single-file sources (the
-    `_events_stream` shape: one parquet file = one batch) satisfy the
-    contract trivially; multi-file delivery must be time-partitioned in
-    file order.
+    (ts, tiebreak) order ACROSS micro-batches — the buffered total sort
+    inside the fold only totalizes order WITHIN a batch (all Arrow
+    chunks concatenated, so chunk arrival order is irrelevant), but a
+    later batch delivering a row that sorts before the previous batch's
+    last row would silently shift the first-crossing readout. The fold
+    carries the last folded (ts, tiebreak) in state and raises on any
+    cross-batch regression instead of producing a wrong decision.
+    Single-file sources (the `_events_stream` shape: one parquet file =
+    one batch) satisfy the contract trivially; multi-file delivery must
+    be time-partitioned in file order.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -390,11 +422,9 @@ def make_sprt_fold(
             last_ts, last_tb = None, None
         if last_ts == _NO_TS:
             last_ts, last_tb = None, None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        pdf = _buffer_sorted_batch(pdf_iter, ts_col, tiebreak_col)
+        if pdf is not None:
             llr = pdf[llr_col].to_numpy(dtype=np.int64)
-            if len(llr) == 0:
-                continue
             tsv = _order_key_i64(pdf[ts_col])
             tbv = pdf[tiebreak_col].to_numpy(dtype=np.int64)
             if last_ts is not None and (int(tsv[0]), int(tbv[0])) < (last_ts, last_tb):

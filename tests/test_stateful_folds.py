@@ -106,6 +106,61 @@ def test_sprt_fold_rejects_out_of_order_batches():
         list(fold((7,), iter([_sprt_batch([(12, 1, 1)])]), state))
 
 
+def test_episode_fold_buffers_out_of_order_chunks_within_batch():
+    """r05 advisory: a batch split across Arrow chunks in non-sorted
+    chunk order must fold correctly (full-batch buffer + sort), not raise
+    — only CROSS-batch regressions violate the contract."""
+    fold = make_episode_fold("g", "ts", "eid", "y", "p")
+    y = [0, 1, 1, 0, 1, 0]
+    p = [0, 0, 1, 0, 1, 0]
+    rows = [(i, i, y[i], p[i]) for i in range(len(y))]
+    # later-sorting chunk delivered FIRST within the same micro-batch
+    chunks = [_episode_batch(rows[3:]), _episode_batch(rows[:3])]
+    state = FakeState()
+    out = list(fold((7,), iter(chunks), state))[-1]
+    exp_total, exp_det = _ref_episodes(y, p)
+    assert int(out["episodes_total"].iloc[0]) == exp_total
+    assert int(out["episodes_detected"].iloc[0]) == exp_det
+    # and a subsequent regressing batch still raises
+    with pytest.raises(ValueError, match="ordering contract"):
+        list(fold((7,), iter([_episode_batch([(0, 99, 1, 0)])]), state))
+
+
+def test_sprt_fold_buffers_out_of_order_chunks_within_batch():
+    fold = make_sprt_fold("g", "ts", "eid", "llr", 5, -5)
+    llrs = [2, 2, 2, -1, 3, 3]
+    rows = [(i, i, llrs[i]) for i in range(len(llrs))]
+    chunks = [_sprt_batch(rows[2:]), _sprt_batch(rows[:2])]
+    out, _ = _drive_chunks(fold, chunks)
+    assert int(out["decision_code"].iloc[0]) == 1
+    assert int(out["n_to_decision"].iloc[0]) == 3
+    assert int(out["llr_at"].iloc[0]) == 6
+
+
+def _drive_chunks(fold, chunks, state=None):
+    state = state or FakeState()
+    out = list(fold((7,), iter(chunks), state))[-1]
+    return out, state
+
+
+def test_order_key_tz_aware_and_nulls():
+    """r05 advisory: tz-aware timestamps must normalize (not TypeError);
+    null order keys must raise a clear contract error."""
+    from cicevse2024_tfm_datapipeline_spark.streaming.stream_ops import (
+        _order_key_i64,
+    )
+
+    tz = pd.Series(pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"])).dt.tz_localize(
+        "US/Eastern"
+    )
+    keys = _order_key_i64(tz)
+    assert keys[1] - keys[0] == 3_600_000_000  # one hour in microseconds
+    naive = tz.dt.tz_convert("UTC").dt.tz_localize(None)
+    assert (_order_key_i64(naive) == keys).all()
+    with pytest.raises(ValueError, match="contains nulls"):
+        _order_key_i64(pd.Series([1.0, None], name="ts"))
+
+
 def test_sprt_fold_decision_sticky_across_batches():
     fold = make_sprt_fold("g", "ts", "eid", "llr", 3, -3)
     out, _ = _drive(

@@ -52,6 +52,32 @@ def test_windows_via_pandas_matches_frame_variant(spark):
     assert pa == pb
 
 
+def test_windows_via_pandas_short_group_and_nonstring_keys(spark):
+    """Regression (found by tools/w3_tensor_probe.py): a group shorter
+    than seq_len returned an empty frame with default float64 columns,
+    which Arrow cannot convert to list<double> — crashing the whole job;
+    and the output schema hard-coded group cols as string, so integer
+    group keys (events.user_id) failed the Arrow type check."""
+    import datetime
+
+    from cicevse2024_tfm_datapipeline_spark.operators.windows import (
+        windows_via_pandas,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (g, base + datetime.timedelta(seconds=i), i, float(i))
+        for g in (1, 2)
+        for i in range(6 if g == 1 else 2)  # group 2 is shorter than seq_len
+    ]
+    df = spark.createDataFrame(rows, ["gid", "ts", "rid", "x"])
+    out = windows_via_pandas(df, ["gid"], "ts", "rid", ["x"], seq_len=4, step=1)
+    got = out.collect()
+    assert {r["gid"] for r in got} == {1}  # short group contributes nothing
+    assert len(got) == 3  # windows [0..3],[1..4],[2..5]
+    assert dict(out.dtypes)["gid"] == "bigint"  # key type preserved
+
+
 def test_standardizer_population_std(spark):
     from cicevse2024_tfm_datapipeline_spark.operators.windows import (
         apply_standardizer,
