@@ -193,7 +193,17 @@ def windows_via_pandas(
     """W3 fallback via applyInPandas: per-group contiguous windowing with
     NumPy stride tricks. Same output contract as :func:`sliding_windows`
     (arrays per feature). Preferred when seq_len is large enough that
-    ``collect_list`` frame re-evaluation dominates.
+    ``collect_list`` frame re-evaluation dominates — measured crossover at
+    seq_len ≈ 100 for ~70 channels (SCALE.md "W3 tensor-path probe");
+    below that the JVM variant wins at every data size.
+
+    Scale caveat: applyInPandas materializes each GROUP as one pandas
+    frame in executor memory. Use only where groups are bounded by
+    construction (the reference's per-(attack, state, split) series are);
+    for unbounded groups pre-split the key (e.g. add a coarse time bucket
+    with seq_len-1 rows of overlap) or stay on :func:`sliding_windows`,
+    whose window frames stream through the JVM without per-group
+    materialization.
     """
     import numpy as np
     import pandas as pd
@@ -204,7 +214,8 @@ def windows_via_pandas(
     out_fields.append("window_id long")
     out_fields += [f"{f}_seq array<double>" for f in feat]
     if label_col is not None:
-        out_fields.append("window_label string")
+        # same contract as sliding_windows: the label keeps its input type
+        out_fields.append(f"window_label {in_types[label_col]}")
     schema = ", ".join(out_fields)
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -226,7 +237,7 @@ def windows_via_pandas(
             rows[f"{f}_seq"] = [vals[s : s + seq_len].tolist() for s in starts]
         if label_col is not None:
             lab = pdf[label_col].to_numpy()
-            rows["window_label"] = [str(lab[s + seq_len - 1]) for s in starts]
+            rows["window_label"] = [lab[s + seq_len - 1] for s in starts]
         return pd.DataFrame(rows)
 
     return df.groupBy(*group_cols).applyInPandas(per_group, schema=schema)

@@ -80,8 +80,13 @@ BENIGN_EVENTS = ("view", "click")
 CHARGING_THRESHOLD = 100.0
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def t(spark: SparkSession, sf_dir: str, name: str, wide: bool = False) -> DataFrame:
+    """``wide=True`` opts into the split-starved-scan mitigation
+    (sources/readers._unstarve) — ONLY for plans whose pre-shuffle narrow
+    stage is CPU-dense (shingle explosion, pairwise verify); everything
+    else keeps the fused single-stage scan, which measures faster for
+    light per-row work."""
+    return load_table(spark, sf_dir, name, wide=wide)
 
 
 def power_view(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -167,7 +167,9 @@ def _band_sql() -> str:
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    # wide=True: the minhash signature computation (shingle + 8 hash
+    # folds per doc) is the CPU-dense narrow stage
+    docs = t(spark, sf_dir, "documents", wide=True)
     return lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
 
 
@@ -1315,7 +1317,8 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_sample_n,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # wide=True: quality scoring tokenizes the full corpus pre-shuffle
+    docs = t(spark, sf_dir, "documents", wide=True)
     toks = tokens_expr("text")
     scored = docs.select(
         "doc_id",
@@ -1975,7 +1978,11 @@ def pipeline_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         fuzzy_dedup_survivors,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text", "n_chars")
+    # wide=True: every stage below (minhash signatures, shingle explode,
+    # containment check) is CPU-dense pre-shuffle work (4.5 → 2.2 s)
+    docs = t(spark, sf_dir, "documents", wide=True).select(
+        "doc_id", "source", "text", "n_chars"
+    )
     base = docs.filter(F.col("n_chars") >= 150)
     train = base.filter(F.col("doc_id") % 10 != 0)
     evalb = base.filter(F.col("doc_id") % 10 == 0)
@@ -2151,7 +2158,8 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.operators.dedup import duplicate_spans
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # wide=True: the k-token rolling-shingle explode is CPU-dense
+    docs = t(spark, sf_dir, "documents", wide=True).select("doc_id", "text")
     spans = duplicate_spans(docs, "text", "doc_id", k=5, min_occurrences=2)
     return spans.groupBy(F.col("span_tokens").cast("long").alias("span_tokens")).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),

@@ -301,7 +301,9 @@ def dedup_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles_expr,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # wide=True: 3-gram shingling of the full corpus is the CPU-dense
+    # narrow stage (the 4.9x 100x probe ratio was this single-task CPU)
+    docs = t(spark, sf_dir, "documents", wide=True)
     sh = docs.select(
         "doc_id",
         "source",

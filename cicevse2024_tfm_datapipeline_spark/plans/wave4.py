@@ -115,7 +115,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles_expr,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # wide=True: the tokenize→shingle→explode chain below is the CPU-dense
+    # narrow stage the split-starved-scan mitigation exists for (measured
+    # 4.8 → 1.9 s at sf0.1; the later repartition only parallelizes what
+    # comes AFTER the explode)
+    docs = t(spark, sf_dir, "documents", wide=True)
     # shingle strings collapse to 60-bit md5-prefix BIGINTs (same mapping
     # in the oracle) BEFORE any shuffle: every downstream join/window key
     # moves 8 bytes instead of a 3-word string. A collision would merge

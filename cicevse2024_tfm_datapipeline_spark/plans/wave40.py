@@ -84,10 +84,16 @@ _RULE_MINCONF = 0.17
 def a_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # pin the basket frame: FOUR consumers (n, items, and both sides of
+    # the pair self-join) — unpinned, the scan+join+distinct subtree
+    # re-executed per branch (15 parquet scans / 18 exchanges observed in
+    # the executed plan at sf0.1), the round-5 multi-consumer root cause.
+    # One materialization of the narrow (oid, item) frame serves all four.
     b = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = b.agg(
         F.countDistinct("oid").cast("long").alias("nb"),
@@ -202,7 +208,8 @@ def text_novelty_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles_expr,
     )
 
-    d = t(spark, sf_dir, "documents").select(
+    # wide=True: 3-gram shingling of the full corpus pre-shuffle
+    d = t(spark, sf_dir, "documents", wide=True).select(
         "doc_id",
         "source",
         word_shingles_expr(tokens_expr("text"), 3).alias("shingles"),

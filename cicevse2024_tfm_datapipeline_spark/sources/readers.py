@@ -43,9 +43,71 @@ def _nano_ts_columns(path: str) -> list[str]:
 
 _NANO_CACHE: dict[str, list[str]] = {}
 
+#: below this byte size a split-starved scan is left alone: the
+#: repartition's shuffle would cost more than the serial scan saves, and
+#: small frames are broadcast-join candidates where an extra exchange on
+#: the build side is pure loss (keeps region/nation/supplier/part/customer
+#: unshuffled at every SF).
+_UNSTARVE_MIN_BYTES = 512 << 10
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+_SPLIT_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _file_splits(path: str) -> tuple[int, int]:
+    """(byte size, parquet row-group count) from the footer — driver-side,
+    cached, no data scan. Row groups bound the scan's REAL parallelism:
+    Spark's byte-range splits assign each row group to the split holding
+    its midpoint, so a single-row-group file is one task no matter how
+    many splits planning creates."""
+    if path not in _SPLIT_CACHE:
+        size = os.path.getsize(path)
+        try:
+            import pyarrow.parquet as pq
+
+            groups = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:  # noqa: BLE001 — treat as unsplittable
+            groups = 1
+        _SPLIT_CACHE[path] = (size, groups)
+    return _SPLIT_CACHE[path]
+
+
+def _unstarve(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Split-starved-scan mitigation: when the parquet layout physically
+    caps scan parallelism far below the cluster (single-file single-
+    row-group inputs — the synthetic tables are exactly this), add one
+    round-robin repartition so a CPU-DENSE narrow stage (shingle
+    explosion, per-pair verification) runs wide instead of serializing
+    into one task.
+
+    OPT-IN per query (``load_table(..., wide=True)``), never the loader
+    default: the A/B on the 58-query bench showed it is a tradeoff, not a
+    free win — shingle-heavy plans gain 2.5x (prefix-filter 4.8→1.9 s,
+    fuzzy pipeline 4.5→2.2 s at sf0.1) but every LIGHT query on the same
+    table pays a flat ~+0.3 s (extra exchange + lost scan-stage fusion;
+    their own first shuffle already provides all the parallelism their
+    cheap narrow work needs). The operator that knows its narrow stage is
+    CPU-dense requests width; everything else keeps the fused single-
+    stage scan. Decided entirely driver-side from the footer; at
+    production scale a 100 TB table yields thousands of row-group splits
+    and this is a provable no-op — the branch exists for the long tail
+    of small/badly-written files, which real lakes are full of too."""
+    size, groups = _file_splits(path)
+    if size < _UNSTARVE_MIN_BYTES:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if groups >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, wide: bool = False
+) -> DataFrame:
     """Load one synthetic table. Parquet scan → pushdown-friendly.
+
+    ``wide=True`` requests the split-starved-scan mitigation (see
+    ``_unstarve``) — for plans whose narrow stage is CPU-dense enough
+    that a one-task scan would serialize it.
 
     Nanosecond timestamps are read as long and truncated to microseconds
     with integer division (``div`` — float division would lose precision
@@ -63,7 +125,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+    return _unstarve(spark, df, path) if wide else df
 
 
 # --- S1: power CSV scan (func_aux/func_preproc.py:128-136) -------------

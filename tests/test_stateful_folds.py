@@ -183,6 +183,23 @@ except ImportError:  # pragma: no cover
 
 if _HYP:
 
+    def _chunked(batch, n_chunks, reverse):
+        """Split a micro-batch frame into n Arrow-like chunks, optionally
+        in reversed chunk order — the fold must buffer+sort the whole
+        batch, so chunking/ordering within a batch cannot matter."""
+        if n_chunks <= 1 or len(batch) < 2:
+            return [batch]
+        k = max(1, len(batch) // n_chunks)
+        chunks = [batch.iloc[i : i + k] for i in range(0, len(batch), k)]
+        return list(reversed(chunks)) if reverse else chunks
+
+    def _drive_chunked(fold, batches, n_chunks, reverse):
+        state = FakeState()
+        out = None
+        for batch in batches:
+            out = list(fold((7,), iter(_chunked(batch, n_chunks, reverse)), state))[-1]
+        return out, state
+
     @settings(max_examples=60, deadline=None)
     @given(
         data=st.lists(
@@ -191,10 +208,13 @@ if _HYP:
             max_size=40,
         ),
         cuts=st.lists(st.integers(1, 39), max_size=4),
+        n_chunks=st.integers(1, 3),
+        reverse=st.booleans(),
     )
-    def test_episode_fold_split_invariant(data, cuts):
+    def test_episode_fold_split_invariant(data, cuts, n_chunks, reverse):
         """ANY partition of the event sequence into ordered micro-batches
-        must produce the same final (total, detected) as one batch AND as
+        — each batch delivered as ANY chunking in ANY chunk order — must
+        produce the same final (total, detected) as one batch AND as
         the sequential reference scan."""
         rows = [(i, i, y, p) for i, (y, p, _) in enumerate(data)]
         bounds = sorted({c for c in cuts if c < len(rows)})
@@ -206,7 +226,7 @@ if _HYP:
                 )
                 prev = b
         fold = make_episode_fold("g", "ts", "eid", "y", "p")
-        out, _ = _drive(fold, batches)
+        out, _ = _drive_chunked(fold, batches, n_chunks, reverse)
         y = [r[2] for r in rows]
         p = [r[3] for r in rows]
         exp_total, exp_det = _ref_episodes(y, p)
@@ -218,10 +238,13 @@ if _HYP:
         llrs=st.lists(st.integers(-4, 4), min_size=1, max_size=40),
         cuts=st.lists(st.integers(1, 39), max_size=4),
         bound=st.integers(3, 9),
+        n_chunks=st.integers(1, 3),
+        reverse=st.booleans(),
     )
-    def test_sprt_fold_split_invariant(llrs, cuts, bound):
+    def test_sprt_fold_split_invariant(llrs, cuts, bound, n_chunks, reverse):
         """SPRT first-crossing statistics must be invariant to micro-batch
-        boundaries: any ordered split equals the sequential fold."""
+        boundaries AND to within-batch chunking/chunk order: any ordered
+        split equals the sequential fold."""
         rows = [(i, i, v) for i, v in enumerate(llrs)]
         bounds = sorted({c for c in cuts if c < len(rows)})
         batches, prev = [], 0
@@ -230,7 +253,7 @@ if _HYP:
                 batches.append(pd.DataFrame(rows[prev:b], columns=["ts", "eid", "llr"]))
                 prev = b
         fold = make_sprt_fold("g", "ts", "eid", "llr", bound, -bound)
-        out, _ = _drive(fold, batches)
+        out, _ = _drive_chunked(fold, batches, n_chunks, reverse)
         # sequential reference
         cum, dec, n_to, llr_at = 0, 0, 0, 0
         for i, v in enumerate(llrs):

@@ -71,11 +71,16 @@ def test_windows_via_pandas_short_group_and_nonstring_keys(spark):
         for i in range(6 if g == 1 else 2)  # group 2 is shorter than seq_len
     ]
     df = spark.createDataFrame(rows, ["gid", "ts", "rid", "x"])
-    out = windows_via_pandas(df, ["gid"], "ts", "rid", ["x"], seq_len=4, step=1)
+    out = windows_via_pandas(
+        df, ["gid"], "ts", "rid", ["x"], seq_len=4, step=1, label_col="rid"
+    )
     got = out.collect()
     assert {r["gid"] for r in got} == {1}  # short group contributes nothing
     assert len(got) == 3  # windows [0..3],[1..4],[2..5]
     assert dict(out.dtypes)["gid"] == "bigint"  # key type preserved
+    # label keeps its input type too (was stringified before)
+    assert dict(out.dtypes)["window_label"] == "bigint"
+    assert sorted(r["window_label"] for r in got) == [3, 4, 5]
 
 
 def test_standardizer_population_std(spark):

@@ -38,6 +38,17 @@ FLAGSHIPS = [
     "sample_doremi_weights",
     "j_fellegi_sunter_linkage",
     "g_kcore_two_rounds",
+    # round-6 certification-window tier (heaviest of the r06 driver window
+    # per the sf0.01 selfcheck: candidate-pair / association / triangle
+    # shapes whose cost could in principle track data volume)
+    "a_cramers_v_matrix",
+    "a_association_rules",
+    "dedup_contamination_fraction",
+    "dedup_sorted_neighborhood",
+    "sim_hard_negatives",
+    "g_triangle_count_lsh",
+    "j_salted_skew_join",
+    "a_peak_concurrency",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
