@@ -406,7 +406,8 @@ def dedup_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles_expr,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # wide=True: minhash signatures + shingle verify are CPU-dense
+    docs = t(spark, sf_dir, "documents", wide=True)
     pairs = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
     # orient: doc_a = the even-id side, doc_b = the odd-id side; same-
     # parity candidates (within-half duplicates) are out of scope here

@@ -96,7 +96,8 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles_expr,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # wide=True: minhash signatures + shingle verify are CPU-dense
+    docs = t(spark, sf_dir, "documents", wide=True)
     cand = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
     sh = docs.select(
         "doc_id",

@@ -392,7 +392,8 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles_expr,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # wide=True: the tokenize+shingle explode below is CPU-dense
+    docs = t(spark, sf_dir, "documents", wide=True)
     # array_distinct cuts the partial-agg input per doc; the lazy pin
     # matters more: sh has THREE consumers (per_src + both join sides),
     # and without it the tokenize+explode+distinct subtree — the only
