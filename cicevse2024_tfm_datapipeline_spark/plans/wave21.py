@@ -595,7 +595,15 @@ def stream_lsh_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_completion,
     )
 
-    stream = _documents_stream(spark, sf_dir)
+    # repartition inside the stream: the file source yields ONE partition
+    # per micro-batch (single-file batches), which would serialize the
+    # CPU-dense minhash into one task — the streaming twin of the batch
+    # wide-scan opt-in. Stateless, so semantics are untouched; a Kafka
+    # source at production scale brings its own partitioning and makes
+    # this a cheap pass-through exchange.
+    stream = _documents_stream(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sigs = minhash_signatures(stream, "text", "doc_id", NUM_HASHES, 3)
     keys = lsh_band_keys(sigs, "doc_id", BANDS, NUM_HASHES // BANDS)
     agg = keys.groupBy("band_idx", "band_key").agg(
