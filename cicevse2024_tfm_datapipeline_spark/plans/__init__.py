@@ -154,10 +154,27 @@ _PRIORITY = [
     "tpch_q1_pricing_summary",
 ]
 
+# Rows-only queries PERMITTED inside a certification window. The window
+# contract normally requires a DuckDB oracle per slot (a rows-only entry
+# burns a slot on a weaker check) — but the r05 verdict (missing #5)
+# explicitly asks for official driver rows on the never-driven rows-only
+# queries: their `no_oracle` rows are the "it ran, rows stable" evidence
+# the ledger lacks. Exactly these four, one window's worth, no more.
+_ROWS_ONLY_WINDOW_OK = frozenset(
+    {
+        "text_udtf_chunks",
+        "mm_image_ahash_dedup",
+        "mm_audio_spectral",
+        "mm_decode_wav_bmp",
+    }
+)
+
 # r07 planned window (next never-driven queries, in intended order; the
 # first 46 become _PRIORITY next round, the tail yields to r08). The head
-# is the _R06_PLAN tail that did not fit in the 46-slot r06 window; the
-# tail is the original r07 residue.
+# is the _R06_PLAN tail that did not fit in the 46-slot r06 window, with
+# the four rows-only re-drives (verdict item 5 — see _ROWS_ONLY_WINDOW_OK)
+# pulled forward so they land in r07, not r08; the tail is the original
+# r07 residue.
 _R07_PLAN = [
     # --- _R06_PLAN tail (displaced from the r06 window) ---
     "w_window_rank_battery",
@@ -185,6 +202,12 @@ _R07_PLAN = [
     "g_clustering_coefficient",
     "text_pmi_collocations",
     "dedup_mutual_best_match",
+    # --- rows-only re-drives pulled forward (verdict item 5; these
+    # record `no_oracle` rows — allowed by _ROWS_ONLY_WINDOW_OK) ---
+    "text_udtf_chunks",
+    "mm_image_ahash_dedup",
+    "mm_audio_spectral",
+    "mm_decode_wav_bmp",
     # --- original r07 residue ---
     "a_trending_keys",
     "u_except_all_counts",
@@ -217,9 +240,6 @@ _R07_PLAN = [
     "a_referential_integrity",
     "w_rolling_median",
     "w_debounce_bursts",
-    "text_udtf_chunks",
-    "mm_image_ahash_dedup",
-    "mm_audio_spectral",
 ]
 
 

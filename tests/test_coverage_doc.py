@@ -54,7 +54,10 @@ def test_driver_window_contract():
     """The driver verifies the FIRST 50 entries of queries(): the
     priority prefix must be exactly 50 registered, duplicate-free names,
     every one carrying a DuckDB oracle (a rows-only query in the window
-    would burn a certification slot on a weaker check)."""
+    would burn a certification slot on a weaker check) — except the
+    explicitly allowlisted rows-only re-drives (_ROWS_ONLY_WINDOW_OK),
+    whose `no_oracle` driver rows are themselves the point (r05 verdict
+    missing #5: official "it ran, rows stable" evidence)."""
     from cicevse2024_tfm_datapipeline_spark import plans
     from cicevse2024_tfm_datapipeline_spark.plans import load_all
 
@@ -66,8 +69,14 @@ def test_driver_window_contract():
     assert not missing, f"_PRIORITY names not registered: {missing}"
     window = list(qs)[:50]
     assert window == [n for n in prio if n in qs]
-    no_oracle = [n for n in window if qs[n].oracle is None]
+    allowed = getattr(plans, "_ROWS_ONLY_WINDOW_OK", frozenset())
+    no_oracle = [n for n in window if qs[n].oracle is None and n not in allowed]
     assert not no_oracle, f"window entries without oracle: {no_oracle}"
+    # the allowlist itself must stay tight: only registered rows-only names
+    bogus = [
+        n for n in allowed if n in qs and qs[n].oracle is not None
+    ]
+    assert not bogus, f"_ROWS_ONLY_WINDOW_OK lists oracled queries: {bogus}"
 
 
 def test_rotation_plans_resolve():
