@@ -4186,7 +4186,11 @@ def a_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A", "bootstrap", "statistics"),
 )
 def a_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select(
+    # wide=True: the x50 replicate expand + md5 per (rep, row) is the
+    # CPU-dense narrow stage (|events| x 50 hashes before the first
+    # shuffle) — the value-keyed hash makes the result partitioning-
+    # independent by construction
+    ev = t(spark, sf_dir, "events", wide=True).select(
         "event_id",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
