@@ -173,7 +173,12 @@ _PRED = (
     tags=("ml", "regression", "boosting"),
 )
 def ml_gbm_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").select(
+    # wide=True: each boosting round folds the 19-candidate grid against
+    # every row (|rows| x 19 expanded aggregate inputs) before its first
+    # exchange — CPU-dense narrow work that a single-split scan would
+    # serialize, the same tradeoff call as the shingle tier (cheap-per-row
+    # lineitem queries do NOT opt in)
+    li = t(spark, sf_dir, "lineitem", wide=True).select(
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
         F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long").alias("d"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
