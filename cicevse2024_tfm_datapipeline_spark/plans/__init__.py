@@ -62,121 +62,37 @@ _MODULES = [
     "wave41",
 ]
 
-# Verification-priority prefix for round 6 (the driver verifies the FIRST
+# Verification-priority prefix for round 7 (the driver verifies the FIRST
 # 50 entries of ``queries()`` each round — exactly 50 rows in every
 # CORRECTNESS_r0x.json so far).
 #
-# Rotation state after r05: 219 of 334 registered queries hold an official
-# driver row (r01∪...∪r05, zero regressions ever); 103 oracled queries have
-# only local selfcheck evidence. Per the r05 verdict (item 1), round 6
-# executes the written _R06_PLAN: registry stays FROZEN, and the 46
-# non-anchor slots are the FIRST 46 names of the r05-committed _R06_PLAN —
-#   1. the wave-38 stats battery displaced from the r05 window
-#      (Cramér's V, VIF, Theil–Sen, two-way ANOVA);
-#   2. the remaining wave-2x/3x/4x text/sim/dedup/sampling tail
-#      (sorted-neighborhood, contamination fraction, CCNet buckets,
-#      Gopher rules, novelty-vs-train, hard negatives, PQ audit,
-#      epoch allocation, source-overlap matrix, ...). This block also
-#      re-drives `a_peak_concurrency` whose exclusive-end tiebreak changed
-#      in r05 (ADVICE item 3 — official row must reflect new semantics);
-#   3. the r03 backlog: calibration/ECE, winsorize, MAD, CUBE/GROUPING
-#      SETS, funnel/cohort, salted skew join, LSH triangles;
+# Rotation state after r06: 275 of 334 registered queries have been driven,
+# 265 hold a full green row (r01∪...∪r06, zero regressions ever); 59 oracled
+# or rows-only queries remain never-driven. Per the r06 verdict (item 1),
+# round 7 executes the written _R07_PLAN verbatim: registry stays FROZEN,
+# and the 46 non-anchor slots are the FIRST 46 names of the r06-committed
+# _R07_PLAN —
+#   1. the _R06_PLAN tail displaced from the r06 window (window-rank
+#      battery, gap-fill, kNN, GROUPING SETS, unpivot, BPE fertility,
+#      k-means, PCA, Markov, clustering coefficient, ...);
+#   2. the four rows-only re-drives (`text_udtf_chunks`, the three mm_*
+#      queries) under the _ROWS_ONLY_WINDOW_OK allowlist — their
+#      `no_oracle` driver rows are the "ran, rows stable" evidence the
+#      ledger lacks (r05 verdict missing #5, r06 verdict item 1);
+#   3. the head of the original r07 residue (trending keys, except-all,
+#      skyline, sliding-distinct, RLE, as-of forward, MWU, ...);
 #   4. anchors: the keystone W1 chain, LSH pairs, one streaming query,
-#      and TPC-H Q1 (benched every round; green r01–r05).
+#      and TPC-H Q1 (benched every round; green r01–r06).
 #
-# ROTATION SCHEDULE (updated start of round 6):
-#   r07 window: the FIRST 46 names of _R07_PLAN below (the _R06_PLAN tail
-#     that did not fit this round — window-rank battery, gap-fill, kNN,
-#     GROUPING SETS, unpivot, BPE fertility, k-means, PCA, Markov,
-#     clustering coefficient, ... — then the original r07 residue:
-#     skyline, sliding-distinct, except-all, RLE, MWU) + anchors.
-#   r08 window: the final never-driven residue (the trailing _R07_PLAN
-#     names incl. the mm_*/udtf rows-only re-drives, which record
-#     `no_oracle` rows — still the official "ran, rows stable" evidence
-#     the ledger lacks) + anchors; thereafter windows return to anchor
-#     rotation.
+# ROTATION SCHEDULE (updated start of round 7):
+#   r08 window: _R08_PLAN below (the final 14 never-driven names —
+#     g_adamic_adar through w_debounce_bursts) + re-drives of any query
+#     whose semantics changed + anchors; thereafter windows return to
+#     anchor rotation with changed-semantics re-drives.
 # Names not listed keep registration order after the prefix. A name listed
 # here but not registered is ignored (guards against typos breaking load).
 _PRIORITY = [
-    # --- block 1: wave-38 stats battery (displaced from r05) ---
-    "a_cramers_v_matrix",
-    "a_vif_multicollinearity",
-    "a_theil_sen_slope",
-    "a_two_way_anova",
-    # --- block 2: remaining wave-2x/3x/4x additions ---
-    "a_association_rules",
-    "text_novelty_vs_train",
-    "sample_holdout_stability",
-    "a_peak_concurrency",
-    "a_price_index_fisher",
-    "sim_hard_negatives",
-    "dedup_contamination_fraction",
-    "sample_epoch_allocation",
-    "text_heaps_law",
-    "text_textrank_keywords",
-    "a_cuped_adjustment",
-    "w_incremental_join_view",
-    "j_bloom_runtime_filter",
-    "sim_pq_codebook_audit",
-    "a_merkle_corpus_digest",
-    "dedup_sorted_neighborhood",
-    "text_ccnet_perplexity_buckets",
-    "text_gopher_quality_rules",
-    "dedup_source_overlap_matrix",
-    "sample_neyman_allocation",
-    "a_mutual_information_ranking",
-    # --- block 3: r03 backlog ---
-    "j_salted_skew_join",
-    "a_cohort_weekly_retention",
-    "g_triangle_count_lsh",
-    "a_ab_test_proportions",
-    "a_ks_two_sample",
-    "a_cube_pricing_rollup",
-    "a_calibration_bins_ece",
-    "f_winsorize_p1_p99",
-    "a_robust_mad_outliers",
-    "text_boilerplate_chunks",
-    "text_unigram_lm_scores",
-    "text_vocab_oov_rate",
-    "w_topk_per_group",
-    "a_regr_trend_per_user",
-    "text_overlap_chunks",
-    "text_char_entropy",
-    "a_funnel_view_click_purchase",
-    "sample_temperature_weights",
-    "dedup_edit_distance_verify",
-    "pack_length_bucketing",
-    "a_time_rollup_hierarchy",
-    # --- block 4: green anchors (keystone, dedup, streaming, TPC-H) ---
-    "w1_chrono_split_counts",
-    "dedup_minhash_lsh_pairs",
-    "stream_session_window",
-    "tpch_q1_pricing_summary",
-]
-
-# Rows-only queries PERMITTED inside a certification window. The window
-# contract normally requires a DuckDB oracle per slot (a rows-only entry
-# burns a slot on a weaker check) — but the r05 verdict (missing #5)
-# explicitly asks for official driver rows on the never-driven rows-only
-# queries: their `no_oracle` rows are the "it ran, rows stable" evidence
-# the ledger lacks. Exactly these four, one window's worth, no more.
-_ROWS_ONLY_WINDOW_OK = frozenset(
-    {
-        "text_udtf_chunks",
-        "mm_image_ahash_dedup",
-        "mm_audio_spectral",
-        "mm_decode_wav_bmp",
-    }
-)
-
-# r07 planned window (next never-driven queries, in intended order; the
-# first 46 become _PRIORITY next round, the tail yields to r08). The head
-# is the _R06_PLAN tail that did not fit in the 46-slot r06 window, with
-# the four rows-only re-drives (verdict item 5 — see _ROWS_ONLY_WINDOW_OK)
-# pulled forward so they land in r07, not r08; the tail is the original
-# r07 residue.
-_R07_PLAN = [
-    # --- _R06_PLAN tail (displaced from the r06 window) ---
+    # --- block 1: _R06_PLAN tail (displaced from the r06 window) ---
     "w_window_rank_battery",
     "w_gap_fill_interpolate",
     "ml_knn_classify",
@@ -202,13 +118,13 @@ _R07_PLAN = [
     "g_clustering_coefficient",
     "text_pmi_collocations",
     "dedup_mutual_best_match",
-    # --- rows-only re-drives pulled forward (verdict item 5; these
-    # record `no_oracle` rows — allowed by _ROWS_ONLY_WINDOW_OK) ---
+    # --- block 2: rows-only re-drives (verdict item 5; record `no_oracle`
+    # rows — allowed by _ROWS_ONLY_WINDOW_OK) ---
     "text_udtf_chunks",
     "mm_image_ahash_dedup",
     "mm_audio_spectral",
     "mm_decode_wav_bmp",
-    # --- original r07 residue ---
+    # --- block 3: original r07 residue head ---
     "a_trending_keys",
     "u_except_all_counts",
     "a_seasonality_heatmap",
@@ -226,6 +142,36 @@ _R07_PLAN = [
     "text_zipf_slope",
     "a_binary_segmentation",
     "w_seasonal_naive_backtest",
+    # --- block 4: green anchors (keystone, dedup, streaming, TPC-H) ---
+    "w1_chrono_split_counts",
+    "dedup_minhash_lsh_pairs",
+    "stream_session_window",
+    "tpch_q1_pricing_summary",
+]
+
+# Rows-only queries PERMITTED inside a certification window. The window
+# contract normally requires a DuckDB oracle per slot (a rows-only entry
+# burns a slot on a weaker check) — but the r05 verdict (missing #5)
+# explicitly asks for official driver rows on the never-driven rows-only
+# queries: their `no_oracle` rows are the "it ran, rows stable" evidence
+# the ledger lacks. Exactly these four, one window's worth, no more.
+_ROWS_ONLY_WINDOW_OK = frozenset(
+    {
+        "text_udtf_chunks",
+        "mm_image_ahash_dedup",
+        "mm_audio_spectral",
+        "mm_decode_wav_bmp",
+    }
+)
+
+# r08 planned window (the FINAL never-driven residue — 14 names; the r07
+# window above drives everything else). With these driven, every registered
+# query holds an official driver row and windows return to anchor rotation
+# + changed-semantics re-drives. `g_adamic_adar` is sf0.01-empty (0 rows,
+# oracle agrees — judge-sampled EXACT r06); its non-degenerate behavior is
+# pinned by the sf0.1 pytest (tests/test_wave17.py:63-76). See
+# FIXTURES.md "sf0.01-empty queries" for the full documented list.
+_R08_PLAN = [
     "g_adamic_adar",
     "a_difference_in_differences",
     "a_conformal_naive_coverage",

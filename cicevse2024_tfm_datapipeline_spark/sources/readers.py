@@ -50,7 +50,19 @@ _NANO_CACHE: dict[str, list[str]] = {}
 #: unshuffled at every SF).
 _UNSTARVE_MIN_BYTES = 512 << 10
 
-_SPLIT_CACHE: dict[str, tuple[int, int]] = {}
+#: keyed on (path, mtime_ns, size) so a regenerated scale-factor
+#: directory in a long-lived session invalidates naturally (r06 ADVICE:
+#: a plain path key kept serving the stale footer after a rewrite)
+_SPLIT_CACHE: dict[tuple[str, int, int], tuple[int, int]] = {}
+
+
+def _footer_groups(f: str) -> int:
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(f).metadata.num_row_groups
+    except Exception:  # noqa: BLE001 — treat as unsplittable
+        return 1
 
 
 def _file_splits(path: str) -> tuple[int, int]:
@@ -58,17 +70,29 @@ def _file_splits(path: str) -> tuple[int, int]:
     cached, no data scan. Row groups bound the scan's REAL parallelism:
     Spark's byte-range splits assign each row group to the split holding
     its midpoint, so a single-row-group file is one task no matter how
-    many splits planning creates."""
-    if path not in _SPLIT_CACHE:
-        size = os.path.getsize(path)
-        try:
-            import pyarrow.parquet as pq
+    many splits planning creates.
 
-            groups = pq.ParquetFile(path).metadata.num_row_groups
-        except Exception:  # noqa: BLE001 — treat as unsplittable
-            groups = 1
-        _SPLIT_CACHE[path] = (size, groups)
-    return _SPLIT_CACHE[path]
+    Handles both layouts: a single ``.parquet`` file (the synthetic
+    fixtures) and a directory-style dataset (the norm on real lakes —
+    sizes and row-group counts are summed over the part files; r06 ADVICE
+    flagged the silent ~4 KB-dirent no-op the single-file assumption
+    produced on directories)."""
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _SPLIT_CACHE:
+        if os.path.isdir(path):
+            parts = [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            size = sum(os.path.getsize(p) for p in parts)
+            groups = sum(_footer_groups(p) for p in parts) if parts else 1
+        else:
+            size = st.st_size
+            groups = _footer_groups(path)
+        _SPLIT_CACHE[key] = (size, max(1, groups))
+    return _SPLIT_CACHE[key]
 
 
 def _unstarve(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:

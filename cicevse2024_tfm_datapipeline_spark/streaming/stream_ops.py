@@ -300,7 +300,10 @@ def make_episode_fold(
             y = pdf[y_true_col].to_numpy(dtype=np.int64)
             p = pdf[y_pred_col].to_numpy(dtype=np.int64)
             tsv = _order_key_i64(pdf[ts_col])
-            tbv = pdf[tiebreak_col].to_numpy(dtype=np.int64)
+            # the tiebreak takes the same null-guarded route as ts (r06
+            # advisory: a bare int64 cast dies opaquely on nulls — the
+            # exact failure mode the ts guard was added to eliminate)
+            tbv = _order_key_i64(pdf[tiebreak_col])
             if last_ts is not None and (int(tsv[0]), int(tbv[0])) < (last_ts, last_tb):
                 raise ValueError(
                     "stateful_episode_counts: cross-batch ordering contract "
@@ -426,7 +429,10 @@ def make_sprt_fold(
         if pdf is not None:
             llr = pdf[llr_col].to_numpy(dtype=np.int64)
             tsv = _order_key_i64(pdf[ts_col])
-            tbv = pdf[tiebreak_col].to_numpy(dtype=np.int64)
+            # the tiebreak takes the same null-guarded route as ts (r06
+            # advisory: a bare int64 cast dies opaquely on nulls — the
+            # exact failure mode the ts guard was added to eliminate)
+            tbv = _order_key_i64(pdf[tiebreak_col])
             if last_ts is not None and (int(tsv[0]), int(tbv[0])) < (last_ts, last_tb):
                 raise ValueError(
                     "sprt_decision_state: cross-batch ordering contract "

@@ -72,23 +72,49 @@ def test_driver_window_contract():
     allowed = getattr(plans, "_ROWS_ONLY_WINDOW_OK", frozenset())
     no_oracle = [n for n in window if qs[n].oracle is None and n not in allowed]
     assert not no_oracle, f"window entries without oracle: {no_oracle}"
-    # the allowlist itself must stay tight: only registered rows-only names
-    bogus = [
-        n for n in allowed if n in qs and qs[n].oracle is not None
-    ]
+    # the allowlist itself must stay tight: every name must be registered
+    # (a typo'd/stale entry would silently weaken the "exactly these four"
+    # contract) and must genuinely be rows-only
+    unregistered = [n for n in allowed if n not in qs]
+    assert not unregistered, (
+        f"_ROWS_ONLY_WINDOW_OK lists unregistered names: {unregistered}"
+    )
+    bogus = [n for n in allowed if qs[n].oracle is not None]
     assert not bogus, f"_ROWS_ONLY_WINDOW_OK lists oracled queries: {bogus}"
 
 
 def test_rotation_plans_resolve():
-    """Names queued for future windows (_R06_PLAN/_R07_PLAN) must exist —
+    """Names queued for future windows (_R0x_PLAN) must exist —
     a typo would silently shrink a future certification window."""
     from cicevse2024_tfm_datapipeline_spark import plans
     from cicevse2024_tfm_datapipeline_spark.plans import load_all
 
     registry = set(load_all())
-    for plan_name in ("_R06_PLAN", "_R07_PLAN"):
+    for plan_name in ("_R06_PLAN", "_R07_PLAN", "_R08_PLAN"):
         plan = getattr(plans, plan_name, None)
         if plan is None:
             continue
         missing = [n for n in plan if n not in registry]
         assert not missing, f"{plan_name} names not registered: {missing}"
+
+
+def test_r08_plan_completes_the_ledger():
+    """_R08_PLAN ∪ _PRIORITY ∪ queries-already-driven must cover every
+    registered query: after the r08 window runs there is no never-driven
+    name left. Driven-so-far = the union of names in CORRECTNESS_r01–r06
+    (committed artifacts)."""
+    import glob
+    import json
+
+    from cicevse2024_tfm_datapipeline_spark import plans
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    driven: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+        driven |= set(json.load(open(path)))
+    uncovered = (
+        set(load_all()) - driven - set(plans._PRIORITY) - set(plans._R08_PLAN)
+    )
+    assert not uncovered, (
+        f"queries never driven and absent from both windows: {sorted(uncovered)}"
+    )

@@ -161,6 +161,23 @@ def test_order_key_tz_aware_and_nulls():
         _order_key_i64(pd.Series([1.0, None], name="ts"))
 
 
+def test_null_tiebreak_raises_clear_contract_error():
+    """r06 advisory: a null TIEBREAK must get the same clear contract
+    error as a null ts (it previously died inside a bare int64 cast)."""
+    fold = make_sprt_fold("g", "ts", "eid", "llr", 100, -100)
+    batch = pd.DataFrame(
+        {"ts": [1, 2], "eid": [1.0, None], "llr": [1, 1]}
+    )
+    with pytest.raises(ValueError, match="'eid' contains nulls"):
+        list(fold((7,), iter([batch]), FakeState()))
+    fold2 = make_episode_fold("g", "ts", "eid", "y", "p")
+    batch2 = pd.DataFrame(
+        {"ts": [1, 2], "eid": [1.0, None], "y": [1, 0], "p": [0, 0]}
+    )
+    with pytest.raises(ValueError, match="'eid' contains nulls"):
+        list(fold2((7,), iter([batch2]), FakeState()))
+
+
 def test_sprt_fold_decision_sticky_across_batches():
     fold = make_sprt_fold("g", "ts", "eid", "llr", 3, -3)
     out, _ = _drive(

@@ -70,9 +70,11 @@ def test_wide_noop_when_layout_already_splits(spark, tmp_path):
     assert out is df  # identical object — no repartition node added
 
 
-def test_file_splits_cached_and_footer_only(tmp_path):
-    """_file_splits reads the footer once per path (driver-side cache) —
-    a second call must hit the cache even if the file disappears."""
+def test_file_splits_cached_until_file_changes(tmp_path):
+    """_file_splits caches per (path, mtime, size) — repeat calls reuse
+    the footer read, but regenerating the file (same path, new content)
+    invalidates (r06 ADVICE: a plain path key served stale footers after
+    a testdata rewrite in a long-lived session)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -80,8 +82,39 @@ def test_file_splits_cached_and_footer_only(tmp_path):
     pq.write_table(pa.table({"a": [1, 2, 3]}), path)
     first = readers._file_splits(path)
     assert first[1] == 1
-    os.remove(path)
-    assert readers._file_splits(path) == first  # cache hit, no stat
+    assert readers._file_splits(path) == first  # cache hit
+    # regenerate with 3 row groups (and force a distinct mtime/size)
+    pq.write_table(pa.table({"a": list(range(300))}), path, row_group_size=100)
+    os.utime(path, ns=(1, 1))
+    size2, groups2 = readers._file_splits(path)
+    assert groups2 == 3
+    assert size2 == os.path.getsize(path)
+
+
+def test_file_splits_directory_dataset(tmp_path):
+    """Directory-style parquet datasets (the norm on real lakes) must sum
+    part-file sizes and row groups instead of silently no-oping on the
+    dirent size (r06 ADVICE item 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ds = os.path.join(tmp_path, "tbl.parquet")
+    os.makedirs(ds)
+    for i in range(4):
+        pq.write_table(
+            pa.table({"a": list(range(200))}),
+            os.path.join(ds, f"part-{i:05d}.parquet"),
+            row_group_size=100,
+        )
+    open(os.path.join(ds, "_SUCCESS"), "w").close()  # marker must be skipped
+    size, groups = readers._file_splits(ds)
+    assert groups == 8  # 4 parts x 2 row groups
+    expected_size = sum(
+        os.path.getsize(os.path.join(ds, f))
+        for f in os.listdir(ds)
+        if f.endswith(".parquet")
+    )
+    assert size == expected_size
 
 
 def test_wide_load_values_identical(spark):
