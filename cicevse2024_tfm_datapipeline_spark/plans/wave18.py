@@ -101,8 +101,11 @@ _DAY_US = 86_400_000_000
     "smoothed (+0.5/+5) so empty bins stay finite — derives from "
     "identical exact rationals and ticks to a 1e-9 BIGINT before the "
     "sum, so the PSI is order-free and engine-identical. Shapes: one "
-    "range scan for deciles, one broadcast-join binning pass per "
-    "half, a 10-row reduce.",
+    "range scan for deciles; binning is a per-row size(filter(edges)) "
+    "against ONE broadcast 9-element array (round 7 — the earlier "
+    "edge cross-join expanded every row 9x and re-aggregated per "
+    "event_id before counting; the array form bins in the scan "
+    "stage with no expansion), then a 10-row reduce.",
     tags=("A", "drift", "psi"),
 )
 def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,15 +130,21 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tile", "edge")
     )
 
+    # 9 edges as ONE broadcast array row: binning is then a per-row
+    # size(filter(...)) over the array — no 9x row expansion and no
+    # per-event_id re-aggregation (the prior cross-join shape tripled
+    # this query's shuffle volume; semantics identical: bin = 1 + #edges
+    # strictly below the tick)
+    edge_arr = edges.agg(F.sort_array(F.collect_list("edge")).alias("edges"))
+
     def bins_of(half: DataFrame) -> DataFrame:
         return (
-            half.crossJoin(F.broadcast(edges))
-            .groupBy("event_id")
-            .agg(
+            half.crossJoin(F.broadcast(edge_arr))
+            .select(
                 (
                     1
-                    + F.sum(
-                        F.when(F.col("tick") > F.col("edge"), 1).otherwise(0)
+                    + F.size(
+                        F.filter("edges", lambda e: F.col("tick") > e)
                     )
                 ).alias("bin")
             )

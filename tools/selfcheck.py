@@ -105,6 +105,14 @@ def main() -> int:  # noqa: C901
         help="use a bare SparkSession (no repo configs) — mimics the "
         "grading driver's session to catch config-dependence bugs",
     )
+    ap.add_argument(
+        "--report-empty",
+        action="store_true",
+        default=False,
+        help="print an EMPTY-QUERIES summary line at the end (every "
+        "query that returned 0 rows at this SF) — the FIXTURES.md §C "
+        "sweep, re-runnable as one command",
+    )
     args = ap.parse_args()
 
     from cicevse2024_tfm_datapipeline_spark.plans import load_all
@@ -122,6 +130,7 @@ def main() -> int:  # noqa: C901
     con = duck_conn(args.sf)
 
     failures = 0
+    empty: list[str] = []
     for name in names:
         q = queries[name]
         t0 = time.time()
@@ -134,6 +143,8 @@ def main() -> int:  # noqa: C901
         dt_spark = time.time() - t0
         if q.oracle is None:
             nrows = len(spark_pdf)
+            if nrows == 0:
+                empty.append(name)
             detail = ""
             status = "ROWS "
             if args.determinism and not name.startswith("stream_"):
@@ -154,12 +165,16 @@ def main() -> int:  # noqa: C901
             print(f"[FAIL ] {name}: duckdb error: {e}", flush=True)
             failures += 1
             continue
+        if len(spark_pdf) == 0:
+            empty.append(name)
         verdict, detail = compare(spark_pdf, oracle_pdf)
         mark = "ok   " if verdict == "EXACT" else ("close" if verdict == "CLOSE" else "FAIL ")
         print(f"[{mark}] {name}: {len(spark_pdf)} rows ({dt_spark:.1f}s) {detail}", flush=True)
         if verdict == "FAIL":
             failures += 1
 
+    if args.report_empty:
+        print(f"EMPTY-QUERIES ({len(empty)}): {','.join(empty) or '<none>'}")
     print(f"\n{len(names)} checked, {failures} failures")
     return 1 if failures else 0
 
