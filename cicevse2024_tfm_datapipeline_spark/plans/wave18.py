@@ -134,10 +134,16 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(filter(...)) over the array — no 9x row expansion and no
     # per-event_id re-aggregation (the prior cross-join shape tripled
     # this query's shuffle volume; semantics identical: bin = 1 + #edges
-    # strictly below the tick)
-    edge_arr = edges.agg(F.sort_array(F.collect_list("edge")).alias("edges"))
+    # strictly below the tick). Pinned: both halves consume it, and
+    # unpinned the whole ntile/edges subtree executes once per consumer
+    # (explain-audited — the duplicate was half this query's wall).
+    edge_arr = edges.agg(
+        F.sort_array(F.collect_list("edge")).alias("edges")
+    ).localCheckpoint(eager=False)
 
     def bins_of(half: DataFrame) -> DataFrame:
+        # pinned (≤10 rows): consumed twice below (bin-domain union +
+        # join); unpinned each consumer re-scans the half
         return (
             half.crossJoin(F.broadcast(edge_arr))
             .select(
@@ -150,19 +156,25 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .localCheckpoint(eager=False)
         )
 
     pc = bins_of(pre).withColumnRenamed("n", "np_bin")
     qc = bins_of(post).withColumnRenamed("n", "nq_bin")
-    tot_p = pre.agg(F.count(F.lit(1)).cast("long").alias("np"))
-    tot_q = post.agg(F.count(F.lit(1)).cast("long").alias("nq"))
-    bins = (
+    joined = (
         pc.select("bin").union(qc.select("bin")).distinct()
         .join(pc, "bin", "left")
         .join(qc, "bin", "left")
-        .crossJoin(F.broadcast(tot_p))
-        .crossJoin(F.broadcast(tot_q))
     )
+    # every row of a half lands in exactly one bin, so the half totals
+    # are the sums of its bin counts — no separate count passes over the
+    # halves (the tot_p/tot_q frames this replaces were two more full
+    # scans of the checkpointed events frame)
+    tot = joined.agg(
+        F.sum(F.coalesce(F.col("np_bin"), F.lit(0))).cast("long").alias("np"),
+        F.sum(F.coalesce(F.col("nq_bin"), F.lit(0))).cast("long").alias("nq"),
+    )
+    bins = joined.crossJoin(F.broadcast(tot))
     p = (F.coalesce(F.col("np_bin"), F.lit(0)) + 0.5) / (F.col("np") + 5.0)
     q = (F.coalesce(F.col("nq_bin"), F.lit(0)) + 0.5) / (F.col("nq") + 5.0)
     contrib = bins.select(
