@@ -52,6 +52,17 @@ def test_psi_flags_shifted_half(spark, tmp_path):
     assert r["psi"] > 0.25  # way past the retrain threshold
 
 
+def test_psi_plan_single_ntile_subtree(spark):
+    """Round-7 regression pin: the ntile/edges subtree must not appear in
+    the executed plan at all (the lazily-pinned edge array truncates that
+    lineage — unpinned, the cum___one window block executed once PER
+    bins_of consumer), and the exchange count stays at the audited 9."""
+    df = _q("a_psi_drift").spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("cum___one") == 0, "ntile subtree leaked past the pin"
+    assert plan.count("Exchange") <= 9, f"exchanges grew: {plan.count('Exchange')}"
+
+
 def test_conformal_exact_on_periodic_series(spark, tmp_path):
     # weekly-periodic counts: residuals are 0 everywhere -> q_hat = 0,
     # coverage = 1.0
