@@ -89,6 +89,14 @@ _MODULES = [
 #     g_adamic_adar through w_debounce_bursts) + re-drives of any query
 #     whose semantics changed + anchors; thereafter windows return to
 #     anchor rotation with changed-semantics re-drives.
+# Round-7 plan changes and the re-drive rule: `a_psi_drift` was rewritten
+# twice this round (array binning; multi-consumer pins) but its SEMANTICS
+# are unchanged — identical oracle, hash-identical results re-validated
+# vs DuckDB at sf0.01 AND sf0.1 after each rewrite plus a full-registry
+# sweep. The changed-SEMANTICS re-drive rule (cf. a_peak_concurrency's
+# r05 tiebreak change) therefore does not apply; displacing a
+# never-driven name for it would trade a first-time row for a
+# redundant one.
 # Names not listed keep registration order after the prefix. A name listed
 # here but not registered is ignored (guards against typos breaking load).
 _PRIORITY = [
