@@ -440,42 +440,78 @@ def a16_tumbling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q1_pricing_summary",
     oracle="""
+    WITH t AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_t,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_t,
+               CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_t
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty,
-           round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price,
-           round(round(sum(l_discount), 2) / count(*), 6) AS avg_disc,
+           round(sum(qty_t) / 100.0, 4) AS sum_qty,
+           round(sum(price_c) / 100.0, 4) AS sum_base_price,
+           round(sum(price_c * (100 - disc_t)) / 10000.0, 4) AS sum_disc_price,
+           round(sum(price_c * (100 - disc_t) * (100 + tax_t)) / 1000000.0, 6)
+               AS sum_charge,
+           round(sum(qty_t) / 100.0 / count(*), 6) AS avg_qty,
+           round(sum(price_c) / 100.0 / count(*), 6) AS avg_price,
+           round(sum(disc_t) / 100.0 / count(*), 6) AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    FROM t
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="A-battery smoke: TPC-H Q1-style multi-aggregate with pushdown-able "
     "date filter — the canonical hash-agg shape the engine's metric "
-    "aggregations reduce to.",
+    "aggregations reduce to. All four measure columns are 2dp decimals "
+    "stored as doubles, so every sum is an exact BIGINT tick sum (cents; "
+    "disc_price at 1e-4; charge at 1e-6) and the result is order-free and "
+    "engine-identical at ANY corpus size — the earlier float-sum form "
+    "went hash-`close` at the 10x sf1 probe (6M addends put a rounding "
+    "boundary inside the engines' sum-order ulp gap; round 7). Tick "
+    "magnitudes: cents ~1e7 x 1e4 x rows — BIGINT-safe past sf10, and "
+    "the per-group partial sums fold map-side.",
     tags=("A6", "A17"),
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_t = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_t = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    tax_t = F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            qty_t.alias("qty_t"),
+            price_c.alias("price_c"),
+            disc_t.alias("disc_t"),
+            tax_t.alias("tax_t"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            pround(F.sum("l_quantity"), 4).alias("sum_qty"),
-            pround(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            pround(F.sum(disc_price), 4).alias("sum_disc_price"),
-            # the true sum has 6 decimals — rounding AT the data precision
-            # keeps floor(x·10ⁿ+0.5) away from integer crossings (stable);
-            # rounding at 4 would sit exactly on a crossing when the 5th-6th
-            # decimals are '50'
-            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            pround(pround(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6).alias("avg_qty"),
-            pround(pround(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6).alias("avg_price"),
-            pround(pround(F.sum("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            pround(F.sum("qty_t") / F.lit(100.0), 4).alias("sum_qty"),
+            pround(F.sum("price_c") / F.lit(100.0), 4).alias("sum_base_price"),
+            pround(
+                F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_t")))
+                / F.lit(10000.0),
+                4,
+            ).alias("sum_disc_price"),
+            pround(
+                F.sum(
+                    F.col("price_c")
+                    * (F.lit(100) - F.col("disc_t"))
+                    * (F.lit(100) + F.col("tax_t"))
+                )
+                / F.lit(1000000.0),
+                6,
+            ).alias("sum_charge"),
+            pround(F.sum("qty_t") / F.lit(100.0) / n, 6).alias("avg_qty"),
+            pround(F.sum("price_c") / F.lit(100.0) / n, 6).alias("avg_price"),
+            pround(F.sum("disc_t") / F.lit(100.0) / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )

@@ -1,0 +1,171 @@
+"""Synthesize a larger scale factor from sf0.1 by replica-disjoint cloning.
+
+The driver ships sf0.001/0.01/0.1 (TESTDATA.md, read-only). To measure the
+NEXT decade — the 1000x range sf0.001→sf1 — this tool writes
+``.scratch/sf<X>`` tables that are K stitched replicas of sf0.1, each
+replica transformed so cross-replica rows can never collide:
+
+- documents: doc_id += k*10_000 (stride is a multiple of 10 so the
+  ``doc_id % 10`` train/eval split keeps its proportions); every token of
+  ``text`` gets a ``z<k>`` suffix for k>0, applied to ``\\w+`` runs —
+  exactly the runs the engine tokenizer (split on ``\\W+``) produces, so
+  replica shingle/minhash spaces are FULLY disjoint (a ``\\S+``-based
+  suffix leaks punctuation-adjacent tokens unsuffixed: "x-y-z" →
+  [x, y, z_2] — measured to cross-contaminate replicas until the fuzzy
+  pipeline's decontamination emptied the corpus). Plain text copies would
+  instead turn every doc into a 10-way near-dup cluster and measure
+  density, not scale. n_chars recomputed.
+- embeddings: vec_id += k*10_000; the vector is cyclically rotated by k
+  dimensions (norms and within-replica geometry preserved; cross-replica
+  cosines decorrelate, so ANN candidate volume scales with data, not with
+  artificial duplicate vectors).
+- events: event_id += k*1_000_000, user_id += k*10_000 (10x more users at
+  the same per-user density — the realistic growth axis), ts += k*31 days
+  (longer history, same per-day volume).
+- lineitem/orders: orderkey += k*1_000_000 on both sides (join integrity);
+  dates/prices/dims untouched.
+- customer/supplier/part/nation/region: copied verbatim — dims fixed
+  while facts grow is the lakehouse norm and keeps broadcast sides
+  broadcastable, which is the plan shape under test.
+
+Every table is written as ONE parquet file so DuckDB's
+``read_parquet('<path>')`` (tools/selfcheck.py) reads it unchanged: the
+sfX directory is a drop-in ``--sf`` argument, which means the ORACLE GATE
+runs at sf1 too, not just the stopwatch.
+
+Usage: python tools/make_scale.py [--factor 10] [--out .scratch/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SRC_DEFAULT = "/root/testdata/sf0.1"
+DIMS = ("customer", "supplier", "part", "nation", "region")
+
+
+def _copy(con: duckdb.DuckDBPyConnection, sql: str, dst: str) -> None:
+    con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)")
+
+
+def build(src: str, out: str, factor: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    ks = ", ".join(str(k) for k in range(factor))
+
+    def p(name: str) -> str:
+        return os.path.join(src, f"{name}.parquet")
+
+    # documents: disjoint ids, disjoint token space per replica
+    _copy(
+        con,
+        f"""
+        WITH rep AS (
+            SELECT d.doc_id, d.lang, d.source, k.k,
+                   CASE WHEN k.k = 0 THEN d.text
+                        ELSE regexp_replace(d.text, '(\\w+)', '\\1z' || k.k, 'g')
+                   END AS text
+            FROM read_parquet('{p("documents")}') d,
+                 (SELECT unnest([{ks}]) AS k) k
+        )
+        SELECT doc_id + k * 10000 AS doc_id, text, lang, source,
+               length(text) AS n_chars
+        FROM rep
+        """,
+        os.path.join(out, "documents.parquet"),
+    )
+
+    # embeddings: disjoint ids, k-rotated vectors
+    _copy(
+        con,
+        f"""
+        SELECT e.vec_id + k.k * 10000 AS vec_id,
+               CASE WHEN k.k = 0 THEN e.embedding
+                    ELSE list_concat(e.embedding[k.k + 1:], e.embedding[:k.k])
+               END::FLOAT[] AS embedding,
+               e.label
+        FROM read_parquet('{p("embeddings")}') e,
+             (SELECT unnest([{ks}]) AS k) k
+        """,
+        os.path.join(out, "embeddings.parquet"),
+    )
+
+    # events: disjoint ids/users, shifted timeline
+    _copy(
+        con,
+        f"""
+        SELECT e.event_id + k.k * 1000000 AS event_id,
+               e.ts + to_days(k.k * 31) AS ts,
+               e.user_id + k.k * 10000 AS user_id,
+               e.event_type, e.value, e.props
+        FROM read_parquet('{p("events")}') e,
+             (SELECT unnest([{ks}]) AS k) k
+        """,
+        os.path.join(out, "events.parquet"),
+    )
+
+    # facts: disjoint orderkeys on both sides of the join
+    _copy(
+        con,
+        f"""
+        SELECT l.l_orderkey + k.k * 1000000 AS l_orderkey,
+               l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+               l.l_extendedprice, l.l_discount, l.l_tax, l.l_returnflag,
+               l.l_linestatus, l.l_shipdate
+        FROM read_parquet('{p("lineitem")}') l,
+             (SELECT unnest([{ks}]) AS k) k
+        """,
+        os.path.join(out, "lineitem.parquet"),
+    )
+    _copy(
+        con,
+        f"""
+        SELECT o.o_orderkey + k.k * 1000000 AS o_orderkey,
+               o.o_custkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+               o.o_orderpriority
+        FROM read_parquet('{p("orders")}') o,
+             (SELECT unnest([{ks}]) AS k) k
+        """,
+        os.path.join(out, "orders.parquet"),
+    )
+
+    for name in DIMS:
+        _copy(
+            con,
+            f"SELECT * FROM read_parquet('{p(name)}')",
+            os.path.join(out, f"{name}.parquet"),
+        )
+
+    for name in (
+        "documents", "embeddings", "events", "lineitem", "orders", *DIMS
+    ):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{os.path.join(out, name)}.parquet')"
+        ).fetchone()[0]
+        print(f"{name}: {n} rows")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC_DEFAULT)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scratch",
+            "sf1",
+        ),
+    )
+    args = ap.parse_args()
+    build(args.src, args.out, args.factor)
+
+
+if __name__ == "__main__":
+    main()
