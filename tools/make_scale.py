@@ -15,10 +15,12 @@ replica transformed so cross-replica rows can never collide:
   pipeline's decontamination emptied the corpus). Plain text copies would
   instead turn every doc into a 10-way near-dup cluster and measure
   density, not scale. n_chars recomputed.
-- embeddings: vec_id += k*10_000; the vector is cyclically rotated by k
-  dimensions (norms and within-replica geometry preserved; cross-replica
-  cosines decorrelate, so ANN candidate volume scales with data, not with
-  artificial duplicate vectors).
+- embeddings: vec_id += k*10_000; the vector gets a distinct isometry
+  per replica — reversed when k >= 64, then cyclically rotated by k % 64
+  dimensions (128 distinct transforms for factors past the dimension
+  count; norms and within-replica geometry preserved; cross-replica
+  cosines decorrelate, so ANN candidate volume scales with data, not
+  with artificial duplicate vectors).
 - events: event_id += k*1_000_000, user_id += k*10_000 (10x more users at
   the same per-user density — the realistic growth axis), ts += k*31 days
   (longer history, same per-day volume).
@@ -81,17 +83,24 @@ def build(src: str, out: str, factor: int) -> None:
         os.path.join(out, "documents.parquet"),
     )
 
-    # embeddings: disjoint ids, k-rotated vectors
+    # embeddings: disjoint ids, a distinct isometry per replica
+    # (reverse when k >= 64, rotate by k % 64)
     _copy(
         con,
         f"""
-        SELECT e.vec_id + k.k * 10000 AS vec_id,
-               CASE WHEN k.k = 0 THEN e.embedding
-                    ELSE list_concat(e.embedding[k.k + 1:], e.embedding[:k.k])
+        WITH rep AS (
+            SELECT e.vec_id, e.label, k.k, k.k % 64 AS r,
+                   CASE WHEN k.k >= 64 THEN list_reverse(e.embedding)
+                        ELSE e.embedding END AS base
+            FROM read_parquet('{p("embeddings")}') e,
+                 (SELECT unnest([{ks}]) AS k) k
+        )
+        SELECT vec_id + k * 10000 AS vec_id,
+               CASE WHEN r = 0 THEN base
+                    ELSE list_concat(base[r + 1:], base[:r])
                END::FLOAT[] AS embedding,
-               e.label
-        FROM read_parquet('{p("embeddings")}') e,
-             (SELECT unnest([{ks}]) AS k) k
+               label
+        FROM rep
         """,
         os.path.join(out, "embeddings.parquet"),
     )
