@@ -248,8 +248,15 @@ def f_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Signed-random-projection LSH (multi-band Hamming candidates)
 # ---------------------------------------------------------------------------
 
-_N_PLANES = 16
+_N_BANDS = 2  # OR-construction band count (the recall knob; pinned at 2
+#               so the benched candidate volume stays comparable round
+#               over round — production raises it per the recall target,
+#               measured in tools/srp_width_probe.py)
+_BAND_PLANES = 16  # planes per band = the MAX band width the ladder can use
+_N_PLANES = _N_BANDS * _BAND_PLANES
 _MAX_DIM = 64
+_MIN_W, _MAX_W = 8, 16
+_TARGET_OCCUPANCY = 8  # expected vectors per band bucket the ladder bounds
 
 
 def _srp_coef(p: int, d: int) -> int:
@@ -260,45 +267,87 @@ def _srp_coef(p: int, d: int) -> int:
 
 _SRP = [[_srp_coef(p, d) for d in range(_MAX_DIM)] for p in range(_N_PLANES)]
 
+# Scale-aware band width (round 8, the measured remedy to SCALE.md
+# finding #1): fixed 8-bit bands gave a 2x256-key bucket space, so bucket
+# occupancy — and with it the exact-verify candidate volume — grew
+# QUADRATICALLY once the corpus outgrew the keys (64,314 candidates at 2k
+# vectors -> 6,491,056 at 20k: 101x for 10x, the one super-linear query in
+# the sf1 sweep). The ladder picks the smallest width w in [8, 16] with
+# n <= _TARGET_OCCUPANCY * 2^w, i.e. expected occupancy n / 2^w bounded by
+# a constant, so per-band candidate volume ~ n * occupancy / 2 stays
+# ~linear in n. Pure INTEGER thresholds shared verbatim by both engines —
+# no float log2 to disagree at a power-of-two boundary. Each band's
+# signature is always _BAND_PLANES bits; masking to the low w bits selects
+# the first w planes of that band (prefix property), so widening never
+# re-hashes, it only splits buckets.
+_W_LADDER = [(_TARGET_OCCUPANCY * (1 << w), w) for w in range(_MIN_W, _MAX_W)]
 
-def _srp_sig_sql(v: str) -> str:
-    """DuckDB: 16-bit SRP signature of list column ``v`` (sequential-fold
-    projections against the shared coefficient literals)."""
+
+def _w_case_sql(n: str) -> str:
+    """DuckDB: the width ladder as a CASE over the vector count ``n``."""
+    whens = " ".join(f"WHEN {n} <= {thr} THEN {w}" for thr, w in _W_LADDER)
+    return f"CASE {whens} ELSE {_MAX_W} END"
+
+
+def _w_case_col(n) -> F.Column:
+    """Spark: the identical integer CASE ladder over a count column."""
+    expr = F.lit(_MAX_W)
+    for thr, w in reversed(_W_LADDER):
+        expr = F.when(n <= F.lit(thr), F.lit(w)).otherwise(expr)
+    return expr
+
+
+def _srp_band_sql(v: str, band: int) -> str:
+    """DuckDB: the ``_BAND_PLANES``-bit SRP signature of list column ``v``
+    for one band (sequential-fold projections against the shared
+    coefficient literals, planes ``band*_BAND_PLANES ..+_BAND_PLANES``)."""
     terms = []
-    for p in range(_N_PLANES):
+    for j in range(_BAND_PLANES):
+        p = band * _BAND_PLANES + j
         w = "[" + ", ".join(str(c) for c in _SRP[p]) + "]"
         proj = (
             f"list_reduce(list_transform(range(1, len({v}) + 1), "
             f"i -> {v}[i] * ({w})[i]), (x, y) -> x + y)"
         )
-        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def srp_signature_expr(v) -> F.Column:
-    """Spark: 16-bit SRP signature — one codegen'd projection per plane,
-    sequential zip_with/aggregate fold (same summation order as the
-    oracle's list_reduce), coefficient slice matched to the vector dim."""
+def srp_band_sig_expr(v, band: int) -> F.Column:
+    """Spark: one band's ``_BAND_PLANES``-bit SRP signature — one codegen'd
+    projection per plane, sequential zip_with/aggregate fold (same
+    summation order as the oracle's list_reduce), coefficient slice
+    matched to the vector dim."""
     col = F.col(v) if isinstance(v, str) else v
     sig = F.lit(0)
-    for p in range(_N_PLANES):
-        w = F.slice(
-            F.lit([float(c) for c in _SRP[p]]), 1, F.size(col)
-        )
+    for j in range(_BAND_PLANES):
+        p = band * _BAND_PLANES + j
+        w = F.slice(F.lit([float(c) for c in _SRP[p]]), 1, F.size(col))
         proj = dot_expr(col, w)
-        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = sig + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig.cast("long")
+
+
+_SRP_MASK_SQL = "((CAST(1 AS BIGINT) << wv.w) - 1)"
 
 
 @register(
     "sim_srp_lsh_pairs",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-    sigs AS (SELECT vec_id, v, label, {_srp_sig_sql("v")} AS sig FROM e),
+    wv AS (SELECT {_w_case_sql("count(*)")} AS w FROM e),
+    sigs AS (SELECT vec_id, v, label,
+                    {_srp_band_sql("v", 0)} AS sig0,
+                    {_srp_band_sql("v", 1)} AS sig1
+             FROM e),
     bands AS (
-        SELECT vec_id, 0 AS band_idx, sig & 255 AS band_val FROM sigs
+        SELECT s.vec_id, 0 AS band_idx,
+               s.sig0 & {_SRP_MASK_SQL} AS band_val
+        FROM sigs s, wv
         UNION ALL
-        SELECT vec_id, 1 AS band_idx, (sig >> 8) & 255 AS band_val FROM sigs
+        SELECT s.vec_id, 1 AS band_idx,
+               s.sig1 & {_SRP_MASK_SQL} AS band_val
+        FROM sigs s, wv
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -308,7 +357,8 @@ def srp_signature_expr(v) -> F.Column:
     ),
     vf AS (
         SELECT c.id_a, c.id_b,
-               CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming,
+               CAST(bit_count(xor(sa.sig0, sb.sig0))
+                    + bit_count(xor(sa.sig1, sb.sig1)) AS BIGINT) AS hamming,
                CAST(CASE WHEN sa.label = sb.label THEN 1 ELSE 0 END
                     AS BIGINT) AS same_label,
                list_reduce(list_transform(range(1, len(sa.v) + 1),
@@ -327,53 +377,74 @@ def srp_signature_expr(v) -> F.Column:
     SELECT id_a, id_b, hamming, same_label, round(cosine, 6) AS cosine
     FROM vf WHERE cosine >= 0.35
     """,
-    doc="Signed-random-projection LSH for cosine similarity: 16 "
-    "deterministic pseudo-random hyperplanes (integer-LCG coefficients "
-    "embedded as literals in both engines) give each vector a 16-bit "
-    "signature; candidates are pairs agreeing on at least one of two "
-    "8-bit bands (banded Hamming LSH — an equi-join on (band, value), "
-    "never all pairs), then verified with the exact sequential-fold "
-    "cosine at threshold 0.5. Output carries the signature Hamming "
-    "distance and a label-agreement flag, the quality signals an index "
-    "tuner reads. Differs from the axis-aligned sign-bucket path "
-    "(sim_embedding_near_dup): proper random hyperplanes + multi-band "
-    "OR-construction = tunable recall. At 100 TB the band join's "
-    "candidate volume tracks true neighborhood density; signatures fold "
-    "map-side in one scan.",
+    doc="Signed-random-projection LSH for cosine similarity with a "
+    "SCALE-AWARE band width: 32 deterministic pseudo-random hyperplanes "
+    "(integer-LCG coefficients embedded as literals in both engines) give "
+    "each vector two 16-bit band signatures; each band is masked to its "
+    "low w bits where w is the smallest width in [8, 16] keeping expected "
+    "bucket occupancy n/2^w <= 8 (an integer CASE ladder over count(*), "
+    "identical in both engines — the 1-row width frame broadcasts). "
+    "Candidates are pairs agreeing on at least one masked band (banded "
+    "Hamming LSH — an equi-join on (band, value), never all pairs), then "
+    "verified with the exact sequential-fold cosine at threshold 0.35. "
+    "Output carries the 32-plane signature Hamming distance and a "
+    "label-agreement flag, the quality signals an index tuner reads. "
+    "Fixed-width bands made candidate volume quadratic in n once the "
+    "corpus outgrew the 2x256-key space (SCALE.md finding #1, the sf1 "
+    "sweep's only super-linear query: 101x candidates for 10x vectors); "
+    "the ladder re-sizes the key space with the corpus so candidates stay "
+    "~linear (tools/srp_width_probe.py measured the trade: width bounds "
+    "occupancy, band count buys recall back linearly — the registered "
+    "query pins 2 bands, production raises it to hit a recall target). "
+    "At 100 TB the same masking runs at the ladder's cap with more "
+    "planes; widening is bucket-splitting (prefix property), never a "
+    "re-hash.",
     tags=("similarity", "dedup", "lsh"),
 )
 def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_parallelism(t(spark, sf_dir, "embeddings"))
+    vcol = as_double_array("embedding")
     sigs = emb.select(
         "vec_id",
-        as_double_array("embedding").alias("v"),
+        vcol.alias("v"),
         "label",
-        srp_signature_expr(as_double_array("embedding")).alias("sig"),
+        srp_band_sig_expr(vcol, 0).alias("sig0"),
+        srp_band_sig_expr(vcol, 1).alias("sig1"),
     )
-    # bands carry (sig, v, label) so the pair join needs no verify joins
-    # back to the signature frame — dedupe of both-band collisions is one
-    # groupBy instead of DISTINCT + two id-equi-joins (4 shuffles -> 2)
-    bands = sigs.select(
-        "vec_id",
-        "sig",
-        "v",
-        "label",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band_idx"),
-                    F.col("sig").bitwiseAND(F.lit(255)).alias("band_val"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band_idx"),
-                    F.shiftright("sig", 8).bitwiseAND(F.lit(255)).alias("band_val"),
-                ),
-            )
-        ).alias("b"),
-    ).select("vec_id", "sig", "v", "label", "b.band_idx", "b.band_val")
+    # scale-aware width: 1-row frame (count -> CASE ladder), broadcast —
+    # no driver-side .count() action, the width stays inside the plan
+    wf = emb.agg(_w_case_col(F.count(F.lit(1))).alias("w"))
+    mask = F.expr("cast(shiftleft(cast(1 as bigint), w) - 1 as bigint)")
+    # bands carry (sig0, sig1, v, label) so the pair join needs no verify
+    # joins back to the signature frame — dedupe of both-band collisions
+    # is one groupBy instead of DISTINCT + two id-equi-joins
+    bands = (
+        sigs.crossJoin(F.broadcast(wf))
+        .select(
+            "vec_id",
+            "sig0",
+            "sig1",
+            "v",
+            "label",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("band_idx"),
+                        F.col("sig0").bitwiseAND(mask).alias("band_val"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("band_idx"),
+                        F.col("sig1").bitwiseAND(mask).alias("band_val"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", "sig0", "sig1", "v", "label", "b.band_idx", "b.band_val")
+    )
     a = bands.select(
         F.col("vec_id").alias("id_a"),
-        F.col("sig").alias("sig_a"),
+        F.col("sig0").alias("sig0_a"),
+        F.col("sig1").alias("sig1_a"),
         F.col("v").alias("va"),
         F.col("label").alias("la"),
         "band_idx",
@@ -381,7 +452,8 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = bands.select(
         F.col("vec_id").alias("id_b"),
-        F.col("sig").alias("sig_b"),
+        F.col("sig0").alias("sig0_b"),
+        F.col("sig1").alias("sig1_b"),
         F.col("v").alias("vb"),
         F.col("label").alias("lb"),
         "band_idx",
@@ -392,8 +464,10 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(
-            F.first("sig_a").alias("sig_a"),
-            F.first("sig_b").alias("sig_b"),
+            F.first("sig0_a").alias("sig0_a"),
+            F.first("sig1_a").alias("sig1_a"),
+            F.first("sig0_b").alias("sig0_b"),
+            F.first("sig1_b").alias("sig1_b"),
             F.first("va").alias("va"),
             F.first("vb").alias("vb"),
             F.first("la").alias("la"),
@@ -402,7 +476,10 @@ def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            (
+                F.bit_count(F.col("sig0_a").bitwiseXOR(F.col("sig0_b")))
+                + F.bit_count(F.col("sig1_a").bitwiseXOR(F.col("sig1_b")))
+            )
             .cast("long")
             .alias("hamming"),
             (F.col("la") == F.col("lb")).cast("long").alias("same_label"),

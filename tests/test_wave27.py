@@ -108,21 +108,61 @@ def test_srp_lsh_recovers_exact_duplicates(spark, tmp_path):
 
 def test_srp_signature_matches_manual_fold(spark):
     # pin the signature definition: manual python fold over the literal
-    # coefficients must reproduce the Spark-side signature bit-for-bit.
+    # coefficients must reproduce each band's Spark-side signature
+    # bit-for-bit (band b uses planes b*16 .. b*16+15).
     from cicevse2024_tfm_datapipeline_spark.plans.wave27 import (
+        _BAND_PLANES,
+        _N_BANDS,
         _SRP,
-        srp_signature_expr,
+        srp_band_sig_expr,
     )
     from pyspark.sql import functions as F
 
     vec = [0.25, -0.5, 0.75, -1.0, 0.1, 0.2, -0.3, 0.4]
     df = spark.createDataFrame([(vec,)], "v array<double>")
-    got = df.select(srp_signature_expr(F.col("v")).alias("s")).collect()[0]["s"]
-    want = 0
-    for p in range(16):
-        acc = 0.0
-        for i, x in enumerate(vec):
-            acc = acc + x * float(_SRP[p][i])
-        if acc >= 0:
-            want += 1 << p
-    assert got == want
+    for band in range(_N_BANDS):
+        got = df.select(srp_band_sig_expr(F.col("v"), band).alias("s")).collect()[
+            0
+        ]["s"]
+        want = 0
+        for j in range(_BAND_PLANES):
+            acc = 0.0
+            for i, x in enumerate(vec):
+                acc = acc + x * float(_SRP[band * _BAND_PLANES + j][i])
+            if acc >= 0:
+                want += 1 << j
+        assert got == want
+
+
+def test_srp_width_ladder_matches_oracle_and_bounds_occupancy(spark):
+    # the scale-aware width must be the SAME integer in both engines at
+    # every rung (including the exact power-of-two boundaries the float
+    # log2 form would have risked), and must bound expected occupancy.
+    import duckdb
+
+    from cicevse2024_tfm_datapipeline_spark.plans.wave27 import (
+        _MAX_W,
+        _MIN_W,
+        _TARGET_OCCUPANCY,
+        _w_case_col,
+        _w_case_sql,
+    )
+    from pyspark.sql import functions as F
+
+    probe = [1, 500, 2048, 2049, 4096, 4097, 20000, 200000, 262144, 262145, 10**9]
+    sdf = spark.createDataFrame([(n,) for n in probe], "n long")
+    got_spark = {
+        r["n"]: r["w"]
+        for r in sdf.select("n", _w_case_col(F.col("n")).alias("w")).collect()
+    }
+    con = duckdb.connect()
+    for n in probe:
+        (w_duck,) = con.execute(f"SELECT {_w_case_sql(str(n))}").fetchone()
+        assert got_spark[n] == w_duck, n
+        w = got_spark[n]
+        assert _MIN_W <= w <= _MAX_W
+        # smallest width bounding occupancy (unless capped at _MAX_W)
+        if w < _MAX_W:
+            assert n <= _TARGET_OCCUPANCY * (1 << w)
+            if w > _MIN_W:
+                assert n > _TARGET_OCCUPANCY * (1 << (w - 1))
