@@ -98,23 +98,67 @@ def test_rotation_plans_resolve():
         assert not missing, f"{plan_name} names not registered: {missing}"
 
 
+#: committed official driver artifacts — enumerated EXPLICITLY (not
+#: globbed) so an uncommitted or future CORRECTNESS_r0x.json in the tree
+#: cannot silently change what these meta-tests pin (r07 ADVICE item).
+_ARTIFACT_ROUNDS = (1, 2, 3, 4, 5, 6, 7)
+
+
+def _latest_driven_round() -> dict[str, int]:
+    import json
+
+    latest: dict[str, int] = {}
+    for r in _ARTIFACT_ROUNDS:
+        path = os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json")
+        assert os.path.exists(path), f"committed artifact missing: {path}"
+        for name in json.load(open(path)):
+            latest[name] = r
+    return latest
+
+
 def test_r08_plan_completes_the_ledger():
     """_R08_PLAN ∪ _PRIORITY ∪ queries-already-driven must cover every
     registered query: after the r08 window runs there is no never-driven
-    name left. Driven-so-far = the union of names in CORRECTNESS_r01–r06
-    (committed artifacts)."""
-    import glob
-    import json
-
+    name left. Driven-so-far = the union of names in the explicitly
+    enumerated committed artifacts CORRECTNESS_r01–r07."""
     from cicevse2024_tfm_datapipeline_spark import plans
     from cicevse2024_tfm_datapipeline_spark.plans import load_all
 
-    driven: set[str] = set()
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
-        driven |= set(json.load(open(path)))
+    driven = set(_latest_driven_round())
     uncovered = (
         set(load_all()) - driven - set(plans._PRIORITY) - set(plans._R08_PLAN)
     )
     assert not uncovered, (
         f"queries never driven and absent from both windows: {sorted(uncovered)}"
     )
+    # the r08 window's never-driven block must be EXACTLY the committed
+    # _R08_PLAN (set-identical; _PRIORITY lists it in registration order)
+    never = set(load_all()) - driven
+    assert never == set(plans._R08_PLAN)
+
+
+def test_priority_window_matches_rotation_rule():
+    """_PRIORITY must equal rotation_window(...) recomputed from the raw
+    registration order, the oracle map, the committed CORRECTNESS
+    artifacts, and the declared _R08_CHANGED list — the _ROTATION_RULE
+    policy is executable, not prose."""
+    from cicevse2024_tfm_datapipeline_spark import plans
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+    from cicevse2024_tfm_datapipeline_spark.plans.registry import registry
+
+    load_all()
+    reg = registry()  # raw registration order (unaffected by _PRIORITY)
+    expected = plans.rotation_window(
+        registration_order=list(reg),
+        oracled={n for n, q in reg.items() if q.oracle is not None},
+        latest_round=_latest_driven_round(),
+        changed=plans._R08_CHANGED,
+        rows_only_ok=plans._ROWS_ONLY_WINDOW_OK,
+    )
+    assert plans._PRIORITY == expected
+    # every changed-plan name must be spent on a real re-drive: registered
+    # and previously driven (a never-driven name belongs to block 1)
+    latest = _latest_driven_round()
+    for name in plans._R08_CHANGED:
+        assert name in reg, name
+        assert name in latest, f"_R08_CHANGED lists never-driven {name}"
