@@ -78,20 +78,31 @@ def _file_splits(path: str) -> tuple[int, int]:
     flagged the silent ~4 KB-dirent no-op the single-file assumption
     produced on directories)."""
     st = os.stat(path)
+    if os.path.isdir(path):
+        parts = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        # key on the PART files' own (mtime_ns, size) — a part rewritten
+        # in place (open/truncate, same name) changes neither the
+        # directory's mtime nor its size, so a dir-level key would serve
+        # a stale footer count (r07 ADVICE)
+        stats = [os.stat(p) for p in parts]
+        key = (
+            path,
+            max((s.st_mtime_ns for s in stats), default=st.st_mtime_ns),
+            sum(s.st_size for s in stats),
+            len(parts),
+        )
+        if key not in _SPLIT_CACHE:
+            size = sum(s.st_size for s in stats)
+            groups = sum(_footer_groups(p) for p in parts) if parts else 1
+            _SPLIT_CACHE[key] = (size, max(1, groups))
+        return _SPLIT_CACHE[key]
     key = (path, st.st_mtime_ns, st.st_size)
     if key not in _SPLIT_CACHE:
-        if os.path.isdir(path):
-            parts = [
-                os.path.join(path, f)
-                for f in sorted(os.listdir(path))
-                if f.endswith(".parquet") and not f.startswith((".", "_"))
-            ]
-            size = sum(os.path.getsize(p) for p in parts)
-            groups = sum(_footer_groups(p) for p in parts) if parts else 1
-        else:
-            size = st.st_size
-            groups = _footer_groups(path)
-        _SPLIT_CACHE[key] = (size, max(1, groups))
+        _SPLIT_CACHE[key] = (st.st_size, max(1, _footer_groups(path)))
     return _SPLIT_CACHE[key]
 
 

@@ -140,3 +140,34 @@ def test_events_timeline_and_user_strides(scaled):
     max_u0, min_u1, day_off = row
     assert max_u0 < 10000 <= min_u1
     assert day_off == 31
+
+
+def test_token_disjointness_guard_trips_on_collision_corpus(tmp_path):
+    """build()'s in-build guard must refuse a corpus whose base tokens
+    already carry a z<k> suffix (replica 0 keeps raw text, so such a
+    token would collide with replica k's suffixed stem) — and must pass
+    the real fixtures (r07 ADVICE item 3)."""
+    import duckdb as d
+    import pytest as pt
+    from make_scale import assert_token_disjointness
+
+    con = d.connect()
+    bad = os.path.join(tmp_path, "documents.parquet")
+    con.execute(
+        "COPY (SELECT 1 AS doc_id, 'alpha alphaz1 beta' AS text) "
+        f"TO '{bad}' (FORMAT PARQUET)"
+    )
+    with pt.raises(SystemExit, match="disjointness violated"):
+        assert_token_disjointness(con, bad, factor=3)
+    # z-suffixes at or beyond the factor are out of the collision range
+    assert_token_disjointness(con, bad, factor=1)
+    ok = os.path.join(tmp_path, "docs_ok.parquet")
+    con.execute(
+        "COPY (SELECT 1 AS doc_id, 'alpha beta z zebra blitz' AS text) "
+        f"TO '{ok}' (FORMAT PARQUET)"
+    )
+    assert_token_disjointness(con, ok, factor=128)
+    # the shipped fixture the SCALE.md measurements replicate from
+    assert_token_disjointness(
+        con, os.path.join(SRC, "documents.parquet"), factor=128
+    )

@@ -117,6 +117,31 @@ def test_file_splits_directory_dataset(tmp_path):
     assert size == expected_size
 
 
+def test_directory_cache_sees_in_place_part_rewrite(tmp_path):
+    """Rewriting a part file IN PLACE (same name, same byte size, new
+    row-group layout) must refresh the cached footer count: the cache key
+    folds the parts' own mtimes, not the directory's stat, which such a
+    rewrite leaves untouched (r07 ADVICE item 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ds = os.path.join(tmp_path, "tbl.parquet")
+    os.makedirs(ds)
+    part = os.path.join(ds, "part-00000.parquet")
+    pq.write_table(pa.table({"a": list(range(200))}), part, row_group_size=200)
+    _, groups1 = readers._file_splits(ds)
+    assert groups1 == 1
+    dir_stat_before = os.stat(ds)
+    # same table, same compression, finer row groups; same part name —
+    # byte size may coincide, so force the mtime forward to model a real
+    # rewrite (mtime always advances; dir stat still does not)
+    pq.write_table(pa.table({"a": list(range(200))}), part, row_group_size=50)
+    os.utime(part, ns=(dir_stat_before.st_mtime_ns + 10**9,) * 2)
+    os.utime(ds, ns=(dir_stat_before.st_mtime_ns, dir_stat_before.st_mtime_ns))
+    _, groups2 = readers._file_splits(ds)
+    assert groups2 == 4
+
+
 def test_wide_load_values_identical(spark):
     """The repartition is value-neutral: same rows either way."""
     from pyspark.sql import functions as F

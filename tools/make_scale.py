@@ -56,6 +56,36 @@ def _copy(con: duckdb.DuckDBPyConnection, sql: str, dst: str) -> None:
     con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)")
 
 
+def assert_token_disjointness(
+    con: duckdb.DuckDBPyConnection, documents_path: str, factor: int
+) -> None:
+    """Fail loudly if the ``z<k>`` suffix scheme could collide: replica 0
+    keeps raw text, so a base token that ALREADY ends in ``z<k>`` for some
+    k in [1, factor) would equal replica k's suffixed form of its stem
+    (base 'a' + 'az1' collides with replica 1's 'a'->'az1'). Conservative
+    check (any token ending z<k>, stem existence not required) over the
+    \\W+-split token space — the same split the engine tokenizer and the
+    suffix regex use. Runs inside build() at EVERY factor/source instead
+    of relying on the factor-3 empirical test (r07 ADVICE item 3)."""
+    (bad,) = con.execute(
+        f"""
+        SELECT count(*) FROM (
+            SELECT unnest(regexp_split_to_array(text, '\\W+')) AS tok
+            FROM read_parquet('{documents_path}')
+        )
+        WHERE TRY_CAST(regexp_extract(tok, 'z([0-9]+)$', 1) AS BIGINT)
+              BETWEEN 1 AND {factor - 1}
+        """
+    ).fetchone()
+    if bad:
+        raise SystemExit(
+            f"replica-token disjointness violated: {bad} base token "
+            f"occurrences already end in z<k> for k < {factor}; the z<k> "
+            "suffix scheme cannot guarantee disjoint replica token spaces "
+            "on this corpus — pick a different marker"
+        )
+
+
 def build(src: str, out: str, factor: int) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -63,6 +93,8 @@ def build(src: str, out: str, factor: int) -> None:
 
     def p(name: str) -> str:
         return os.path.join(src, f"{name}.parquet")
+
+    assert_token_disjointness(con, p("documents"), factor)
 
     # documents: disjoint ids, disjoint token space per replica
     _copy(
