@@ -1,4 +1,4 @@
-"""SRP-LSH signature-width scaling probe (round 7).
+"""SRP-LSH signature-width scaling probe (round 7; remedy APPLIED round 8).
 
 The sf1 probe (SCALE.md) found the one super-linear scaler in the heavy
 tier: `sim_srp_lsh_pairs` at 11.7x for 10x data, because its 16-bit
@@ -6,11 +6,15 @@ signature in two fixed 8-bit bands gives a 2x256-key bucket space —
 bucket occupancy, and therefore exact-verify candidate volume, grows
 quadratically once the corpus outgrows the key space.
 
-This probe MEASURES the documented remedy instead of arguing it: the
-identical plan shape (sign-projection signature → banded explode →
-band-key self-equi-join → distinct pairs) run at three configurations:
+Round 8 applied the measured remedy to the registered query
+(plans/wave27.py): two 16-bit band signatures masked to a count-driven
+width w in [8, 16] (integer occupancy ladder, identical in both
+engines). This probe remains the measurement of the underlying
+width/bands trade surface at FIXED configurations — the identical plan
+shape (sign-projection signature → banded explode → band-key
+self-equi-join → distinct pairs) run at:
 
-- 16 planes, 2 x 8-bit bands   (the registered query's shape)
+- 16 planes, 2 x 8-bit bands   (the pre-r08 registered shape)
 - 32 planes, 2 x 16-bit bands  (width only — occupancy fix, recall cost)
 - 64 planes, 4 x 16-bit bands  (width AND bands — the production tuning)
 
