@@ -202,6 +202,68 @@ def prev_nonempty_value(frame: DataFrame, value_col: str, out_col: str) -> DataF
     )
 
 
+def bounds_bucketed(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    descending: bool = False,
+    n_buckets: int | None = None,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Lineage-free twin of :func:`range_bucketed`: ``PID`` is DERIVED
+    FROM THE DATA via driver-computed quantile bounds on the first order
+    column, instead of ``spark_partition_id()`` over a pinned range
+    exchange.
+
+    Why this exists (SCALE.md "Known local-vs-cluster deltas"): the
+    pinned path materializes a data-sized localCheckpoint so every
+    consumer sees one frozen row→partition mapping — correct, but the
+    persisted copy lives in executor storage and its lineage is cut (an
+    executor loss mid-query kills surviving-replica reads). Here the
+    mapping is a PURE EXPRESSION over frozen bound literals: every
+    branch recomputes it bit-identically, exchange reuse is safe by
+    construction, nothing is pinned, and recovery replays lineage.
+
+    Mechanics: ``B-1`` quantile bounds of ``order_cols[0]`` (cast to
+    double; one driver-side Greenwald–Khanna pass, the analogue of
+    RangePartitioner's sample job) are embedded as an array literal;
+    ``PID = size(filter(bounds, b -> b < key))`` (``>`` for descending) —
+    monotone in the scan order because strict comparison puts every tie
+    group in ONE bucket, with the full multi-column ordering applied by
+    the within-bucket window. Nulls get the edge bucket matching Spark's
+    default null ordering (first for asc, last for desc).
+
+    Tradeoff vs the pinned range exchange: tie groups cannot be SPLIT
+    across buckets, so a heavy-duplicate first order column skews bucket
+    sizes (the range exchange splits ties and disambiguates via physical
+    partition id). Use for high-cardinality scan keys — scores,
+    timestamps — which is exactly what the ROC/sessionize scans order
+    by."""
+    b = n_buckets or _n_range_parts(df)
+    key = order_cols[0]
+    probs = [i / b for i in range(1, b)]
+    if probs:
+        bounds = (
+            df.select(F.col(key).cast("double").alias("__bb_key"))
+            .approxQuantile("__bb_key", probs, relative_error)
+        )
+        bounds = sorted(set(bounds))
+    else:
+        bounds = []
+    keyc = F.col(key).cast("double")
+    if not bounds:
+        pid = F.lit(0)
+    elif descending:
+        arr = F.lit([float(x) for x in sorted(bounds, reverse=True)])
+        pid = F.size(F.filter(arr, lambda bb: bb > keyc))
+    else:
+        arr = F.lit([float(x) for x in bounds])
+        pid = F.size(F.filter(arr, lambda bb: bb < keyc))
+    null_bucket = F.lit(len(bounds) + 1 if descending else -1)
+    return df.withColumn(
+        PID, F.when(keyc.isNull(), null_bucket).otherwise(pid).cast("int")
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -209,6 +271,7 @@ def global_cumsum(
     descending: bool = False,
     keep_pid: bool = False,
     with_totals: bool = False,
+    bucketing: str = "pinned",
 ) -> DataFrame:
     """Running sum of each ``sum_cols`` entry over the global
     ``order_cols`` order (ties summed in one step is the caller's job —
@@ -227,8 +290,16 @@ def global_cumsum(
     input subtree executes once and every branch (window pass, totals,
     offsets) reads the same materialized partitions; the data-sized
     shuffle happens exactly once (the range exchange).
+
+    ``bucketing="bounds"`` swaps in :func:`bounds_bucketed` — the
+    lineage-free mapping (no pinned copy, no lineage cut; see its
+    docstring for the tie-skew tradeoff). Results are identical; the
+    plans differ in recovery/storage behavior.
     """
-    bucketed = range_bucketed(df, order_cols, descending)
+    if bucketing == "bounds":
+        bucketed = bounds_bucketed(df, order_cols, descending)
+    else:
+        bucketed = range_bucketed(df, order_cols, descending)
     w = (
         W.partitionBy(PID)
         .orderBy(*_ordering(order_cols, descending))

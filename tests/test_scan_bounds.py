@@ -1,0 +1,111 @@
+"""bounds_bucketed (operators/scan.py): the lineage-free twin of the
+pinned range-exchange scan. Must (a) produce a PID monotone in the scan
+order with every tie group in one bucket, (b) make global_cumsum return
+IDENTICAL results to the pinned path, (c) actually be lineage-free — no
+localCheckpoint materialization in the plan."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.operators.scan import (
+    PID,
+    bounds_bucketed,
+    global_cumsum,
+)
+
+
+def _frame(spark, n=5000, seed=11):
+    rng = random.Random(seed)
+    rows = [
+        (i, round(rng.uniform(0, 1), 2), rng.randint(0, 1))  # heavy score ties
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, score double, hit int")
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_pid_monotone_and_ties_colocated(spark, descending):
+    df = bounds_bucketed(
+        _frame(spark), ["score", "id"], descending=descending, n_buckets=16
+    )
+    got = df.select("score", PID).collect()
+    got.sort(key=lambda r: r["score"], reverse=descending)
+    pids = [r[PID] for r in got]
+    assert pids == sorted(pids), "PID must be monotone in the scan order"
+    by_score: dict[float, set[int]] = {}
+    for r in got:
+        by_score.setdefault(r["score"], set()).add(r[PID])
+    assert all(len(s) == 1 for s in by_score.values()), (
+        "a tie group spanning buckets would corrupt prefix offsets"
+    )
+    assert len(set(pids)) > 4, "bounds should actually split the domain"
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_cumsum_bounds_equals_pinned(spark, descending):
+    df = _frame(spark)
+    kw = dict(
+        order_cols=["score", "id"],
+        sum_cols=["hit"],
+        descending=descending,
+        with_totals=True,
+    )
+    pinned = {
+        r["id"]: (r["cum_hit"], r["tot_hit"])
+        for r in global_cumsum(df, **kw).collect()
+    }
+    bounds = {
+        r["id"]: (r["cum_hit"], r["tot_hit"])
+        for r in global_cumsum(df, bucketing="bounds", **kw).collect()
+    }
+    assert pinned == bounds
+
+
+def test_null_keys_take_the_edge_bucket(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, 0.5), (3, 0.9)], "id long, score double"
+    )
+    asc = {r["id"]: r[PID] for r in bounds_bucketed(df, ["score"]).collect()}
+    assert asc[1] == -1 and asc[1] < asc[2] <= asc[3]
+    desc = {
+        r["id"]: r[PID]
+        for r in bounds_bucketed(df, ["score"], descending=True).collect()
+    }
+    assert desc[1] > desc[2] >= desc[3]  # nulls LAST under desc
+
+
+def test_bounds_plan_is_lineage_free(spark, tmp_path):
+    """The pinned path materializes a localCheckpoint (plan shows a
+    'Scan ExistingRDD' leaf where the file scan used to be); the bounds
+    path must keep the original parquet lineage — no checkpointed RDD
+    scan anywhere."""
+    _frame(spark, n=500).write.mode("overwrite").parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    pinned_plan = global_cumsum(
+        df, ["score", "id"], ["hit"]
+    )._jdf.queryExecution().toString()
+    bounds_plan = global_cumsum(
+        df, ["score", "id"], ["hit"], bucketing="bounds"
+    )._jdf.queryExecution().toString()
+    assert "ExistingRDD" in pinned_plan
+    assert "ExistingRDD" not in bounds_plan
+
+
+def test_timestamp_first_key_supported(spark):
+    """sessionize-style scans order by a timestamp: the double cast must
+    give a usable bound domain."""
+    rows = [(i, f"2024-01-01 00:{i % 60:02d}:{(i * 7) % 60:02d}") for i in range(600)]
+    df = (
+        spark.createDataFrame(rows, "id long, ts string")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = bounds_bucketed(df, ["ts", "id"])
+    got = out.select("ts", PID).collect()
+    got.sort(key=lambda r: r["ts"])
+    pids = [r[PID] for r in got]
+    assert pids == sorted(pids)
+    assert len(set(pids)) > 1
