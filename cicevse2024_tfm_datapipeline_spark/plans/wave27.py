@@ -297,6 +297,20 @@ def _w_case_col(n) -> F.Column:
     return expr
 
 
+def _ladder_width(n: int) -> int:
+    """Driver-side twin of the ladder (same integer thresholds). Resolving
+    w at PLAN TIME lets the Spark side build only the w projection
+    expressions per band it will use — the projections are interpreted
+    higher-order folds, so pruning them is the dominant map-side saving
+    (at the bench SF w=8: 16 projections per side instead of 32, i.e. the
+    pre-ladder cost). Same precedent as scan.bounds_bucketed: one cheap
+    driver action (count) buying a plan-shape parameter."""
+    for thr, w in _W_LADDER:
+        if n <= thr:
+            return w
+    return _MAX_W
+
+
 def _srp_band_sql(v: str, band: int) -> str:
     """DuckDB: the ``_BAND_PLANES``-bit SRP signature of list column ``v``
     for one band (sequential-fold projections against the shared
@@ -313,14 +327,17 @@ def _srp_band_sql(v: str, band: int) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def srp_band_sig_expr(v, band: int) -> F.Column:
-    """Spark: one band's ``_BAND_PLANES``-bit SRP signature — one codegen'd
-    projection per plane, sequential zip_with/aggregate fold (same
+def srp_band_sig_expr(v, band: int, width: int = _BAND_PLANES) -> F.Column:
+    """Spark: the low ``width`` bits of one band's SRP signature — one
+    projection per used plane, sequential zip_with/aggregate fold (same
     summation order as the oracle's list_reduce), coefficient slice
-    matched to the vector dim."""
+    matched to the vector dim. Equal by the prefix property to the full
+    ``_BAND_PLANES``-bit signature masked to ``width`` bits (what the
+    static oracle SQL computes), while building only the expressions the
+    plan will use."""
     col = F.col(v) if isinstance(v, str) else v
     sig = F.lit(0)
-    for j in range(_BAND_PLANES):
+    for j in range(width):
         p = band * _BAND_PLANES + j
         w = F.slice(F.lit([float(c) for c in _SRP[p]]), 1, F.size(col))
         proj = dot_expr(col, w)
@@ -357,8 +374,9 @@ _SRP_MASK_SQL = "((CAST(1 AS BIGINT) << wv.w) - 1)"
     ),
     vf AS (
         SELECT c.id_a, c.id_b,
-               CAST(bit_count(xor(sa.sig0, sb.sig0))
-                    + bit_count(xor(sa.sig1, sb.sig1)) AS BIGINT) AS hamming,
+               CAST(bit_count(xor(sa.sig0, sb.sig0) & {_SRP_MASK_SQL})
+                    + bit_count(xor(sa.sig1, sb.sig1) & {_SRP_MASK_SQL})
+                    AS BIGINT) AS hamming,
                CAST(CASE WHEN sa.label = sb.label THEN 1 ELSE 0 END
                     AS BIGINT) AS same_label,
                list_reduce(list_transform(range(1, len(sa.v) + 1),
@@ -373,6 +391,7 @@ _SRP_MASK_SQL = "((CAST(1 AS BIGINT) << wv.w) - 1)"
         FROM cand c
         JOIN sigs sa ON sa.vec_id = c.id_a
         JOIN sigs sb ON sb.vec_id = c.id_b
+        CROSS JOIN wv
     )
     SELECT id_a, id_b, hamming, same_label, round(cosine, 6) AS cosine
     FROM vf WHERE cosine >= 0.35
@@ -387,8 +406,12 @@ _SRP_MASK_SQL = "((CAST(1 AS BIGINT) << wv.w) - 1)"
     "Candidates are pairs agreeing on at least one masked band (banded "
     "Hamming LSH — an equi-join on (band, value), never all pairs), then "
     "verified with the exact sequential-fold cosine at threshold 0.35. "
-    "Output carries the 32-plane signature Hamming distance and a "
+    "Output carries the Hamming distance over the 2w USED planes and a "
     "label-agreement flag, the quality signals an index tuner reads. "
+    "The Spark side resolves w at plan time (driver count + the same "
+    "ladder) and builds only the w projections per band it uses — the "
+    "static oracle SQL computes full 16-bit band signatures and masks, "
+    "identical by the prefix property. "
     "Fixed-width bands made candidate volume quadratic in n once the "
     "corpus outgrew the 2x256-key space (SCALE.md finding #1, the sf1 "
     "sweep's only super-linear query: 101x candidates for 10x vectors); "
@@ -404,43 +427,40 @@ _SRP_MASK_SQL = "((CAST(1 AS BIGINT) << wv.w) - 1)"
 def sim_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_min_parallelism(t(spark, sf_dir, "embeddings"))
     vcol = as_double_array("embedding")
+    # scale-aware width resolved at PLAN TIME: one cheap count action +
+    # the integer ladder (the oracle computes the identical CASE over its
+    # own count(*)), so only w projection expressions per band are built —
+    # w-bit signatures equal the masked 16-bit ones by the prefix property
+    width = _ladder_width(emb.count())
     sigs = emb.select(
         "vec_id",
         vcol.alias("v"),
         "label",
-        srp_band_sig_expr(vcol, 0).alias("sig0"),
-        srp_band_sig_expr(vcol, 1).alias("sig1"),
+        srp_band_sig_expr(vcol, 0, width).alias("sig0"),
+        srp_band_sig_expr(vcol, 1, width).alias("sig1"),
     )
-    # scale-aware width: 1-row frame (count -> CASE ladder), broadcast —
-    # no driver-side .count() action, the width stays inside the plan
-    wf = emb.agg(_w_case_col(F.count(F.lit(1))).alias("w"))
-    mask = F.expr("cast(shiftleft(cast(1 as bigint), w) - 1 as bigint)")
     # bands carry (sig0, sig1, v, label) so the pair join needs no verify
     # joins back to the signature frame — dedupe of both-band collisions
     # is one groupBy instead of DISTINCT + two id-equi-joins
-    bands = (
-        sigs.crossJoin(F.broadcast(wf))
-        .select(
-            "vec_id",
-            "sig0",
-            "sig1",
-            "v",
-            "label",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(0).alias("band_idx"),
-                        F.col("sig0").bitwiseAND(mask).alias("band_val"),
-                    ),
-                    F.struct(
-                        F.lit(1).alias("band_idx"),
-                        F.col("sig1").bitwiseAND(mask).alias("band_val"),
-                    ),
-                )
-            ).alias("b"),
-        )
-        .select("vec_id", "sig0", "sig1", "v", "label", "b.band_idx", "b.band_val")
-    )
+    bands = sigs.select(
+        "vec_id",
+        "sig0",
+        "sig1",
+        "v",
+        "label",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_idx"),
+                    F.col("sig0").alias("band_val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_idx"),
+                    F.col("sig1").alias("band_val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("vec_id", "sig0", "sig1", "v", "label", "b.band_idx", "b.band_val")
     a = bands.select(
         F.col("vec_id").alias("id_a"),
         F.col("sig0").alias("sig0_a"),

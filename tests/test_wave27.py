@@ -144,6 +144,7 @@ def test_srp_width_ladder_matches_oracle_and_bounds_occupancy(spark):
         _MAX_W,
         _MIN_W,
         _TARGET_OCCUPANCY,
+        _ladder_width,
         _w_case_col,
         _w_case_sql,
     )
@@ -159,6 +160,9 @@ def test_srp_width_ladder_matches_oracle_and_bounds_occupancy(spark):
     for n in probe:
         (w_duck,) = con.execute(f"SELECT {_w_case_sql(str(n))}").fetchone()
         assert got_spark[n] == w_duck, n
+        # the plan-time width the registered query actually uses must
+        # agree with the oracle's CASE at every rung too
+        assert _ladder_width(n) == w_duck, n
         w = got_spark[n]
         assert _MIN_W <= w <= _MAX_W
         # smallest width bounding occupancy (unless capped at _MAX_W)
