@@ -103,6 +103,51 @@ def candidate_pairs(spark, sf_dir: str, n_planes: int, band_bits: int,
     )
 
 
+def shipped_candidate_pairs(spark, sf_dir: str):
+    """The REGISTERED query's candidate set (round-8 shape): two bands of
+    the plan-time ladder width w, band b drawing planes b*16 .. b*16+w-1
+    (wave27's exact layout and expressions) — so the probe measures the
+    shipped config's recall on the same brute-force ground truth as the
+    fixed configs."""
+    from cicevse2024_tfm_datapipeline_spark.operators.skew import (
+        ensure_min_parallelism,
+    )
+    from cicevse2024_tfm_datapipeline_spark.plans.wave27 import (
+        _ladder_width,
+        srp_band_sig_expr,
+    )
+    from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
+        as_double_array,
+    )
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import load_table
+
+    emb = ensure_min_parallelism(load_table(spark, sf_dir, "embeddings"))
+    width = _ladder_width(emb.count())
+    col = as_double_array("embedding")
+    bands = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        srp_band_sig_expr(col, i, width).alias("band_val"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "b.band_idx", "b.band_val")
+    a = bands.select(F.col("vec_id").alias("id_a"), "band_idx", "band_val")
+    b = bands.select(F.col("vec_id").alias("id_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    ), width
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf01", default="/root/testdata/sf0.1")
@@ -150,6 +195,23 @@ def main() -> None:
                 f"candidates={pairs}  wall={best:.2f}s  {rec}",
                 flush=True,
             )
+        # the registered query's round-8 shape (plan-time ladder width)
+        cand, width = shipped_candidate_pairs(spark, sf_dir)
+        best, pairs = 1e9, -1
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = cand.count()
+            best = min(best, time.perf_counter() - t0)
+        if truth is not None:
+            kept = cand.join(truth, ["id_a", "id_b"]).count()
+            rec = f"recall={kept / truth_n:.3f} ({kept}/{truth_n})"
+        else:
+            rec = "recall=skipped (brute force at 200M pairs)"
+        print(
+            f"{sf_name} ({n_vecs} vecs)  SHIPPED 2x{width}-bit (ladder): "
+            f"candidates={pairs}  wall={best:.2f}s  {rec}",
+            flush=True,
+        )
 
 
 def _bruteforce_true_pairs(spark, sf_dir: str):
