@@ -170,3 +170,69 @@ def test_srp_width_ladder_matches_oracle_and_bounds_occupancy(spark):
             assert n <= _TARGET_OCCUPANCY * (1 << w)
             if w > _MIN_W:
                 assert n > _TARGET_OCCUPANCY * (1 << (w - 1))
+
+
+def test_srp_prefix_property_and_random_corpus_differential(spark, tmp_path):
+    """Two invariants the oracle parity rests on: (a) the w-bit band
+    signature equals the full 16-bit one masked to w (prefix property —
+    what lets Spark build only w projections while the static SQL masks);
+    (b) the full registered query matches its DuckDB oracle on a RANDOM
+    corpus, not just the shipped fixtures."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cicevse2024_tfm_datapipeline_spark.plans.wave27 import (
+        _BAND_PLANES,
+        srp_band_sig_expr,
+    )
+
+    rng = random.Random(29)
+    # uniform dim 16 (the embedding column's data contract is one fixed
+    # dim per table; 16 < _MAX_DIM also exercises the coefficient slice)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], rng.randint(0, 3))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    # (a) prefix property at several widths, both bands
+    for band in range(2):
+        for w in (8, 11, 16):
+            chk = df.select(
+                (
+                    srp_band_sig_expr(F.col("embedding"), band, w)
+                    == srp_band_sig_expr(F.col("embedding"), band, _BAND_PLANES)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                ).alias("eq")
+            ).collect()
+            assert all(r["eq"] for r in chk), (band, w)
+    # (b) random-corpus differential vs the registered oracle
+    path = str(tmp_path / "embeddings.parquet")
+    df.write.mode("overwrite").parquet(path)
+    q = _q("sim_srp_lsh_pairs")
+    got = (
+        q.spark(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = (
+        con.execute(q.oracle)
+        .fetchdf()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for c in ("id_a", "id_b", "hamming", "same_label"):
+        assert got[c].astype("int64").tolist() == want[c].astype("int64").tolist(), c
+    pd.testing.assert_series_equal(
+        got["cosine"].astype("float64"),
+        want["cosine"].astype("float64"),
+        check_names=False,
+    )
