@@ -337,6 +337,7 @@ def grouped_cumsum(
     descending: bool = False,
     with_totals: bool = False,
     small_groups: bool = False,
+    bucketing: str = "pinned",
 ) -> DataFrame:
     """Per-group running sums over the global ``order_cols`` order WITHIN
     each group — ``F.sum(c).over(Window.partitionBy(group).orderBy(...))``
@@ -358,6 +359,18 @@ def grouped_cumsum(
     window reuses the same partitioning (zero extra exchanges) — and the
     two-phase range machinery would only add cost. Never set it for
     data-sized groups: one giant group would serialize into one task.
+
+    ``bucketing="bounds"`` is the lineage-free mapping here too: buckets
+    come from :func:`bounds_bucketed` over the ORDER column alone
+    (ignoring the group key — global order bounds are monotone within
+    EVERY group's order, which is all the per-group prefix combine
+    needs; the group key is in every window spec / summary key already).
+    Nothing is pinned; the same tie-skew caveat as the global scan
+    applies to the order column. One sizing note: order-only buckets can
+    each hold every group, so the summary frame is O(B x |groups|) rows
+    instead of ~O(B) — fine for class-like group keys (the ROC tier),
+    wrong for high-cardinality groups, where the pinned (group, order)
+    range keeps the summary near-linear in B.
     """
     gcols = list(group_cols)
     if small_groups:
@@ -375,12 +388,15 @@ def grouped_cumsum(
                 "*", *[F.sum(c).over(wg).alias(f"tot_{c}") for c in sum_cols]
             )
         return out
-    rp = df.repartitionByRange(
-        _n_range_parts(df),
-        *[F.col(c).asc() for c in gcols],
-        *_ordering(order_cols, descending),
-    )
-    bucketed = _pin_buckets(rp.withColumn(PID, F.spark_partition_id()))
+    if bucketing == "bounds":
+        bucketed = bounds_bucketed(df, order_cols, descending)
+    else:
+        rp = df.repartitionByRange(
+            _n_range_parts(df),
+            *[F.col(c).asc() for c in gcols],
+            *_ordering(order_cols, descending),
+        )
+        bucketed = _pin_buckets(rp.withColumn(PID, F.spark_partition_id()))
     w = (
         W.partitionBy(PID, *gcols)
         .orderBy(*_ordering(order_cols, descending))

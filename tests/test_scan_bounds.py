@@ -109,3 +109,37 @@ def test_timestamp_first_key_supported(spark):
     pids = [r[PID] for r in got]
     assert pids == sorted(pids)
     assert len(set(pids)) > 1
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_grouped_cumsum_bounds_equals_pinned(spark, descending):
+    """grouped_cumsum's bounds mode buckets on the ORDER column alone
+    (global order bounds are monotone within every group) — results must
+    match the pinned (group, order) range path exactly, including
+    per-group totals."""
+    import random
+
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import grouped_cumsum
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.choice(["a", "b", "c"]), round(rng.uniform(0, 1), 2), rng.randint(0, 1))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score double, hit int")
+    kw = dict(
+        group_cols=["grp"],
+        order_cols=["score", "id"],
+        sum_cols=["hit"],
+        descending=descending,
+        with_totals=True,
+    )
+    pinned = {
+        r["id"]: (r["cum_hit"], r["tot_hit"])
+        for r in grouped_cumsum(df, **kw).collect()
+    }
+    bounds = {
+        r["id"]: (r["cum_hit"], r["tot_hit"])
+        for r in grouped_cumsum(df, bucketing="bounds", **kw).collect()
+    }
+    assert pinned == bounds
