@@ -143,6 +143,15 @@ def rotation_window(
     return [*head, *list(anchors)]
 
 
+# r09 note (for the next window's _R09_CHANGED): the leading candidate
+# is flipping the ROC/cumsum tier to the lineage-free bounds-bucketed
+# scan (operators/scan.py, bucketing="bounds" — implemented + measured
+# round 8, default pinned kept so no plan changed). Flipping re-drives
+# the a13_* quartet + a11_multiclass_auc; consult SCALE.md "scan pin"
+# for the tie-skew caveat before flipping anything sessionize-side.
+# Compute the window with: python tools/next_window.py --rounds 8
+# --changed <names>.
+
 # r08 changed-plan re-drives (rule item 2), in priority order:
 #   - a_psi_drift: plan rewritten twice in r07 (array binning; multi-
 #     consumer pins) — its green row predates the rewrite (r07 verdict
