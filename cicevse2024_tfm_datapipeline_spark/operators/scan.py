@@ -202,6 +202,36 @@ def prev_nonempty_value(frame: DataFrame, value_col: str, out_col: str) -> DataF
     )
 
 
+def _bounds_key_expr(df: DataFrame, key: str) -> Column:
+    """The double-valued bucketing expression for ``bounds_bucketed``'s
+    first order column — defined ONLY for types whose natural sort order
+    survives the numeric cast (numeric, boolean, date, timestamp). A
+    string key would bucket by numeric cast (null for non-numeric text →
+    the edge bucket) while the within-bucket window sorts
+    lexicographically, silently corrupting prefix sums ('10' < '9'
+    lexicographically but not numerically) — so anything else raises
+    instead of mis-bucketing."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[key].dataType
+    col = F.col(key)
+    if isinstance(dt, (T.NumericType, T.BooleanType)):
+        return col.cast("double")
+    if isinstance(dt, T.DateType):
+        # date→double is not a legal cast; go through timestamp (seconds
+        # since epoch — monotone in the date order)
+        return col.cast("timestamp").cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return col.cast("double")
+    raise TypeError(
+        f"bounds_bucketed: first order column {key!r} has type {dt} — the "
+        "quantile-bound bucketing is only order-consistent for numeric/"
+        "boolean/date/timestamp keys (a string key would bucket by numeric "
+        "cast but sort lexicographically). Use the pinned range exchange "
+        "(bucketing='pinned') for non-numeric scan keys."
+    )
+
+
 def bounds_bucketed(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -239,17 +269,16 @@ def bounds_bucketed(
     timestamps — which is exactly what the ROC/sessionize scans order
     by."""
     b = n_buckets or _n_range_parts(df)
-    key = order_cols[0]
+    keyc = _bounds_key_expr(df, order_cols[0])
     probs = [i / b for i in range(1, b)]
     if probs:
         bounds = (
-            df.select(F.col(key).cast("double").alias("__bb_key"))
+            df.select(keyc.alias("__bb_key"))
             .approxQuantile("__bb_key", probs, relative_error)
         )
         bounds = sorted(set(bounds))
     else:
         bounds = []
-    keyc = F.col(key).cast("double")
     if not bounds:
         pid = F.lit(0)
     elif descending:
@@ -370,7 +399,11 @@ def grouped_cumsum(
     each hold every group, so the summary frame is O(B x |groups|) rows
     instead of ~O(B) — fine for class-like group keys (the ROC tier),
     wrong for high-cardinality groups, where the pinned (group, order)
-    range keeps the summary near-linear in B.
+    range keeps the summary near-linear in B. Because of that blow-up
+    the bounds path does NOT force-broadcast the offsets/totals frames:
+    the planner (AQE) broadcasts them when they measure small and falls
+    back to a shuffle join when a high-cardinality group key makes them
+    data-sized, instead of OOMing the driver on a forced broadcast.
     """
     gcols = list(group_cols)
     if small_groups:
@@ -466,7 +499,11 @@ def grouped_cumsum(
                 ],
             )
         )
-    out = local.join(F.broadcast(offs), [PID, *gcols])
+    # forced broadcast only when the summary frame is ~O(B) by
+    # construction (pinned (group, order) range); the bounds path's
+    # O(B x |groups|) frame is left to the planner (docstring above)
+    maybe_bcast = (lambda f: f) if bucketing == "bounds" else F.broadcast
+    out = local.join(maybe_bcast(offs), [PID, *gcols])
     out = out.select(
         *df.columns,
         *[
@@ -478,7 +515,7 @@ def grouped_cumsum(
         grand = totals.groupBy(*gcols).agg(
             *[F.sum(f"__tot_{c}").alias(f"tot_{c}") for c in sum_cols]
         )
-        out = out.join(F.broadcast(grand), gcols)
+        out = out.join(maybe_bcast(grand), gcols)
     return out
 
 

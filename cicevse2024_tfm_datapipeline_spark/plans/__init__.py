@@ -130,9 +130,24 @@ def rotation_window(
         n for n in registration_order if n in oracled or n in rows_only_ok
     ]
     never = [n for n in eligible if n not in latest_round and n not in anchors]
-    redrives = [
-        n for n in changed if n in eligible and n not in never and n not in anchors
-    ]
+    redrives = list(
+        dict.fromkeys(  # dedupe, first occurrence wins (r08 ADVICE: a
+            n  # duplicated --changed name must not eat two slots)
+            for n in changed
+            if n in eligible and n not in never and n not in anchors
+        )
+    )
+    # rule item 2 promises every declared changed-plan name a fresh row:
+    # silently truncating re-drives out of the window would break that
+    # promise with no signal (r08 ADVICE). Overflow must be re-declared
+    # next round explicitly, not dropped here.
+    if len(never) + len(redrives) > size - len(anchors):
+        raise ValueError(
+            f"rotation window overflow: {len(never)} never-driven + "
+            f"{len(redrives)} declared re-drives exceed the "
+            f"{size - len(anchors)} non-anchor slots; split the changed "
+            "list across rounds instead of letting the tail drop silently"
+        )
     pool = [
         n
         for n in eligible

@@ -87,8 +87,19 @@ def _file_splits(path: str) -> tuple[int, int]:
         # key on the PART files' own (mtime_ns, size) — a part rewritten
         # in place (open/truncate, same name) changes neither the
         # directory's mtime nor its size, so a dir-level key would serve
-        # a stale footer count (r07 ADVICE)
-        stats = [os.stat(p) for p in parts]
+        # a stale footer count (r07 ADVICE). A part can vanish between
+        # listdir and stat (a concurrent Spark overwrite swapping part
+        # files) — skip it rather than fail the read; the next call
+        # re-lists and re-keys anyway (r08 ADVICE).
+        stats = []
+        surviving = []
+        for p in parts:
+            try:
+                stats.append(os.stat(p))
+                surviving.append(p)
+            except FileNotFoundError:
+                continue
+        parts = surviving
         key = (
             path,
             max((s.st_mtime_ns for s in stats), default=st.st_mtime_ns),

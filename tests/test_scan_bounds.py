@@ -111,6 +111,77 @@ def test_timestamp_first_key_supported(spark):
     assert len(set(pids)) > 1
 
 
+def test_string_first_key_raises(spark):
+    """r08 ADVICE (medium): a string scan key buckets by numeric cast but
+    sorts lexicographically within buckets ('10' < '9' lexicographically),
+    silently corrupting prefix sums — bounds mode must REFUSE it, and the
+    pinned path must keep giving the right answer for the same input."""
+    rows = [(str(i), 1) for i in range(1, 40)]  # '1','2',...,'39'
+    df = spark.createDataFrame(rows, "key string, one int")
+    with pytest.raises(TypeError, match="string"):
+        bounds_bucketed(df, ["key"], n_buckets=8)
+    with pytest.raises(TypeError):
+        global_cumsum(df, ["key"], ["one"], bucketing="bounds")
+    # pinned path: lexicographic order is the declared order — correct
+    got = {
+        r["key"]: r["cum_one"]
+        for r in global_cumsum(df, ["key"], ["one"]).collect()
+    }
+    for rank, key in enumerate(sorted(r[0] for r in rows), start=1):
+        assert got[key] == rank
+
+
+def test_date_first_key_supported(spark):
+    """Date keys can't cast straight to double (illegal cast) — the key
+    expression must route through timestamp; order must match the pinned
+    path exactly."""
+    import datetime
+
+    rows = [
+        (i, datetime.date(2024, 1 + (i * 7) % 12, 1 + (i * 11) % 28), 1)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, d date, one int")
+    kw = dict(order_cols=["d", "id"], sum_cols=["one"])
+    pinned = {r["id"]: r["cum_one"] for r in global_cumsum(df, **kw).collect()}
+    bounds = {
+        r["id"]: r["cum_one"]
+        for r in global_cumsum(df, bucketing="bounds", **kw).collect()
+    }
+    assert pinned == bounds
+
+
+def test_rotation_window_dedupes_changed_and_raises_on_overflow():
+    """r08 ADVICE (low): duplicate --changed names must not eat two window
+    slots, and declared re-drives overflowing the non-anchor slots must
+    raise instead of silently truncating (rule item 2's promise)."""
+    from cicevse2024_tfm_datapipeline_spark import plans
+
+    order = [f"q{i:03d}" for i in range(80)]
+    oracled = set(order)
+    latest = {n: 1 for n in order}
+    anchors = ("q070", "q071")
+    win = plans.rotation_window(
+        order,
+        oracled,
+        latest,
+        changed=["q005", "q005", "q009"],
+        anchors=anchors,
+        size=10,
+    )
+    assert win[:3] == ["q005", "q009", "q000"]  # deduped, one slot each
+    assert win[-2:] == list(anchors)
+    with pytest.raises(ValueError, match="overflow"):
+        plans.rotation_window(
+            order,
+            oracled,
+            latest,
+            changed=[f"q{i:03d}" for i in range(20)],
+            anchors=anchors,
+            size=10,
+        )
+
+
 @pytest.mark.parametrize("descending", [False, True])
 def test_grouped_cumsum_bounds_equals_pinned(spark, descending):
     """grouped_cumsum's bounds mode buckets on the ORDER column alone
