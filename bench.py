@@ -95,6 +95,28 @@ HEADLINE = [
 ]
 
 
+def host_speed_canary(n: int = 2_000_000, runs: int = 3) -> float:
+    """Fixed CPU-bound calibration (r08 verdict "Next round" #5): sort a
+    deterministic 2M-int LCG sequence, min-of-3 wall seconds. The work is
+    constant across hosts and rounds, so cross-day bench totals can be
+    NORMALIZED against the canary ratio instead of argued from loadavg
+    readings (r07→r08 drifted +6.5% on a host running at loadavg 2.9;
+    the same-day builder artifact had to carry the burden of proof).
+    Pure Python on one core — measures the host, not Spark."""
+    best = float("inf")
+    for _ in range(runs):
+        x = 123456789
+        seq = []
+        append = seq.append
+        t0 = time.perf_counter()
+        for _ in range(n):
+            x = (1103515245 * x + 12345) % 2147483648
+            append(x)
+        seq.sort()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _env_runs(default: int = 3) -> int:
     """Parse $SPARK_GRAFT_BENCH_RUNS; non-numeric falls back to the
     default with a stderr warning instead of a ValueError traceback."""
@@ -114,37 +136,41 @@ def format_detail_line(
     raw_runs: dict[str, list[float]],
     load_before: tuple[float, ...],
     load_after: tuple[float, ...],
+    canary_sec: float | None = None,
 ) -> str:
     """The bulky per-run detail — its own output line, NOT the final one
     (the driver's tail capture only retains ~2.1 KB of the last line)."""
-    return json.dumps(
-        {
-            "detail": "bench_raw_runs",
-            "queries_runs": raw_runs,
-            "loadavg_before": [round(x, 2) for x in load_before],
-            "loadavg_after": [round(x, 2) for x in load_after],
-        }
-    )
+    obj = {
+        "detail": "bench_raw_runs",
+        "queries_runs": raw_runs,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+    }
+    if canary_sec is not None:
+        obj["canary_sec"] = canary_sec
+    return json.dumps(obj)
 
 
 def format_final_line(
-    timings: dict[str, float], sf: float, n_runs: int
+    timings: dict[str, float], sf: float, n_runs: int, canary_sec: float | None = None
 ) -> str:
     """The FINAL printed line: compact driver-contract summary. 2dp mins,
     no separators-whitespace — must stay under 2000 bytes for the full
-    roster (pinned by tests/test_bench_framing.py)."""
+    roster (pinned by tests/test_bench_framing.py). ``canary_sec`` is the
+    host-speed calibration (host_speed_canary): divide two rounds'
+    totals by their canary ratio to normalize out host-speed drift."""
     total = round(sum(timings.values()), 3)
-    return json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "runs_per_query": n_runs,
-            "queries": {k: round(v, 2) for k, v in timings.items()},
-        },
-        separators=(",", ":"),
-    )
+    obj = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "runs_per_query": n_runs,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+    }
+    if canary_sec is not None:
+        obj["canary_sec"] = canary_sec
+    return json.dumps(obj, separators=(",", ":"))
 
 
 def main() -> None:
@@ -169,6 +195,9 @@ def main() -> None:
 
     n_runs = _env_runs()
     load_before = os.getloadavg()
+    # host-speed calibration BEFORE the roster (fixed CPU-bound work):
+    # cross-day totals normalize against the canary ratio
+    canary = host_speed_canary()
 
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
@@ -190,8 +219,8 @@ def main() -> None:
 
     load_after = os.getloadavg()
     # bulky detail first, compact summary LAST (driver tail-capture contract)
-    print(format_detail_line(raw_runs, load_before, load_after))
-    print(format_final_line(timings, sf, n_runs))
+    print(format_detail_line(raw_runs, load_before, load_after, canary))
+    print(format_final_line(timings, sf, n_runs, canary))
 
 
 if __name__ == "__main__":

@@ -70,10 +70,10 @@ _MODULES = [
 # round (exactly 50 rows in every CORRECTNESS_r0x.json so far), so the
 # prefix below IS the round's certification window.
 #
-# Ledger state after r07: all 334 registered queries minus the 14 names of
-# the committed _R08_PLAN hold an official driver row (r01∪...∪r07, zero
-# regressions ever). Round 8 executes the r07-committed plan verbatim and
-# the ledger closes: every registered query will hold a driver row.
+# Ledger state after r08: CLOSED — all 334 registered queries hold an
+# official driver row (r01∪...∪r08, zero regressions ever;
+# tests/test_coverage_doc.py::test_ledger_is_closed pins this). From
+# round 9 on the window is pure steady-state rotation.
 _ROTATION_RULE = """Steady-state window policy (committed round 8, in force
 from round 9 on, meta-tested by tests/test_coverage_doc.py):
 
@@ -158,14 +158,31 @@ def rotation_window(
     return [*head, *list(anchors)]
 
 
-# r09 note (for the next window's _R09_CHANGED): the leading candidate
-# is flipping the ROC/cumsum tier to the lineage-free bounds-bucketed
-# scan (operators/scan.py, bucketing="bounds" — implemented + measured
-# round 8, default pinned kept so no plan changed). Flipping re-drives
-# the a13_* quartet + a11_multiclass_auc; consult SCALE.md "scan pin"
-# for the tie-skew caveat before flipping anything sessionize-side.
-# Compute the window with: python tools/next_window.py --rounds 8
-# --changed <names>.
+# r09 changed-plan re-drives (rule item 2): round 9 executed the staged
+# r08 note — the ROC/cumsum tier now runs the lineage-free bounds-
+# bucketed scan (operators/metrics.py passes bucketing="bounds" to
+# global_cumsum/grouped_cumsum; operators/scan.py:bounds_bucketed, with
+# the r09 dtype guard). Changed plans: the a13_* quartet (via
+# _threshold_cum_counts) and a11_multiclass_auc (via ovr_auc_summary's
+# micro-side global scan). a11_ovr_auc_per_class is NOT in the list: its
+# registered plan uses bounded_curves=True -> the small_groups window
+# branch, untouched by the flip. Sessionize stays on the pinned range
+# exchange (SCALE.md tie-skew caveat: its order key has heavy ties).
+# Also changed: sim_srp_lsh_pairs — the r08 verdict asked the SRP ladder
+# to extend past w=16 (wave27.py); the new frozen stride-64 coefficient
+# layout moves band 1's hyperplanes, so its signatures (and candidate
+# set) changed SEMANTICALLY in both engines — a fresh row is mandatory.
+# Window computed with: python tools/next_window.py --rounds 8
+# --changed a13_threshold_at_fpr,a13_roc_curve_points,a13_roc_auc,
+# a13_average_precision,a11_multiclass_auc,sim_srp_lsh_pairs
+_R09_CHANGED = [
+    "a13_threshold_at_fpr",
+    "a13_roc_curve_points",
+    "a13_roc_auc",
+    "a13_average_precision",
+    "a11_multiclass_auc",
+    "sim_srp_lsh_pairs",
+]
 
 # r08 changed-plan re-drives (rule item 2), in priority order:
 #   - a_psi_drift: plan rewritten twice in r07 (array binning; multi-
@@ -201,67 +218,66 @@ _R08_CHANGED = [
     "text_tfidf_topk",
 ]
 
-# Round-8 window = rotation_window(...) materialized (the meta-test
-# recomputes and compares):
-#   block 1 (14): the final never-driven names — the committed _R08_PLAN,
-#     here in registration order. g_adamic_adar is the documented
-#     sf0.01-empty query (FIXTURES.md §C): its matching-0-rows green is
-#     expected; non-degenerate behavior is pinned at sf0.1 by
-#     tests/test_wave17.py.
-#   block 2 (13): _R08_CHANGED re-drives (rationale above).
-#   block 3 (19): oldest-rows-first rotation — the head of the r01 cohort
-#     in registration order.
+# Round-9 window = rotation_window(...) materialized (the meta-test
+# recomputes and compares). The ledger closed in r08 (zero never-driven
+# names remain), so this is the first pure steady-state window:
+#   block 1 (0): never-driven — empty, ledger closed.
+#   block 2 (6): _R09_CHANGED re-drives (the bounds-scan flip + the
+#     SRP stride/ladder extension, above).
+#   block 3 (40): oldest-rows-first rotation — the r01 cohort head in
+#     registration order, including a_approx_sketches (its first drive
+#     against the full error-bound oracle added in r07 — the one ledger
+#     row whose evidence class was stale, r08 verdict "missing" #1).
 #   block 4 (4): anchors.
 _PRIORITY = [
-    # --- block 1: final never-driven residue (_R08_PLAN, reg order) ---
-    "a_referential_integrity",
-    "a_benford_first_digit",
-    "w_rolling_median",
-    "w_debounce_bursts",
-    "f_quantile_normalize",
-    "a_key_skew_gini",
-    "text_distinctive_terms",
-    "g_adamic_adar",
-    "a_difference_in_differences",
-    "a_conformal_naive_coverage",
-    "a_spc_western_electric",
-    "a_markov_conditional_entropy",
-    "a_retention_half_life",
-    "a_burstiness_fano",
-    # --- block 2: changed-plan re-drives (_R08_CHANGED) ---
-    "a_psi_drift",
+    # --- block 2: changed-plan re-drives (_R09_CHANGED) ---
+    "a13_threshold_at_fpr",
+    "a13_roc_curve_points",
+    "a13_roc_auc",
+    "a13_average_precision",
+    "a11_multiclass_auc",
     "sim_srp_lsh_pairs",
-    "pipeline_corpus_prep",
-    "pipeline_fuzzy_corpus",
-    "dedup_duplicate_spans",
-    "dedup_containment_pairs",
-    "dedup_contamination_fraction",
-    "stream_lsh_collisions",
-    "dedup_source_overlap_matrix",
-    "ml_gbm_two_stumps",
-    "dedup_prefix_filter_jaccard",
-    "text_novelty_vs_train",
-    "text_tfidf_topk",
     # --- block 3: oldest-rows-first rotation (r01 cohort head) ---
-    "a1_split_distribution_by_group",
-    "p_predicates_filter",
-    "p10_leave_one_out_anti",
-    "p5_dropna_subset",
-    "f6_dict_recode_case",
-    "f2_safe_numeric_cast",
-    "f8_fillna_coalesce",
-    "f13_clip_cap",
-    "j1_broadcast_lookup_join",
-    "j1_lookup_with_default",
-    "u1_union_all_tagged",
-    "a2_count_per_attack_state",
-    "a3_value_counts_top",
-    "a4_count_distinct_per_column",
-    "a16_tumbling_window_avg",
-    "w3_sliding_window_stats",
-    "a6_window_summary_stats",
-    "w5_train_only_standardize",
-    "w8_topk_by_score",
+    "a17_grid_mean",
+    "a5_group_mode",
+    "a7_class_weights",
+    "f10_category_codes",
+    "f11_label_encode",
+    "f12_monotonic_row_id",
+    "a10_confusion_matrix_dense",
+    "a11_multiclass_point_metrics",
+    "a12_binary_rates_ci",
+    "a15_fph_conversion",
+    "a8_mean_std_over_runs",
+    "a9_weighted_log_loss",
+    "a_per_state_metric_fanout",
+    "a_quantiles_exact",
+    "a_approx_sketches",
+    "dedup_exact_group_sizes",
+    "dedup_exact_survivors",
+    "dedup_minhash_signature_stats",
+    "dedup_simhash",
+    "dedup_ngram_jaccard_topk",
+    "w3_full_sequences",
+    "w6_sessionize_ttd",
+    "w7_acf_fixed_lags",
+    "w_rolling_zscore_anomalies",
+    "a14_normal_approx_ci",
+    "a_salted_skew_agg",
+    "dedup_lsh_components",
+    "text_repetition_signals",
+    "sim_bruteforce_cosine_topk",
+    "sim_bucketed_ann_topk",
+    "sim_embedding_near_dup",
+    "text_token_stats",
+    "text_quality_by_source",
+    "text_langid_confusion",
+    "text_fingerprint_stats",
+    "mm_binary_metadata",
+    "dedup_latest_per_key",
+    "sample_stratified_per_class",
+    "sample_mixture_by_source",
+    "text_top_ngrams",
     # --- block 4: anchors ---
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",

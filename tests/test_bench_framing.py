@@ -56,6 +56,27 @@ def test_detail_line_is_valid_json_and_separate():
     assert "\n" not in line
 
 
+def test_canary_present_in_both_lines_and_fits():
+    """r08 verdict "Next round" #5: the host-speed canary must ride in
+    BOTH output lines (summary for the judge's normalization, detail for
+    the receipts) without breaking the 2000-byte tail-capture budget."""
+    timings = {name: 999.99 for name in bench.HEADLINE}
+    line = bench.format_final_line(timings, sf=0.1, n_runs=3, canary_sec=0.1234)
+    assert len(line.encode()) < 2000
+    assert json.loads(line)["canary_sec"] == 0.1234
+    raw = {name: [1.5] for name in bench.HEADLINE}
+    detail = bench.format_detail_line(raw, (1.0,), (2.0,), canary_sec=0.1234)
+    assert json.loads(detail)["canary_sec"] == 0.1234
+
+
+def test_canary_measures_fixed_work():
+    """The canary is deterministic CPU-bound work: a tiny run returns a
+    small positive wall time and scales with n (sanity, not a benchmark
+    of the benchmark)."""
+    t_small = bench.host_speed_canary(n=20_000, runs=1)
+    assert 0 < t_small < 5.0
+
+
 def test_env_runs_graceful_on_garbage(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "five")
     assert bench._env_runs() == 3

@@ -109,11 +109,13 @@ def test_srp_lsh_recovers_exact_duplicates(spark, tmp_path):
 def test_srp_signature_matches_manual_fold(spark):
     # pin the signature definition: manual python fold over the literal
     # coefficients must reproduce each band's Spark-side signature
-    # bit-for-bit (band b uses planes b*16 .. b*16+15).
+    # bit-for-bit (band b's plane j reads coefficient row _plane(b, j) —
+    # the frozen-stride layout).
     from cicevse2024_tfm_datapipeline_spark.plans.wave27 import (
         _BAND_PLANES,
         _N_BANDS,
         _SRP,
+        _plane,
         srp_band_sig_expr,
     )
     from pyspark.sql import functions as F
@@ -128,7 +130,7 @@ def test_srp_signature_matches_manual_fold(spark):
         for j in range(_BAND_PLANES):
             acc = 0.0
             for i, x in enumerate(vec):
-                acc = acc + x * float(_SRP[band * _BAND_PLANES + j][i])
+                acc = acc + x * float(_SRP[_plane(band, j)][i])
             if acc >= 0:
                 want += 1 << j
         assert got == want
@@ -150,7 +152,8 @@ def test_srp_width_ladder_matches_oracle_and_bounds_occupancy(spark):
     )
     from pyspark.sql import functions as F
 
-    probe = [1, 500, 2048, 2049, 4096, 4097, 20000, 200000, 262144, 262145, 10**9]
+    probe = [1, 500, 2048, 2049, 4096, 4097, 20000, 200000, 262144, 262145,
+             524288, 524289, 4194304, 4194305, 67108864, 67108865, 10**9]
     sdf = spark.createDataFrame([(n,) for n in probe], "n long")
     got_spark = {
         r["n"]: r["w"]
@@ -174,7 +177,8 @@ def test_srp_width_ladder_matches_oracle_and_bounds_occupancy(spark):
 
 def test_srp_prefix_property_and_random_corpus_differential(spark, tmp_path):
     """Two invariants the oracle parity rests on: (a) the w-bit band
-    signature equals the full 16-bit one masked to w (prefix property —
+    signature equals the full _BAND_PLANES-bit one masked to w (prefix
+    property —
     what lets Spark build only w projections while the static SQL masks);
     (b) the full registered query matches its DuckDB oracle on a RANDOM
     corpus, not just the shipped fixtures."""
@@ -199,7 +203,7 @@ def test_srp_prefix_property_and_random_corpus_differential(spark, tmp_path):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
     # (a) prefix property at several widths, both bands
     for band in range(2):
-        for w in (8, 11, 16):
+        for w in (8, 11, 16, 21, 24):
             chk = df.select(
                 (
                     srp_band_sig_expr(F.col("embedding"), band, w)

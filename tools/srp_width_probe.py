@@ -7,9 +7,10 @@ bucket occupancy, and therefore exact-verify candidate volume, grows
 quadratically once the corpus outgrows the key space.
 
 Round 8 applied the measured remedy to the registered query
-(plans/wave27.py): two 16-bit band signatures masked to a count-driven
-width w in [8, 16] (integer occupancy ladder, identical in both
-engines). This probe remains the measurement of the underlying
+(plans/wave27.py): band signatures masked to a count-driven width
+(integer occupancy ladder, identical in both engines); round 9 extended
+the ladder to w in [8, 24] on a frozen stride-64 coefficient layout
+(occupancy bounded to n <= 8*2^24 ~ 134M vectors per corpus). This probe remains the measurement of the underlying
 width/bands trade surface at FIXED configurations — the identical plan
 shape (sign-projection signature → banded explode → band-key
 self-equi-join → distinct pairs) run at:
@@ -105,8 +106,8 @@ def candidate_pairs(spark, sf_dir: str, n_planes: int, band_bits: int,
 
 def shipped_candidate_pairs(spark, sf_dir: str):
     """The REGISTERED query's candidate set (round-8 shape): two bands of
-    the plan-time ladder width w, band b drawing planes b*16 .. b*16+w-1
-    (wave27's exact layout and expressions) — so the probe measures the
+    the plan-time ladder width w, band b drawing coefficient rows
+    _plane(b, 0..w-1) (wave27's exact frozen-stride layout and expressions) — so the probe measures the
     shipped config's recall on the same brute-force ground truth as the
     fixed configs."""
     from cicevse2024_tfm_datapipeline_spark.operators.skew import (
