@@ -111,6 +111,30 @@ def test_timestamp_first_key_supported(spark):
     assert len(set(pids)) > 1
 
 
+def test_a13_tier_is_lineage_free(spark):
+    """Round 9 flipped the ROC tier to bucketing='bounds': the a13
+    quartet's plans must no longer contain a localCheckpoint scan
+    (ExistingRDD) — the pin and its executor-storage copy are gone.
+    (a11_multiclass_auc is exempt: its per_score frame keeps the blessed
+    TINY multi-consumer pin; only its scans are bounds-mode.)"""
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    qs = load_all()
+    for name in (
+        "a13_roc_auc",
+        "a13_roc_curve_points",
+        "a13_average_precision",
+        "a13_threshold_at_fpr",
+    ):
+        plan = (
+            qs[name]
+            .spark(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .toString()
+        )
+        assert "ExistingRDD" not in plan, f"{name} still pins its buckets"
+
+
 def test_string_first_key_raises(spark):
     """r08 ADVICE (medium): a string scan key buckets by numeric cast but
     sorts lexicographically within buckets ('10' < '9' lexicographically),

@@ -40,8 +40,13 @@ from pyspark.sql import functions as F
 
 
 def _srp_coef(p: int, d: int) -> int:
-    # same LCG mix as plans/wave27.py so plane 0-15 match the query
-    return ((1315423911 * (p + 1) + 2654435761 * (d + 1) + 97531) % 2001) - 1000
+    # the query's own coefficient mix (avalanche, r09) so probe planes
+    # stay comparable with the registered family
+    from cicevse2024_tfm_datapipeline_spark.plans.wave27 import (
+        _srp_coef as _coef,
+    )
+
+    return _coef(p, d)
 
 
 def candidate_pairs(spark, sf_dir: str, n_planes: int, band_bits: int,
