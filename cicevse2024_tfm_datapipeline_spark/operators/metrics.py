@@ -163,8 +163,6 @@ def _threshold_cum_counts(df: DataFrame, y_true: str, score: str) -> DataFrame:
     lineage recovery), and the r08 A/B measured it faster at sf1
     (1.51 s vs 1.62 s pinned, SCALE.md).
     """
-    from pyspark import StorageLevel
-
     from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
 
     per_score = df.groupBy(F.col(score).alias("threshold")).agg(
@@ -172,16 +170,15 @@ def _threshold_cum_counts(df: DataFrame, y_true: str, score: str) -> DataFrame:
         F.sum((F.col(y_true) == 0).cast("long")).alias("neg"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    # plain persist (lineage PRESERVED), not localCheckpoint: the bounds
-    # scan's bucket mapping is a pure expression over frozen literals, so
-    # a recomputed block after eviction/executor loss bit-matches — the
-    # frozen-partitioning argument that forced the checkpoint in pinned
-    # mode does not apply. The cache spares the driver-side quantile
-    # pass from re-running the upstream aggregation (A/B round 9: the
-    # uncached bounds path re-aggregated once extra and gave ~15% back).
-    per_score = per_score.persist(StorageLevel.MEMORY_AND_DISK)
-    # grand totals ride on the scan's own per-partition totals frame —
-    # no separate full aggregation pass over per_score
+    # deliberately NO persist/checkpoint on per_score: the quantile pass
+    # and the main job share the same exchange RDDs, so the agg's shuffle
+    # stage computes once and later jobs skip it (shuffle-stage reuse) —
+    # an explicit cache only added columnar-build overhead (paired A/B
+    # round 9: persist 1.20 s median vs plain 0.91 s), and in bounds
+    # mode every consumer is a deterministic expression, so nothing
+    # needs a frozen copy for correctness. Grand totals ride on the
+    # scan's own per-partition totals frame — no separate full
+    # aggregation pass over per_score.
     return global_cumsum(
         per_score,
         ["threshold"],
@@ -365,21 +362,22 @@ def ovr_auc_summary(
     ``average='macro'/'micro'`` variants (func_aux/func_test.py:120-171).
 
     One row out. Both sides derive from ONE per-(class, threshold) count
-    frame, persisted before branching: the macro side's grouped scan and
-    the micro side's threshold re-group each materialize through their
-    own subtree, so without the reuse the base-data scan + first
-    aggregation would execute twice — the dominant cost when the input
-    is the full corpus. Round 9 (bounds-scan tier): a plain persist with
-    lineage INTACT replaced the localCheckpoint — every downstream
-    consumer is a deterministic expression (the quantile-bound bucket
-    mapping included), so a block recomputed after eviction/executor
-    loss bit-matches, and nothing needs the frozen-partitioning pin."""
-    from pyspark import StorageLevel
-
+    frame, which is PINNED (lazy local checkpoint) before branching: the
+    macro side's grouped scan and the micro side's threshold re-group
+    each materialize through their own checkpointed subtree, so without
+    the pin the base-data scan + first aggregation would execute twice —
+    the dominant cost when the input is the full corpus. The pinned frame
+    is small by construction (|classes| x |distinct rounded scores|).
+    Round 9 note: a lineage-preserving persist was TRIED here instead
+    (the bounds-mode consumers are all deterministic, so it would be
+    correct) and measured ~1 s SLOWER in the paired A/B (persist 2.41 s
+    median vs checkpoint 1.23 s) — the columnar cache build costs more
+    than it saves when shuffle-stage reuse already dedupes the agg; the
+    tiny-frame checkpoint stays."""
     from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
 
-    per_score = _ovr_per_score(df, class_col, y_true, score).persist(
-        StorageLevel.MEMORY_AND_DISK
+    per_score = _ovr_per_score(df, class_col, y_true, score).localCheckpoint(
+        eager=False
     )
     macro = _per_class_auc(per_score, class_col, bounded_curves).agg(
         F.avg("roc_auc").alias("roc_auc_macro"),
