@@ -158,6 +158,17 @@ def rotation_window(
     return [*head, *list(anchors)]
 
 
+# r10 note (for the next window's _R10_CHANGED): no plan changes are
+# staged — round 9 left no deferred flip. Unless round 10 changes plans,
+# compute the window with: python tools/next_window.py --rounds 9
+# (requires the driver-emitted CORRECTNESS_r09.json committed first;
+# the rotation head will be the next tranche of the r01/r02 cohort).
+# Watch items to re-measure, not re-plan: a13_roc_auc carries the
+# documented ~+0.1 s bounds-mode quantile-job constant (SCALE.md "A13
+# checkpoint cost") — judge it against the canary-normalized builder
+# record (BENCH_r09_builder.json, canary 1.0904), not the r01 plain-
+# window number alone.
+
 # r09 changed-plan re-drives (rule item 2): round 9 executed the staged
 # r08 note — the ROC/cumsum tier now runs the lineage-free bounds-
 # bucketed scan (operators/metrics.py passes bucketing="bounds" to
