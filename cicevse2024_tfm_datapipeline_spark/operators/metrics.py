@@ -158,10 +158,13 @@ def _threshold_cum_counts(df: DataFrame, y_true: str, score: str) -> DataFrame:
 
     Bucketing mode (flipped round 9, the staged r08 note): the
     lineage-free ``bounds`` mapping — the scan key is a high-cardinality
-    double score (exactly the tie-skew-safe case), the quantile-bound
+    double score (exactly the tie-skew-safe case), and the quantile-bound
     expression removes the localCheckpoint pin (no persisted copy, full
-    lineage recovery), and the r08 A/B measured it faster at sf1
-    (1.51 s vs 1.62 s pinned, SCALE.md).
+    lineage recovery). Measured trade (SCALE.md "A13 checkpoint cost"):
+    ~+0.07 s per query locally (the driver-side quantile job), a
+    constant; at scale the pinned alternative is a corpus-sized
+    lineage-cut storage copy, which is the thing that cannot survive a
+    100-TB run.
     """
     from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
 
