@@ -111,6 +111,53 @@ def test_timestamp_first_key_supported(spark):
     assert len(set(pids)) > 1
 
 
+@pytest.mark.parametrize("super_size", [1, 4])
+def test_bounds_mode_multi_super_group(spark, super_size, monkeypatch):
+    """The cross-super level of the hierarchical prefix combine must be
+    exercised UNDER BOUNDS BUCKETING too (a cluster with >SUPER shuffle
+    partitions runs it; locally it never triggers) — shrink SUPER so the
+    within-super window, super-totals triangle, and broadcast stitch all
+    execute over bounds-derived PIDs, for both the global and the grouped
+    scan, and require exact equality with the naive window."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from cicevse2024_tfm_datapipeline_spark.operators import scan
+
+    monkeypatch.setattr(scan, "SUPER", super_size)
+    rng = random.Random(7)
+    rows = [
+        (rng.uniform(0, 100), rng.randint(1, 5), rng.choice(["a", "b", "c"]))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k double, v int, g string").repartition(13)
+    got = {
+        round(r["k"], 9): r["cum_v"]
+        for r in scan.global_cumsum(df, ["k"], ["v"], bucketing="bounds").collect()
+    }
+    w = W.orderBy(F.asc("k")).rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        round(r["k"], 9): r["cum"]
+        for r in df.select("k", F.sum("v").over(w).alias("cum")).collect()
+    }
+    assert got == want
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import grouped_cumsum
+
+    got_g = {
+        (r["g"], round(r["k"], 9)): r["cum_v"]
+        for r in grouped_cumsum(
+            df, ["g"], ["k"], ["v"], bucketing="bounds"
+        ).collect()
+    }
+    wg = W.partitionBy("g").orderBy(F.asc("k")).rowsBetween(W.unboundedPreceding, 0)
+    want_g = {
+        (r["g"], round(r["k"], 9)): r["cum"]
+        for r in df.select("g", "k", F.sum("v").over(wg).alias("cum")).collect()
+    }
+    assert got_g == want_g
+
+
 def test_a13_tier_is_lineage_free(spark):
     """Round 9 flipped the ROC tier to bucketing='bounds': the a13
     quartet's plans must no longer contain a localCheckpoint scan
@@ -174,6 +221,34 @@ def test_date_first_key_supported(spark):
     bounds = {
         r["id"]: r["cum_one"]
         for r in global_cumsum(df, bucketing="bounds", **kw).collect()
+    }
+    assert pinned == bounds
+
+
+def test_all_null_keys_and_boolean_keys(spark):
+    """Degenerate domains must not corrupt the scan: an all-null key
+    column gives an empty bound list (every row lands in the edge
+    bucket, cumsum still correct over the tiebreak order), and a
+    boolean key (allowed dtype: false < true survives the double cast)
+    matches the pinned path."""
+    allnull = spark.createDataFrame(
+        [(i, None, 1) for i in range(50)], "id long, k double, one int"
+    )
+    got = {
+        r["id"]: r["cum_one"]
+        for r in global_cumsum(
+            allnull, ["k", "id"], ["one"], bucketing="bounds"
+        ).collect()
+    }
+    assert got == {i: i + 1 for i in range(50)}
+    boolean = spark.createDataFrame(
+        [(i, i % 2 == 0, 1) for i in range(100)], "id long, k boolean, one int"
+    )
+    kw = dict(order_cols=["k", "id"], sum_cols=["one"])
+    pinned = {r["id"]: r["cum_one"] for r in global_cumsum(boolean, **kw).collect()}
+    bounds = {
+        r["id"]: r["cum_one"]
+        for r in global_cumsum(boolean, bucketing="bounds", **kw).collect()
     }
     assert pinned == bounds
 
