@@ -135,8 +135,12 @@ def offsets_from_totals(totals: DataFrame, tot_cols: Sequence[str], prefix: str 
     )
     # bucket count is pinned to the shuffle-partition conf (range_bucketed),
     # so "one super-group" is decidable at plan time: the cross-super level
-    # is a no-op — skip its 3 stages rather than scheduling empty work
-    if _n_range_parts(totals) <= SUPER:
+    # is a no-op — skip its 3 stages rather than scheduling empty work.
+    # STRICT <: pinned PIDs live in [0, B) but bounds-mode PIDs reach B
+    # (asc null bucket 0 shifts non-null buckets to 1..B), and
+    # floor(B/SUPER) = 1 at exact equality — the shortcut must only fire
+    # when the whole PID DOMAIN provably fits one super-group
+    if _n_range_parts(totals) < SUPER:
         return within.select(
             PID, *[F.col(f"__win_{c}").alias(f"{prefix}{c}") for c in tot_cols]
         )
@@ -185,8 +189,9 @@ def prev_nonempty_value(frame: DataFrame, value_col: str, out_col: str) -> DataF
     tagged = _with_super(frame.select(F.col(PID), F.col(value_col).alias("__pv_val")))
     w_in = W.partitionBy(_SUP).orderBy(F.col(PID).asc())
     within = tagged.select(PID, _SUP, F.lag("__pv_val").over(w_in).alias("__in_val"))
-    if _n_range_parts(frame) <= SUPER:
-        # single super-group (plan-time decidable, like offsets_from_totals)
+    if _n_range_parts(frame) < SUPER:
+        # single super-group (plan-time decidable, like offsets_from_totals;
+        # strict < for the bounds-mode PID domain [0, B])
         return within.select(PID, F.col("__in_val").alias(out_col))
     sup_last = tagged.groupBy(_SUP).agg(F.max_by("__pv_val", PID).alias("__sl_val"))
     bb = sup_last.select(F.col(_SUP).alias("__bsup"), F.col("__sl_val").alias("__b_val"))
@@ -260,7 +265,13 @@ def bounds_bucketed(
     monotone in the scan order because strict comparison puts every tie
     group in ONE bucket, with the full multi-column ordering applied by
     the within-bucket window. Nulls get the edge bucket matching Spark's
-    default null ordering (first for asc, last for desc).
+    default null ordering: LAST for desc (bucket ``len(bounds) + 1``),
+    FIRST for asc — bucket 0, with every non-null bucket shifted +1.
+    PIDs must stay NON-NEGATIVE: a ``-1`` null bucket would land in
+    super-group ``floor(-1/SUPER) = -1`` and the single-super-group
+    shortcut in ``offsets_from_totals``/``grouped_cumsum`` would
+    silently drop its total from later buckets' offsets (caught by the
+    hypothesis differential on ``[None, 0.0]``, round 9).
 
     Tradeoff vs the pinned range exchange: tie groups cannot be SPLIT
     across buckets, so a heavy-duplicate first order column skews bucket
@@ -285,9 +296,11 @@ def bounds_bucketed(
         arr = F.lit([float(x) for x in sorted(bounds, reverse=True)])
         pid = F.size(F.filter(arr, lambda bb: bb > keyc))
     else:
+        # +1 keeps the asc null bucket (0) below every non-null bucket
+        # while all PIDs stay non-negative (docstring: the -1 trap)
         arr = F.lit([float(x) for x in bounds])
-        pid = F.size(F.filter(arr, lambda bb: bb < keyc))
-    null_bucket = F.lit(len(bounds) + 1 if descending else -1)
+        pid = F.size(F.filter(arr, lambda bb: bb < keyc)) + F.lit(1)
+    null_bucket = F.lit(len(bounds) + 1 if descending else 0)
     return df.withColumn(
         PID, F.when(keyc.isNull(), null_bucket).otherwise(pid).cast("int")
     )
@@ -459,9 +472,10 @@ def grouped_cumsum(
             for c in sum_cols
         ],
     )
-    if _n_range_parts(totals) <= SUPER:
-        # single super-group (decidable at plan time): the within-window
-        # prefix IS the full offset — skip the cross-super stages
+    if _n_range_parts(totals) < SUPER:
+        # single super-group (decidable at plan time; strict < for the
+        # bounds-mode PID domain [0, B]): the within-window prefix IS the
+        # full offset — skip the cross-super stages
         offs = within.select(
             PID,
             *gcols,

@@ -70,7 +70,11 @@ def test_null_keys_take_the_edge_bucket(spark):
         [(1, None), (2, 0.5), (3, 0.9)], "id long, score double"
     )
     asc = {r["id"]: r[PID] for r in bounds_bucketed(df, ["score"]).collect()}
-    assert asc[1] == -1 and asc[1] < asc[2] <= asc[3]
+    # null bucket must be 0, NOT -1: a negative PID falls into super-group
+    # -1 and the single-super shortcut of the prefix combine drops its
+    # total (the hypothesis differential caught exactly this in round 9)
+    assert asc[1] == 0 and asc[1] < asc[2] <= asc[3]
+    assert all(p >= 0 for p in asc.values())
     desc = {
         r["id"]: r[PID]
         for r in bounds_bucketed(df, ["score"], descending=True).collect()
