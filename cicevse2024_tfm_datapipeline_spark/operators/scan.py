@@ -25,6 +25,7 @@ reference's semantics genuinely demand a total order
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -287,7 +288,14 @@ def bounds_bucketed(
             df.select(keyc.alias("__bb_key"))
             .approxQuantile("__bb_key", probs, relative_error)
         )
-        bounds = sorted(set(bounds))
+        # drop non-finite quantiles BEFORE dedup/sort (r09 ADVICE): NaN is
+        # neither deduped by set() (NaN != NaN) nor ordered by sorted(), so
+        # a NaN-bearing score column could embed duplicate NaN bounds —
+        # wasted buckets, and in desc mode every non-null PID would shift
+        # by the NaN-bound count. NaN keys still bucket correctly without
+        # a NaN bound: Spark orders NaN above every double, so the strict
+        # comparison sends them to the edge bucket on its own.
+        bounds = sorted({x for x in bounds if x is not None and math.isfinite(x)})
     else:
         bounds = []
     if not bounds:

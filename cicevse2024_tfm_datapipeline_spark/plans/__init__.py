@@ -138,23 +138,34 @@ def rotation_window(
         )
     )
     # rule item 2 promises every declared changed-plan name a fresh row:
-    # silently truncating re-drives out of the window would break that
-    # promise with no signal (r08 ADVICE). Overflow must be re-declared
-    # next round explicitly, not dropped here.
-    if len(never) + len(redrives) > size - len(anchors):
+    # silently truncating RE-DRIVES out of the window would break that
+    # promise with no signal (r08 ADVICE), so the guard fires when the
+    # declared re-drives alone cannot fit. NEVER-DRIVEN names, by
+    # contrast, self-heal across rounds — a truncated block-1 name stays
+    # never-driven and re-enters the next window (rounds 1-8 closed the
+    # ledger exactly this way) — so they truncate instead of raising
+    # (r09 ADVICE: a combined guard made a large registration wave
+    # permanently unable to produce ANY window, and 'split the changed
+    # list' can't fix a block-1 overflow).
+    capacity = size - len(anchors)
+    if len(redrives) > capacity:
         raise ValueError(
-            f"rotation window overflow: {len(never)} never-driven + "
-            f"{len(redrives)} declared re-drives exceed the "
-            f"{size - len(anchors)} non-anchor slots; split the changed "
-            "list across rounds instead of letting the tail drop silently"
+            f"rotation window overflow: {len(redrives)} declared re-drives "
+            f"exceed the {capacity} non-anchor slots on their own; split "
+            "the changed list across rounds instead of letting the tail "
+            "drop silently"
         )
+    # never-driven names fill their slots first (rule item 1) but yield to
+    # declared re-drives when space runs out — the untaken tail re-enters
+    # block 1 next round
+    never = never[: capacity - len(redrives)]
     pool = [
         n
         for n in eligible
         if n not in never and n not in redrives and n not in anchors
     ]
     pool.sort(key=lambda n: latest_round.get(n, 0))  # stable: reg order within
-    head = (never + redrives + pool)[: size - len(anchors)]
+    head = (never + redrives + pool)[:capacity]
     return [*head, *list(anchors)]
 
 

@@ -348,7 +348,9 @@ def _ladder_width(n: int) -> int:
 def _srp_band_sql(v: str, band: int) -> str:
     """DuckDB: the ``_BAND_PLANES``-bit SRP signature of list column ``v``
     for one band (sequential-fold projections against the shared
-    coefficient literals, planes ``band*_BAND_PLANES ..+_BAND_PLANES``)."""
+    coefficient literals; band ``b``'s plane ``j`` reads coefficient row
+    ``_plane(b, j) = b * _BAND_STRIDE + j`` — the frozen stride-64
+    layout)."""
     terms = []
     for j in range(_BAND_PLANES):
         p = _plane(band, j)
@@ -431,9 +433,10 @@ _SRP_MASK_SQL = "((CAST(1 AS BIGINT) << wv.w) - 1)"
     FROM vf WHERE cosine >= 0.35
     """,
     doc="Signed-random-projection LSH for cosine similarity with a "
-    "SCALE-AWARE band width: 48 deterministic pseudo-random hyperplanes "
-    "(integer-LCG coefficients embedded as literals in both engines) give "
-    "each vector two 24-bit band signatures; each band is masked to its "
+    "SCALE-AWARE band width: deterministic pseudo-random hyperplanes "
+    "(murmur-style integer avalanche coefficients embedded as literals in "
+    "both engines, band b's plane j at frozen coefficient row "
+    "b*_BAND_STRIDE+j) give each vector two 24-bit band signatures; each band is masked to its "
     "low w bits where w is the smallest width in [8, 24] keeping expected "
     "bucket occupancy n/2^w <= 8 (an integer CASE ladder over count(*), "
     "identical in both engines — the 1-row width frame broadcasts). "

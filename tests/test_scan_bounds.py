@@ -82,6 +82,45 @@ def test_null_keys_take_the_edge_bucket(spark):
     assert desc[1] > desc[2] >= desc[3]  # nulls LAST under desc
 
 
+@pytest.mark.parametrize("descending", [False, True])
+def test_nan_scores_no_duplicate_nan_bounds(spark, descending):
+    """r09 ADVICE (low): NaN quantile bounds are neither deduped by set()
+    (NaN != NaN) nor ordered by sorted(), so a NaN-heavy score column
+    could embed duplicate NaN bounds — wasted buckets, and under desc
+    every non-null PID shifted by the NaN-bound count. Non-finite bounds
+    are now filtered before embedding; NaN KEYS still bucket fine without
+    a NaN bound (Spark orders NaN above every double, so the strict
+    comparison sends them to the correct edge on its own). Equality with
+    the pinned path over a NaN-bearing column is the functional pin."""
+    nan = float("nan")
+    rows = [
+        (i, nan if i % 3 == 0 else round((i * 37 % 100) / 100, 2), i % 2)
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "id long, score double, hit int")
+    kw = dict(order_cols=["score", "id"], sum_cols=["hit"], descending=descending)
+    pinned = {r["id"]: r["cum_hit"] for r in global_cumsum(df, **kw).collect()}
+    bounds = {
+        r["id"]: r["cum_hit"]
+        for r in global_cumsum(df, bucketing="bounds", **kw).collect()
+    }
+    assert pinned == bounds
+    # and the PID mapping stays monotone with NaN keys at the large edge
+    tagged = bounds_bucketed(df, ["score", "id"], descending=descending, n_buckets=8)
+    got = tagged.select("score", PID).collect()
+    import math as _m
+
+    def _key(r):
+        # Spark order: NaN above every double; desc reverses
+        v = r["score"]
+        big = _m.inf if _m.isnan(v) else v
+        return -big if descending else big
+
+    got.sort(key=_key)
+    pids = [r[PID] for r in got]
+    assert pids == sorted(pids), "PID must stay monotone with NaN keys"
+
+
 def test_bounds_plan_is_lineage_free(spark, tmp_path):
     """The pinned path materializes a localCheckpoint (plan shows a
     'Scan ExistingRDD' leaf where the file scan used to be); the bounds
@@ -286,6 +325,35 @@ def test_rotation_window_dedupes_changed_and_raises_on_overflow():
             anchors=anchors,
             size=10,
         )
+
+
+def test_rotation_window_never_driven_overflow_truncates():
+    """r09 ADVICE (low): never-driven names self-heal across rounds (a
+    truncated block-1 name re-enters the next window), so a registration
+    wave larger than the free slots must TRUNCATE block 1 — raising there
+    would make rotation_window permanently unable to produce any window,
+    and 'split the changed list' cannot fix a block-1 overflow. Declared
+    re-drives keep their guaranteed slots even when block 1 overflows."""
+    from cicevse2024_tfm_datapipeline_spark import plans
+
+    order = [f"q{i:03d}" for i in range(30)]
+    oracled = set(order)
+    anchors = ("q028", "q029")
+    # only q000/q001 ever driven -> 26 never-driven for 8 non-anchor slots
+    latest = {"q000": 1, "q001": 1}
+    win = plans.rotation_window(
+        order,
+        oracled,
+        latest,
+        changed=["q000", "q001"],  # both previously driven -> re-drives
+        anchors=anchors,
+        size=10,
+    )
+    assert len(win) == 10 and win[-2:] == list(anchors)
+    # block 1 truncated to 6 oldest-registered never-driven names ...
+    assert win[:6] == ["q002", "q003", "q004", "q005", "q006", "q007"]
+    # ... while BOTH declared re-drives kept their promised slots
+    assert win[6:8] == ["q000", "q001"]
 
 
 @pytest.mark.parametrize("descending", [False, True])
