@@ -15,6 +15,16 @@ artifact carries every raw run plus a loadavg marker taken before and
 after the sweep, so a roster-wide swing (r05 saw 1.17× on unchanged code)
 can be attributed to host contention in-artifact instead of by argument.
 
+Burst attribution (r09 verdict wrong #2): min-of-3 failed to absorb a
+multi-second mid-roster host burst (w_ewma_smoothing 1.71 s vs a 0.22 s
+same-tree receipt), and one pre-roster canary couldn't attribute it. Two
+instruments fix that: host-speed canary samples are INTERLEAVED
+(start/mid/end, "canaries" in both lines), and any query whose min
+exceeds 2x its best-ever committed driver record (best_ever_records over
+BENCH_r*.json) is automatically re-measured after a GC pause — the
+pre-rerun min ships in the final line's "rr" map next to the re-measured
+"queries" value, so a burst is explained inside the artifact.
+
 Output framing (r06 verdict wrong #1): the driver's tail capture holds
 ~2.1 KB, and the r06 single-line output with embedded raw runs grew to
 ~4.8 KB — BENCH_r06.json came back `parsed: null`. So the bulky detail
@@ -117,6 +127,63 @@ def host_speed_canary(n: int = 2_000_000, runs: int = 3) -> float:
     return round(best, 4)
 
 
+#: outlier re-run rule (r09 verdict "Next round" #2): a query whose
+#: min-of-N exceeds OUTLIER_FACTOR x its best-ever committed driver record
+#: is re-measured (OUTLIER_RERUNS runs after a GC pause) so a mid-roster
+#: host burst — r09's w_ewma_smoothing read 1.71 s against a 0.22 s
+#: same-tree builder receipt — is attributed IN the artifact instead of
+#: by cross-artifact argument. Both figures ship: the pre-rerun min in
+#: the final line's "rr" map, the final (overall-min) in "queries".
+OUTLIER_FACTOR = 2.0
+OUTLIER_RERUNS = 5
+OUTLIER_MAX_QUERIES = 3  # final-line byte budget (the r09 burst lifted
+#                          exactly 3 queries past 2x; a wider burst shows
+#                          in the interleaved canaries instead)
+
+
+def best_ever_records(repo_dir: str | None = None) -> dict[str, float]:
+    """Per-query best-ever seconds across the committed official driver
+    artifacts (BENCH_r*.json, skipping *_builder* side files and rounds
+    the driver failed to parse). The in-repo record book the outlier rule
+    compares against — self-maintaining as rounds accrue."""
+    import glob
+
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        if "_builder" in os.path.basename(path):
+            continue
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed")
+            queries = parsed.get("queries", {}) if parsed else {}
+        except (OSError, ValueError, AttributeError):
+            continue
+        for name, sec in queries.items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best[name] = min(best.get(name, float("inf")), float(sec))
+    return best
+
+
+def detect_outliers(
+    timings: dict[str, float],
+    best: dict[str, float],
+    factor: float = OUTLIER_FACTOR,
+    cap: int = OUTLIER_MAX_QUERIES,
+) -> list[str]:
+    """Names whose measured min exceeds ``factor`` x their best-ever
+    record, worst exceedance first, at most ``cap`` (each re-run costs
+    OUTLIER_RERUNS full executions — a roster-wide burst re-running
+    everything would double the bench)."""
+    flagged = [
+        (timings[n] / best[n], n)
+        for n in timings
+        if n in best and best[n] > 0 and timings[n] > factor * best[n]
+    ]
+    flagged.sort(key=lambda t: (-t[0], t[1]))
+    return [n for _, n in flagged[:cap]]
+
+
 def _env_runs(default: int = 3) -> int:
     """Parse $SPARK_GRAFT_BENCH_RUNS; non-numeric falls back to the
     default with a stderr warning instead of a ValueError traceback."""
@@ -137,9 +204,14 @@ def format_detail_line(
     load_before: tuple[float, ...],
     load_after: tuple[float, ...],
     canary_sec: float | None = None,
+    canaries: list[float] | None = None,
+    outlier_reruns: dict[str, dict] | None = None,
 ) -> str:
     """The bulky per-run detail — its own output line, NOT the final one
-    (the driver's tail capture only retains ~2.1 KB of the last line)."""
+    (the driver's tail capture only retains ~2.1 KB of the last line).
+    ``canaries``/``outlier_reruns`` are appended LAST in the object: the
+    tail capture keeps the END of this line, so the burst-attribution
+    evidence survives even in the truncated driver artifact."""
     obj = {
         "detail": "bench_raw_runs",
         "queries_runs": raw_runs,
@@ -148,17 +220,30 @@ def format_detail_line(
     }
     if canary_sec is not None:
         obj["canary_sec"] = canary_sec
+    if canaries is not None:
+        obj["canaries"] = canaries
+    if outlier_reruns:
+        obj["outlier_reruns"] = outlier_reruns
     return json.dumps(obj)
 
 
 def format_final_line(
-    timings: dict[str, float], sf: float, n_runs: int, canary_sec: float | None = None
+    timings: dict[str, float],
+    sf: float,
+    n_runs: int,
+    canary_sec: float | None = None,
+    canaries: list[float] | None = None,
+    pre_rerun: dict[str, float] | None = None,
 ) -> str:
     """The FINAL printed line: compact driver-contract summary. 2dp mins,
     no separators-whitespace — must stay under 2000 bytes for the full
     roster (pinned by tests/test_bench_framing.py). ``canary_sec`` is the
     host-speed calibration (host_speed_canary): divide two rounds'
-    totals by their canary ratio to normalize out host-speed drift."""
+    totals by their canary ratio to normalize out host-speed drift.
+    ``canaries`` interleaves start/mid/end samples so a mid-roster burst
+    is visible in-artifact; ``pre_rerun`` maps each outlier-re-run query
+    to its PRE-rerun min ("rr") — the post-rerun figure is what
+    ``queries`` already carries, so both figures ship."""
     total = round(sum(timings.values()), 3)
     obj = {
         "metric": "headline_queries_total_wall",
@@ -170,6 +255,10 @@ def format_final_line(
     }
     if canary_sec is not None:
         obj["canary_sec"] = canary_sec
+    if canaries is not None:
+        obj["canaries"] = canaries
+    if pre_rerun:
+        obj["rr"] = {k: round(v, 2) for k, v in pre_rerun.items()}
     return json.dumps(obj, separators=(",", ":"))
 
 
@@ -195,13 +284,20 @@ def main() -> None:
 
     n_runs = _env_runs()
     load_before = os.getloadavg()
-    # host-speed calibration BEFORE the roster (fixed CPU-bound work):
-    # cross-day totals normalize against the canary ratio
-    canary = host_speed_canary()
+    # host-speed calibration INTERLEAVED through the roster (r09 verdict
+    # #2): start/mid/end samples, so a burst confined to one stretch of
+    # the sweep — r09's w_ewma_smoothing window — shows up as a canary
+    # spike at the matching sample instead of being invisible to a single
+    # pre-roster reading. canary_sec stays the start sample (the r08
+    # normalization contract).
+    canaries = [host_speed_canary()]
+    mid_at = len(HEADLINE) // 2
 
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i == mid_at:
+            canaries.append(host_speed_canary(runs=1))
         q = queries[name]
         runs: list[float] = []
         for _ in range(n_runs):
@@ -216,11 +312,49 @@ def main() -> None:
         # executor-memory GC
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+    canaries.append(host_speed_canary(runs=1))
+
+    # outlier re-run rule: any min exceeding 2x its best-ever committed
+    # driver record gets a second chance after a GC pause — both figures
+    # ship in the artifact so a transient burst is attributable in-round
+    best = best_ever_records()
+    pre_rerun: dict[str, float] = {}
+    rerun_detail: dict[str, dict] = {}
+    for name in detect_outliers(timings, best):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
+        reruns: list[float] = []
+        for _ in range(OUTLIER_RERUNS):
+            t0 = time.perf_counter()
+            queries[name].spark(spark, sf_dir).count()
+            reruns.append(round(time.perf_counter() - t0, 3))
+        pre_rerun[name] = timings[name]
+        timings[name] = min(timings[name], min(reruns))
+        rerun_detail[name] = {
+            "first_min": pre_rerun[name],
+            "rerun_runs": reruns,
+            "best_ever": best[name],
+        }
 
     load_after = os.getloadavg()
+    canaries = [round(c, 4) for c in canaries]
     # bulky detail first, compact summary LAST (driver tail-capture contract)
-    print(format_detail_line(raw_runs, load_before, load_after, canary))
-    print(format_final_line(timings, sf, n_runs, canary))
+    print(
+        format_detail_line(
+            raw_runs,
+            load_before,
+            load_after,
+            canaries[0],
+            canaries=canaries,
+            outlier_reruns=rerun_detail,
+        )
+    )
+    print(
+        format_final_line(
+            timings, sf, n_runs, canaries[0], canaries=canaries, pre_rerun=pre_rerun
+        )
+    )
 
 
 if __name__ == "__main__":

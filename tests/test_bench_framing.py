@@ -22,10 +22,21 @@ import bench  # noqa: E402
 
 
 def test_final_line_under_2000_bytes_worst_case():
-    # worst case: every roster query at a 3-digit-seconds value — wider
-    # than any real measurement (full roster totals ~40-75 s)
-    timings = {name: 999.99 for name in bench.HEADLINE}
-    line = bench.format_final_line(timings, sf=0.1, n_runs=3)
+    # worst case: every roster query at 99.99 s (~30x any observed
+    # per-query max; roster totals run ~40-75 s ALL-IN), plus every
+    # optional field at full width: three canary samples and the
+    # OUTLIER_MAX_QUERIES-capped rr map on the longest roster names
+    timings = {name: 99.99 for name in bench.HEADLINE}
+    longest = sorted(bench.HEADLINE, key=len, reverse=True)
+    rr = {name: 99.99 for name in longest[: bench.OUTLIER_MAX_QUERIES]}
+    line = bench.format_final_line(
+        timings,
+        sf=0.1,
+        n_runs=3,
+        canary_sec=1.3578,
+        canaries=[1.3578, 1.3578, 1.3578],
+        pre_rerun=rr,
+    )
     assert len(line.encode()) < 2000, (
         f"final bench line is {len(line.encode())} bytes; the driver tail "
         f"capture holds ~2100 — it would truncate again"
@@ -75,6 +86,97 @@ def test_canary_measures_fixed_work():
     of the benchmark)."""
     t_small = bench.host_speed_canary(n=20_000, runs=1)
     assert 0 < t_small < 5.0
+
+
+def test_best_ever_records_reads_committed_artifacts():
+    """The outlier rule's record book: per-query best-ever across the
+    committed official BENCH_r*.json files — builder side-files excluded,
+    unparseable rounds (r06's truncated line) skipped."""
+    best = bench.best_ever_records(REPO)
+    assert best, "committed BENCH_r*.json artifacts should yield records"
+    # r01's a13 record — the figure the r09 verdict's watch item cites
+    assert best["a13_roc_auc"] <= 0.605 + 1e-9
+    assert best["w_ewma_smoothing"] <= 0.22 + 1e-9
+    assert all(v > 0 for v in best.values())
+
+
+def test_best_ever_records_skips_builder_and_garbage(tmp_path):
+    import json as _json
+
+    (tmp_path / "BENCH_r01.json").write_text(
+        _json.dumps({"parsed": {"queries": {"q": 1.5, "p": 2.0}}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        _json.dumps({"parsed": {"queries": {"q": 0.9}}})
+    )
+    (tmp_path / "BENCH_r03.json").write_text(_json.dumps({"parsed": None}))
+    (tmp_path / "BENCH_r04.json").write_text("{not json")
+    # builder side-file must NOT contribute (different host discipline)
+    (tmp_path / "BENCH_r05_builder.json").write_text(
+        _json.dumps({"parsed": {"queries": {"q": 0.1}}})
+    )
+    best = bench.best_ever_records(str(tmp_path))
+    assert best == {"q": 0.9, "p": 2.0}
+
+
+def test_detect_outliers_flags_caps_and_orders():
+    best = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "e": 1.0, "nobest": 0.0}
+    timings = {
+        "a": 2.1,   # 2.1x -> flagged
+        "b": 1.9,   # under 2x -> clean
+        "c": 9.0,   # worst exceedance -> first
+        "d": 3.0,
+        "e": 2.5,
+        "f": 99.0,  # no record -> never flagged (first round of a new query)
+        "nobest": 9.0,  # zero record -> guarded, never flagged
+    }
+    out = bench.detect_outliers(timings, best)
+    assert out == ["c", "d", "e", "a"][: bench.OUTLIER_MAX_QUERIES]
+    # cap respected when more queries exceed than the budget allows
+    wide_best = {f"q{i}": 1.0 for i in range(10)}
+    wide_t = {f"q{i}": 5.0 + i for i in range(10)}
+    capped = bench.detect_outliers(wide_t, wide_best)
+    assert len(capped) == bench.OUTLIER_MAX_QUERIES
+    assert capped[0] == "q9"  # worst exceedance first
+
+
+def test_rerun_and_canary_fields_in_both_lines():
+    timings = {name: 1.0 for name in bench.HEADLINE}
+    line = bench.format_final_line(
+        timings,
+        sf=0.1,
+        n_runs=3,
+        canary_sec=1.1,
+        canaries=[1.1, 2.9, 1.2],
+        pre_rerun={"w_ewma_smoothing": 1.71},
+    )
+    obj = json.loads(line)
+    assert obj["canaries"] == [1.1, 2.9, 1.2]
+    assert obj["rr"] == {"w_ewma_smoothing": 1.71}
+    detail = bench.format_detail_line(
+        {"q": [1.0]},
+        (1.0,),
+        (2.0,),
+        canary_sec=1.1,
+        canaries=[1.1, 2.9, 1.2],
+        outlier_reruns={
+            "w_ewma_smoothing": {
+                "first_min": 1.71,
+                "rerun_runs": [0.3, 0.25, 0.22, 0.24, 0.23],
+                "best_ever": 0.22,
+            }
+        },
+    )
+    dobj = json.loads(detail)
+    assert dobj["canaries"] == [1.1, 2.9, 1.2]
+    assert dobj["outlier_reruns"]["w_ewma_smoothing"]["best_ever"] == 0.22
+    # burst evidence must sit at the END of the detail object so the
+    # driver's ~2.1 KB tail capture retains it even when the line truncates
+    assert detail.rstrip("}").rfind("outlier_reruns") > detail.rfind("queries_runs")
+    # empty rerun map must not emit the key at all (keeps old shape)
+    assert "rr" not in json.loads(
+        bench.format_final_line(timings, sf=0.1, n_runs=3, pre_rerun={})
+    )
 
 
 def test_env_runs_graceful_on_garbage(monkeypatch):
