@@ -146,10 +146,23 @@ def multiclass_point_metrics(df: DataFrame, y_true: str, y_pred: str) -> DataFra
     )
 
 
-def _threshold_cum_counts(df: DataFrame, y_true: str, score: str) -> DataFrame:
+def _threshold_cum_counts(
+    df: DataFrame, y_true: str, score: str, domain_bounds=None
+) -> DataFrame:
     """Shared A13 core: one row per distinct score (descending-threshold
     order) with per-threshold counts (pos, neg, cnt), running totals
     (cum_pos, cum_neg, cum_cnt) and grand totals (tot_pos, tot_neg).
+
+    ``domain_bounds``: a literal bucket-boundary grid the caller derives
+    from CONSTRUCTION knowledge of the score domain (e.g. a 3-decimal
+    rounding of a bounded ratio — the binary twin of
+    ``ovr_auc_per_class``'s ``bounded_curves``). The scan then skips the
+    driver-side quantile pre-pass, which the round-10 profile measured
+    as ~0.3 s of the watch item's ~0.35 s constant on a 900-row
+    domain-bounded frame (SCALE.md "A13 profile") — the grid literals
+    give the same monotone bucketing with zero jobs. Leave None for
+    continuous/unknown-domain scores, where equal-population quantile
+    bounds are the only safe bucketing.
 
     Scale shape: with continuous double scores |distinct scores| ≈ |rows|,
     so the cumulative sums run through operators.scan.global_cumsum — the
@@ -189,10 +202,13 @@ def _threshold_cum_counts(df: DataFrame, y_true: str, score: str) -> DataFrame:
         descending=True,
         with_totals=True,
         bucketing="bounds",
+        fixed_bounds=domain_bounds,
     )
 
 
-def roc_points(df: DataFrame, y_true: str, score: str) -> DataFrame:
+def roc_points(
+    df: DataFrame, y_true: str, score: str, domain_bounds=None
+) -> DataFrame:
     """A13: ROC curve points at every distinct score threshold.
 
     Cumulative TP/FP over the descending-score order with ties grouped
@@ -200,7 +216,7 @@ def roc_points(df: DataFrame, y_true: str, score: str) -> DataFrame:
     without intermediate dropping). Returns (threshold, cum_tp, cum_fp,
     fpr, tpr).
     """
-    cum = _threshold_cum_counts(df, y_true, score)
+    cum = _threshold_cum_counts(df, y_true, score, domain_bounds)
     # zero positives/negatives → null rates (sklearn emits NaN + warning)
     return cum.select(
         "threshold",
@@ -211,13 +227,19 @@ def roc_points(df: DataFrame, y_true: str, score: str) -> DataFrame:
     )
 
 
-def threshold_at_fpr(df: DataFrame, y_true: str, score: str, fpr_target: float) -> DataFrame:
+def threshold_at_fpr(
+    df: DataFrame,
+    y_true: str,
+    score: str,
+    fpr_target: float,
+    domain_bounds=None,
+) -> DataFrame:
     """A13: largest-FPR point with fpr ≤ target (the reference's
     ``idx_candidates[-1]`` on the ascending-fpr curve,
     func_aux/func_test.py:252-269); fallback = nearest |fpr − target|.
     Tie-break on threshold ascending within equal fpr (the curve's last
     point at that fpr = highest tpr = lowest threshold)."""
-    pts = roc_points(df, y_true, score)
+    pts = roc_points(df, y_true, score, domain_bounds)
     is_candidate = (F.col("fpr") <= F.lit(fpr_target)).cast("int")
     rank_key = F.when(
         F.col("fpr") <= F.lit(fpr_target), -F.col("fpr")
@@ -229,7 +251,9 @@ def threshold_at_fpr(df: DataFrame, y_true: str, score: str, fpr_target: float) 
     )
 
 
-def average_precision(df: DataFrame, y_true: str, score: str) -> DataFrame:
+def average_precision(
+    df: DataFrame, y_true: str, score: str, domain_bounds=None
+) -> DataFrame:
     """A13/PR: AP = Σ (recall_i − recall_{i−1}) · precision_i over
     descending thresholds (sklearn ``average_precision_score``).
 
@@ -238,14 +262,16 @@ def average_precision(df: DataFrame, y_true: str, score: str) -> DataFrame:
     cumulative is this row's cumulative minus this row's own count), so
     the whole integral is a plain aggregation over the scan output.
     """
-    cum = _threshold_cum_counts(df, y_true, score)
+    cum = _threshold_cum_counts(df, y_true, score, domain_bounds)
     # tot_pos=0 guard → null AP (sklearn NaN); cum_cnt ≥ 1 by construction
     d_recall = F.when(F.col("tot_pos") > 0, F.col("pos") / F.col("tot_pos"))
     precision = F.col("cum_pos") / F.col("cum_cnt")
     return cum.agg(F.sum(d_recall * precision).alias("average_precision"))
 
 
-def roc_auc_trapezoid(df: DataFrame, y_true: str, score: str) -> DataFrame:
+def roc_auc_trapezoid(
+    df: DataFrame, y_true: str, score: str, domain_bounds=None
+) -> DataFrame:
     """A13: ROC-AUC by trapezoid over the (fpr, tpr) curve with the (0,0)
     anchor — matches sklearn ``roc_auc_score`` (which integrates the same
     curve; collinear interior points don't change the integral).
@@ -255,7 +281,7 @@ def roc_auc_trapezoid(df: DataFrame, y_true: str, score: str) -> DataFrame:
     from the current scan row alone (the first row's predecessor is the
     (0,0) anchor by construction).
     """
-    cum = _threshold_cum_counts(df, y_true, score)
+    cum = _threshold_cum_counts(df, y_true, score, domain_bounds)
     # degenerate single-class input → null AUC (ANSI-safe: the guarded
     # branch never evaluates the division, matching the old curve's nulls)
     ok = (F.col("tot_neg") > 0) & (F.col("tot_pos") > 0)
@@ -358,6 +384,7 @@ def ovr_auc_summary(
     y_true: str,
     score: str,
     bounded_curves: bool = False,
+    micro_domain_bounds=None,
 ) -> DataFrame:
     """A11 multiclass probability-AUC battery: macro ROC-AUC / PR-AUC
     (mean of per-class values) and micro ROC-AUC / PR-AUC (binary metrics
@@ -391,6 +418,12 @@ def ovr_auc_summary(
         F.sum("neg").alias("neg"),
         F.sum("cnt").alias("cnt"),
     )
+    # micro_domain_bounds (round 10): when the caller knows the score
+    # DOMAIN by construction (same knowledge bounded_curves asserts for
+    # the macro side), literal grid bounds replace the micro scan's
+    # quantile pre-pass — the measured ~0.3 s flat driver job that a
+    # domain-bounded per-threshold frame never needs (SCALE.md "A13
+    # profile"); None keeps the quantile-bound lineage-free scan
     mcum = global_cumsum(
         mper,
         ["threshold"],
@@ -398,6 +431,7 @@ def ovr_auc_summary(
         descending=True,
         with_totals=True,
         bucketing="bounds",
+        fixed_bounds=micro_domain_bounds,
     )
     ok = (F.col("tot_neg") > 0) & (F.col("tot_pos") > 0)
     area, ap = _auc_ap_aggs(ok)

@@ -244,6 +244,7 @@ def bounds_bucketed(
     descending: bool = False,
     n_buckets: int | None = None,
     relative_error: float = 1e-4,
+    fixed_bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Lineage-free twin of :func:`range_bucketed`: ``PID`` is DERIVED
     FROM THE DATA via driver-computed quantile bounds on the first order
@@ -279,10 +280,26 @@ def bounds_bucketed(
     sizes (the range exchange splits ties and disambiguates via physical
     partition id). Use for high-cardinality scan keys — scores,
     timestamps — which is exactly what the ROC/sessionize scans order
-    by."""
-    b = n_buckets or _n_range_parts(df)
+    by.
+
+    ``fixed_bounds``: skip the quantile job entirely and bucket on the
+    caller's literal boundary grid — for keys whose DOMAIN is known by
+    construction (see global_cumsum's fixed_bounds note). Non-finite
+    entries are dropped (same reason as the quantile filter below); the
+    grid need not match the data range — out-of-range bounds only leave
+    empty buckets, which the offsets combine already tolerates."""
     keyc = _bounds_key_expr(df, order_cols[0])
-    probs = [i / b for i in range(1, b)]
+    if fixed_bounds is not None:
+        # caller-provided DOMAIN grid (see global_cumsum's fixed_bounds
+        # note): no quantile job at all — the bounds are plan literals
+        # from construction knowledge, identical at every corpus size
+        bounds = sorted(
+            {float(x) for x in fixed_bounds if x is not None and math.isfinite(x)}
+        )
+        probs = []
+    else:
+        b = n_buckets or _n_range_parts(df)
+        probs = [i / b for i in range(1, b)]
     if probs:
         bounds = (
             df.select(keyc.alias("__bb_key"))
@@ -296,7 +313,7 @@ def bounds_bucketed(
         # a NaN bound: Spark orders NaN above every double, so the strict
         # comparison sends them to the edge bucket on its own.
         bounds = sorted({x for x in bounds if x is not None and math.isfinite(x)})
-    else:
+    elif fixed_bounds is None:
         bounds = []
     if not bounds:
         pid = F.lit(0)
@@ -322,6 +339,7 @@ def global_cumsum(
     keep_pid: bool = False,
     with_totals: bool = False,
     bucketing: str = "pinned",
+    fixed_bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Running sum of each ``sum_cols`` entry over the global
     ``order_cols`` order (ties summed in one step is the caller's job —
@@ -345,9 +363,20 @@ def global_cumsum(
     lineage-free mapping (no pinned copy, no lineage cut; see its
     docstring for the tie-skew tradeoff). Results are identical; the
     plans differ in recovery/storage behavior.
+
+    ``fixed_bounds`` (bounds mode only) replaces the driver-side quantile
+    job with CALLER-PROVIDED literal bucket boundaries — the right move
+    when the first order column's DOMAIN is known by construction (e.g. a
+    score that is a 3-decimal rounding of a bounded ratio): the quantile
+    pre-pass measured ~0.3 s flat (SCALE.md "A13 profile", round 10) and
+    buys nothing a fixed grid over the known domain doesn't already give;
+    at any corpus size the same literals hold because the DOMAIN, not the
+    data, defines them. Bucket balance then tracks the score distribution
+    instead of equal-population quantiles — acceptable exactly when the
+    domain (hence per-bucket tie volume) is bounded.
     """
     if bucketing == "bounds":
-        bucketed = bounds_bucketed(df, order_cols, descending)
+        bucketed = bounds_bucketed(df, order_cols, descending, fixed_bounds=fixed_bounds)
     else:
         bucketed = range_bucketed(df, order_cols, descending)
     w = (

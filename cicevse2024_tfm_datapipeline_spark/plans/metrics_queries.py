@@ -49,6 +49,16 @@ _MC_PRED_SQL = """
 """
 
 
+#: Literal bucket-boundary grids for the A13/A11 threshold scans
+#: (operators.scan fixed_bounds): the scan keys are DOMAIN-bounded by
+#: construction — _scored's score = round(value/400, 3) over the bounded
+#: power trace (observed [0, 1.401]; 1/16 steps to 1.4375 -> 24 buckets),
+#: _ovr_long's score = round(1/(1+|value/80-idx|), 3) in (0, 1] (1/16
+#: steps -> 16 buckets). Out-of-range grid tails just leave empty buckets.
+_SCORE_GRID = [i / 16.0 for i in range(1, 24)]
+_OVR_SCORE_GRID = [i / 16.0 for i in range(1, 16)]
+
+
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = power_view(spark, sf_dir)
     score = pround(F.col("value") / 400.0, 3)
@@ -230,7 +240,12 @@ def a12_binary_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a13_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _scored(spark, sf_dir)
-    out = threshold_at_fpr(sc, "y_true", "score", 0.1)
+    # scores are pround(value/400, 3): a rounding of a physically-bounded
+    # ratio, so the score DOMAIN is construction-known — the literal
+    # 1/16-step grid replaces the scan's quantile pre-pass (the measured
+    # ~0.3 s flat driver job; SCALE.md "A13 profile", round 10) while the
+    # two-phase combine stays fully distributed and lineage-free
+    out = threshold_at_fpr(sc, "y_true", "score", 0.1, domain_bounds=_SCORE_GRID)
     return out.select(
         pround("threshold", 6).alias("threshold"),
         pround("fpr", 6).alias("fpr"),
@@ -274,7 +289,12 @@ def a13_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.operators.metrics import roc_points
 
     sc = _scored(spark, sf_dir)
-    pts = roc_points(sc, "y_true", "score")
+    # scores are pround(value/400, 3): a rounding of a physically-bounded
+    # ratio, so the score DOMAIN is construction-known — the literal
+    # 1/16-step grid replaces the scan's quantile pre-pass (the measured
+    # ~0.3 s flat driver job; SCALE.md "A13 profile", round 10) while the
+    # two-phase combine stays fully distributed and lineage-free
+    pts = roc_points(sc, "y_true", "score", domain_bounds=_SCORE_GRID)
     return pts.select(
         pround("threshold", 6).alias("threshold"),
         F.col("cum_tp").cast("long").alias("cum_tp"),
@@ -319,7 +339,12 @@ def a13_roc_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _scored(spark, sf_dir)
-    return roc_auc_trapezoid(sc, "y_true", "score").select(
+    # scores are pround(value/400, 3): a rounding of a physically-bounded
+    # ratio, so the score DOMAIN is construction-known — the literal
+    # 1/16-step grid replaces the scan's quantile pre-pass (the measured
+    # ~0.3 s flat driver job; SCALE.md "A13 profile", round 10) while the
+    # two-phase combine stays fully distributed and lineage-free
+    return roc_auc_trapezoid(sc, "y_true", "score", domain_bounds=_SCORE_GRID).select(
         pround("roc_auc", 6).alias("roc_auc")
     )
 
@@ -356,7 +381,12 @@ def a13_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a13_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _scored(spark, sf_dir)
-    return average_precision(sc, "y_true", "score").select(
+    # scores are pround(value/400, 3): a rounding of a physically-bounded
+    # ratio, so the score DOMAIN is construction-known — the literal
+    # 1/16-step grid replaces the scan's quantile pre-pass (the measured
+    # ~0.3 s flat driver job; SCALE.md "A13 profile", round 10) while the
+    # two-phase combine stays fully distributed and lineage-free
+    return average_precision(sc, "y_true", "score", domain_bounds=_SCORE_GRID).select(
         pround("average_precision", 6).alias("average_precision")
     )
 
@@ -504,7 +534,16 @@ def a11_mc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.operators.metrics import ovr_auc_summary
 
     long_df = _ovr_long(spark, sf_dir)
-    return ovr_auc_summary(long_df, "c", "y", "score", bounded_curves=True).select(
+    return ovr_auc_summary(
+        long_df,
+        "c",
+        "y",
+        "score",
+        bounded_curves=True,
+        # same construction knowledge on the micro side: the grid kills
+        # the quantile pre-pass (round 10; SCALE.md "A13 profile")
+        micro_domain_bounds=_OVR_SCORE_GRID,
+    ).select(
         pround("roc_auc_macro", 6).alias("roc_auc_macro"),
         pround("pr_auc_macro", 6).alias("pr_auc_macro"),
         pround("roc_auc_micro", 6).alias("roc_auc_micro"),

@@ -121,6 +121,30 @@ def test_nan_scores_no_duplicate_nan_bounds(spark, descending):
     assert pids == sorted(pids), "PID must stay monotone with NaN keys"
 
 
+@pytest.mark.parametrize("descending", [False, True])
+def test_fixed_bounds_equals_pinned_and_tolerates_bad_grid(spark, descending):
+    """fixed_bounds (round 10): caller-provided DOMAIN grid literals in
+    place of the quantile job — results must match the pinned scan
+    exactly even when the grid is unsorted, duplicated, out of range, or
+    polluted with non-finite entries (those are filtered like quantile
+    NaNs; out-of-range bounds only leave empty buckets)."""
+    df = _frame(spark, n=3000)
+    grid = [0.5, 0.25, 0.75, 0.25, -5.0, 99.0, float("nan"), float("inf")]
+    kw = dict(order_cols=["score", "id"], sum_cols=["hit"], descending=descending)
+    pinned = {r["id"]: r["cum_hit"] for r in global_cumsum(df, **kw).collect()}
+    fixed = {
+        r["id"]: r["cum_hit"]
+        for r in global_cumsum(
+            df, bucketing="bounds", fixed_bounds=grid, **kw
+        ).collect()
+    }
+    assert pinned == fixed
+    # the grid actually buckets (not everything in one partition)
+    tagged = bounds_bucketed(df, ["score", "id"], descending=descending, fixed_bounds=grid)
+    n_pids = tagged.select(PID).distinct().count()
+    assert n_pids >= 4  # 0.25/0.5/0.75 split the [0,1] domain + edges
+
+
 def test_bounds_plan_is_lineage_free(spark, tmp_path):
     """The pinned path materializes a localCheckpoint (plan shows a
     'Scan ExistingRDD' leaf where the file scan used to be); the bounds
