@@ -227,8 +227,14 @@ def _bounds_key_expr(df: DataFrame, key: str) -> Column:
         # date→double is not a legal cast; go through timestamp (seconds
         # since epoch — monotone in the date order)
         return col.cast("timestamp").cast("double")
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
         return col.cast("double")
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ→double is not a legal cast either; NTZ→timestamp applies
+        # the session zone — a CONSTANT offset, so the double stays
+        # monotone in the NTZ order, which is all bucketing needs (the
+        # bounds are computed on the same expression)
+        return col.cast("timestamp").cast("double")
     raise TypeError(
         f"bounds_bucketed: first order column {key!r} has type {dt} — the "
         "quantile-bound bucketing is only order-consistent for numeric/"

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from cicevse2024_tfm_datapipeline_spark.operators.scan import (
     PID,
     _pin_buckets,
+    bounds_bucketed,
     offsets_from_totals,
     prev_nonempty_value,
     range_bucketed,
@@ -65,6 +66,7 @@ def _global_islands(
     order_cols: Sequence[str],
     y_true_col: str,
     episode_id_col: str | None,
+    bucketing: str = "pinned",
 ) -> DataFrame:
     """Global-order islands without an unpartitioned window: adds ``__idx``
     (global 1-based row number) and ``__island`` (island id on attack
@@ -96,7 +98,17 @@ def _global_islands(
     # window operators once per consumer. The single range-exchange
     # materialization the scan's correctness needs (see _pin_buckets)
     # sits at ``local`` instead — bucketed has exactly one consumer.
-    bucketed = range_bucketed(df, order_cols, pin=False)
+    if bucketing == "bounds":
+        # lineage-free mapping (round 10): PID is a pure expression over
+        # quantile-bound literals, so every consumer recomputes it
+        # bit-identically and NO materialization is needed anywhere —
+        # the exchange under the per-bucket window is shared via
+        # ReuseExchange. Tie caveat as in scan.bounds_bucketed: a tie
+        # group stays in ONE bucket, so only use this when the order
+        # key is high-cardinality (w6's (ts, event_id) is unique).
+        bucketed = bounds_bucketed(df, order_cols)
+    else:
+        bucketed = range_bucketed(df, order_cols, pin=False)
 
     w = W.partitionBy(PID).orderBy(*ordering)
     wcum = w.rowsBetween(W.unboundedPreceding, 0)
@@ -115,7 +127,11 @@ def _global_islands(
     local = local.withColumn("__int_b", interior.cast("int")).withColumn(
         "__lisl", F.sum("__int_b").over(wcum)
     )
-    local = _pin_buckets(local)
+    if bucketing != "bounds":
+        # pinned mode: the one materialization the scan's correctness
+        # needs (physical-partition PIDs re-sample per execution);
+        # bounds mode needs none — PID is deterministic by construction
+        local = _pin_buckets(local)
 
     # ONE per-bucket summary aggregation (the only re-execution of the
     # window subtree): counts + interior-boundary totals + edge rows
@@ -186,6 +202,7 @@ def _global_ttd_episodes(
     y_true_col: str,
     y_pred_col: str,
     episode_id_col: str | None,
+    bucketing: str = "pinned",
 ) -> DataFrame:
     """Fused single-pass global TTD: per-episode ``(start_idx, det_idx)``
     without EVER materializing per-row global ids.
@@ -216,7 +233,13 @@ def _global_ttd_episodes(
     scan._pin_buckets) now costs |segments|, not |rows|, and the
     sort+window subtree genuinely executes once."""
     ordering = [F.col(c).asc() for c in order_cols]
-    bucketed = range_bucketed(df, order_cols, pin=False)
+    if bucketing == "bounds":
+        # lineage-free (round 10): see _global_islands — deterministic
+        # expression PIDs, no pin anywhere, exchange reuse dedupes the
+        # heavy stages across the segment frame's consumers
+        bucketed = bounds_bucketed(df, order_cols)
+    else:
+        bucketed = range_bucketed(df, order_cols, pin=False)
 
     w = W.partitionBy(PID).orderBy(*ordering)
     wcum = w.rowsBetween(W.unboundedPreceding, 0)
@@ -263,8 +286,9 @@ def _global_ttd_episodes(
                 F.when(is_att & (F.col(y_pred_col) == 1), F.col("__lrn"))
             ).alias("__det_lrn"),
         )
-        .localCheckpoint(eager=False)
     )
+    if bucketing != "bounds":
+        seg = seg.localCheckpoint(eager=False)
 
     summ = seg.groupBy(PID).agg(
         F.sum("__cnt").alias("__cnt"),
@@ -342,6 +366,7 @@ def mark_episodes(
     episode_id_col: str | None = None,
     partition_cols: Sequence[str] = (),
     out_col: str = "episode",
+    bucketing: str = "pinned",
 ) -> DataFrame:
     """Assign a dense episode number to every attack row (y=1); benign rows
     get null. Episode boundaries: start of a y=1 run, or episode-id change
@@ -352,7 +377,9 @@ def mark_episodes(
             df, order_cols, y_true_col, episode_id_col, partition_cols
         )
     else:
-        marked = _global_islands(df, order_cols, y_true_col, episode_id_col)
+        marked = _global_islands(
+            df, order_cols, y_true_col, episode_id_col, bucketing=bucketing
+        )
     # internal island column → caller's out_col (replacing any existing
     # column of that name, matching the old withColumn semantics)
     cols = [c for c in marked.columns if c not in ("__idx", "__island", out_col)]
@@ -367,6 +394,7 @@ def ttd_stats(
     window_hop_seconds: float,
     episode_id_col: str | None = None,
     partition_cols: Sequence[str] = (),
+    bucketing: str = "pinned",
 ) -> DataFrame:
     """Episode detection summary: one row with episodes_total,
     episodes_detected, avg_ttd_seconds, avg_ttd_hours."""
@@ -388,7 +416,7 @@ def ttd_stats(
         # fused single-pass path: per-episode stats straight from the
         # (bucket, local island) segment frame — no per-row global ids
         eps = _global_ttd_episodes(
-            df, order_cols, y_true_col, y_pred_col, episode_id_col
+            df, order_cols, y_true_col, y_pred_col, episode_id_col, bucketing
         )
     delay = (F.col("det_idx") - F.col("start_idx")) * F.lit(float(window_hop_seconds))
     per_ep = eps.select(

@@ -331,6 +331,13 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y_pred",
         window_hop_seconds=1.0,
         episode_id_col="ep_id",
+        # lineage-free bounds scan (round 10): the (ts, event_id) order
+        # key is UNIQUE in this view (measured max-tie 1 at sf0.01/0.1),
+        # so the tie-skew caveat that kept sessionize pinned through r09
+        # does not apply here; the flip removes the last localCheckpoint
+        # in a timed path (~+0.2 s local quantile-job constant — SCALE.md
+        # "Sessionize bounds flip")
+        bucketing="bounds",
     )
     return out.select(
         F.col("episodes_total").cast("long").alias("episodes_total"),
