@@ -169,16 +169,36 @@ def rotation_window(
     return [*head, *list(anchors)]
 
 
-# r10 note (for the next window's _R10_CHANGED): no plan changes are
-# staged — round 9 left no deferred flip. Unless round 10 changes plans,
-# compute the window with: python tools/next_window.py --rounds 9
-# (requires the driver-emitted CORRECTNESS_r09.json committed first;
-# the rotation head will be the next tranche of the r01/r02 cohort).
-# Watch items to re-measure, not re-plan: a13_roc_auc carries the
-# documented ~+0.1 s bounds-mode quantile-job constant (SCALE.md "A13
-# checkpoint cost") — judge it against the canary-normalized builder
-# record (BENCH_r09_builder.json, canary 1.0904), not the r01 plain-
-# window number alone.
+# r11 note (for the next window's _R11_CHANGED): no plan changes are
+# staged — round 10 left no deferred flip. Unless round 11 changes
+# plans, compute the window with: python tools/next_window.py --rounds
+# 10 (requires the driver-emitted CORRECTNESS_r10.json committed first).
+
+# r10 changed-plan re-drives (rule item 2):
+#   - the a13 quartet + a11_multiclass_auc: the threshold scans moved
+#     from quantile-bound to DOMAIN-LITERAL fixed bounds (operators/
+#     scan.py fixed_bounds; metrics_queries._SCORE_GRID/_OVR_SCORE_GRID)
+#     — the r09 verdict's watch-item fix (SCALE.md "A13 profile"); same
+#     results, different plan (no approxQuantile pre-pass).
+#   - sim_srp_lsh_pairs: SCHEMA CHANGED — the result now carries the
+#     audit_truth_pairs/audit_found_pairs/audit_recall recall contract
+#     (r09 verdict "Next round" #3), so a fresh row is mandatory.
+#   - w6_sessionize_ttd: flipped to the lineage-free bounds scan
+#     (sessionize bucketing="bounds" — its (ts, event_id) order key is
+#     measured tie-free; SCALE.md "Sessionize bounds flip").
+# Window computed with: python tools/next_window.py --rounds 9
+# --changed a13_threshold_at_fpr,a13_roc_curve_points,a13_roc_auc,
+# a13_average_precision,a11_multiclass_auc,sim_srp_lsh_pairs,
+# w6_sessionize_ttd
+_R10_CHANGED = [
+    "a13_threshold_at_fpr",
+    "a13_roc_curve_points",
+    "a13_roc_auc",
+    "a13_average_precision",
+    "a11_multiclass_auc",
+    "sim_srp_lsh_pairs",
+    "w6_sessionize_ttd",
+]
 
 # r09 changed-plan re-drives (rule item 2): round 9 executed the staged
 # r08 note — the ROC/cumsum tier now runs the lineage-free bounds-
@@ -251,56 +271,61 @@ _R08_CHANGED = [
 #     against the full error-bound oracle added in r07 — the one ledger
 #     row whose evidence class was stale, r08 verdict "missing" #1).
 #   block 4 (4): anchors.
+# Round-10 window = rotation_window(...) materialized (the meta-test
+# recomputes and compares):
+#   block 1 (0): never-driven — empty, ledger closed.
+#   block 2 (7): _R10_CHANGED re-drives (the fixed-bounds a13/a11 tier,
+#     the SRP recall contract, the sessionize bounds flip — above).
+#   block 3 (39): oldest-rows-first rotation — the remaining r01/r02
+#     cohort plus the r03 head, registration order within a round.
+#   block 4 (4): anchors.
 _PRIORITY = [
-    # --- block 2: changed-plan re-drives (_R09_CHANGED) ---
     "a13_threshold_at_fpr",
     "a13_roc_curve_points",
     "a13_roc_auc",
     "a13_average_precision",
     "a11_multiclass_auc",
     "sim_srp_lsh_pairs",
-    # --- block 3: oldest-rows-first rotation (r01 cohort head) ---
-    "a17_grid_mean",
-    "a5_group_mode",
-    "a7_class_weights",
-    "f10_category_codes",
-    "f11_label_encode",
-    "f12_monotonic_row_id",
-    "a10_confusion_matrix_dense",
-    "a11_multiclass_point_metrics",
-    "a12_binary_rates_ci",
-    "a15_fph_conversion",
-    "a8_mean_std_over_runs",
-    "a9_weighted_log_loss",
-    "a_per_state_metric_fanout",
-    "a_quantiles_exact",
-    "a_approx_sketches",
-    "dedup_exact_group_sizes",
-    "dedup_exact_survivors",
-    "dedup_minhash_signature_stats",
-    "dedup_simhash",
-    "dedup_ngram_jaccard_topk",
-    "w3_full_sequences",
     "w6_sessionize_ttd",
-    "w7_acf_fixed_lags",
-    "w_rolling_zscore_anomalies",
-    "a14_normal_approx_ci",
-    "a_salted_skew_agg",
-    "dedup_lsh_components",
-    "text_repetition_signals",
-    "sim_bruteforce_cosine_topk",
-    "sim_bucketed_ann_topk",
-    "sim_embedding_near_dup",
-    "text_token_stats",
-    "text_quality_by_source",
-    "text_langid_confusion",
-    "text_fingerprint_stats",
-    "mm_binary_metadata",
-    "dedup_latest_per_key",
-    "sample_stratified_per_class",
-    "sample_mixture_by_source",
-    "text_top_ngrams",
-    # --- block 4: anchors ---
+    "pack_concat_chunks",
+    "dedup_decontaminate_train",
+    "text_quality_filter_p25",
+    "r_degrade_hash_packet_loss",
+    "p6_p7_schema_profile",
+    "j_asof_backward",
+    "j_range_join_bucketized",
+    "u_set_intersect_except",
+    "a10_confusion_pivot",
+    "j_tpch_q3_shipping_priority",
+    "a11_ovr_auc_per_class",
+    "dedup_fuzzy_survivors",
+    "sample_weighted_by_length",
+    "sim_ivf_topk",
+    "text_pii_redaction",
+    "w_quality_decile_curriculum",
+    "dedup_bloom_novelty",
+    "a_corr_matrix",
+    "g_pagerank_lsh",
+    "dedup_semdedup_cells",
+    "text_quality_linear_classifier",
+    "a_countmin_heavy_hitters",
+    "s1_s3_csv_roundtrip",
+    "r_degrade_hash_missing_variables",
+    "r_degrade_hash_clock_offset",
+    "r_degrade_hash_drift",
+    "r5_hash_permutation",
+    "stream_stateful_episodes",
+    "stream_sliding_window",
+    "stream_dedup_union",
+    "stream_static_join",
+    "stream_append_late_drop",
+    "s4_csv_sink_roundtrip",
+    "s5_tensor_sink_roundtrip",
+    "f15_proba_pair",
+    "m8_sample_size_grid",
+    "p8_p9_network_narrowing",
+    "f14_json_sanitize_roundtrip",
+    "stream_sink_partitioned_lake",
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
     "stream_session_window",
