@@ -60,6 +60,7 @@ _MODULES = [
     "wave39",
     "wave40",
     "wave41",
+    "wave42",
 ]
 
 # ---------------------------------------------------------------------------
@@ -70,10 +71,14 @@ _MODULES = [
 # round (exactly 50 rows in every CORRECTNESS_r0x.json so far), so the
 # prefix below IS the round's certification window.
 #
-# Ledger state after r08: CLOSED — all 334 registered queries hold an
-# official driver row (r01∪...∪r08, zero regressions ever;
-# tests/test_coverage_doc.py::test_ledger_is_closed pins this). From
-# round 9 on the window is pure steady-state rotation.
+# Ledger state after r08: CLOSED — all 334 then-registered queries hold
+# an official driver row (r01∪...∪r08, zero regressions ever). Round 10
+# RE-OPENED the ledger by design with two new wave42 registrations
+# (a_wasserstein_drift, j_levenshtein_blocked) — exactly the rule's
+# block-1 case: they hold the first two window slots below and close
+# the ledger again once CORRECTNESS_r10 lands.
+# tests/test_coverage_doc.py::test_ledger_is_closed pins the never-
+# driven set to exactly the declared new registrations.
 _ROTATION_RULE = """Steady-state window policy (committed round 8, in force
 from round 9 on, meta-tested by tests/test_coverage_doc.py):
 
@@ -273,13 +278,17 @@ _R08_CHANGED = [
 #   block 4 (4): anchors.
 # Round-10 window = rotation_window(...) materialized (the meta-test
 # recomputes and compares):
-#   block 1 (0): never-driven — empty, ledger closed.
+#   block 1 (2): never-driven — round 10 RE-OPENED the ledger with two
+#     new registrations (wave42: a_wasserstein_drift,
+#     j_levenshtein_blocked) — they take their first driver rows here.
 #   block 2 (7): _R10_CHANGED re-drives (the fixed-bounds a13/a11 tier,
 #     the SRP recall contract, the sessionize bounds flip — above).
-#   block 3 (39): oldest-rows-first rotation — the remaining r01/r02
+#   block 3 (37): oldest-rows-first rotation — the remaining r01/r02
 #     cohort plus the r03 head, registration order within a round.
 #   block 4 (4): anchors.
 _PRIORITY = [
+    "a_wasserstein_drift",
+    "j_levenshtein_blocked",
     "a13_threshold_at_fpr",
     "a13_roc_curve_points",
     "a13_roc_auc",
@@ -324,8 +333,6 @@ _PRIORITY = [
     "f15_proba_pair",
     "m8_sample_size_grid",
     "p8_p9_network_narrowing",
-    "f14_json_sanitize_roundtrip",
-    "stream_sink_partitioned_lake",
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
     "stream_session_window",

@@ -1,0 +1,209 @@
+"""Round-10 wave 42: Wasserstein-1 drift distance and blocked
+edit-distance linkage.
+
+Two gaps in the drift / fuzzy-matching families (the sum-weighted
+sibling of `a_ks_two_sample`'s max-gap statistic, and the classic
+Levenshtein record-linkage join Spark ships as a JVM built-in). House
+rules: exact integer ticks before any double division (the sums are
+order-free BIGINT/DECIMAL in both engines), every pair space is a
+blocked equi-join, and both engines share every literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cicevse2024_tfm_datapipeline_spark.plans.common import pround, t
+from cicevse2024_tfm_datapipeline_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 (earth mover's) distance between two value distributions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_wasserstein_drift",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vt,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b
+        FROM events WHERE event_type IN ('view', 'error')
+    ),
+    per AS (SELECT vt, sum(a) AS na, sum(b) AS nb FROM s GROUP BY 1),
+    cum AS (
+        SELECT vt,
+               sum(na) OVER w AS ca, sum(nb) OVER w AS cb,
+               sum(na) OVER () AS ta, sum(nb) OVER () AS tb,
+               lead(vt) OVER (ORDER BY vt) AS vt_next
+        FROM per
+        WINDOW w AS (ORDER BY vt ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    segs AS (
+        SELECT CAST(abs(ca * tb - cb * ta) AS HUGEINT)
+               * (vt_next - vt) AS area_ticks,
+               ta, tb
+        FROM cum WHERE vt_next IS NOT NULL
+    )
+    SELECT round(CAST(sum(area_ticks) AS DOUBLE)
+                 / CAST(max(ta) * max(tb) * 100 AS DOUBLE), 6)
+               AS w1_distance,
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b
+    FROM segs
+    """,
+    doc="Two-sample Wasserstein-1 (earth mover's) distance between the "
+    "value distributions of two event types — the magnitude-aware drift "
+    "detector next to a_ks_two_sample's max-gap (KS says two batches "
+    "differ; W1 says by how much, in value units). W1 = sum over "
+    "consecutive distinct values of |ECDF gap| x value step. Scale "
+    "shape: values tick to exact BIGINT hundredths, both samples' "
+    "cumulative counts come from ONE two-phase scan over the merged "
+    "distinct-value frame (operators/scan.global_cumsum — the scan also "
+    "emits the global row number, so the NEXT distinct value is an "
+    "equi-join on rn+1, not a window), and each segment's area is the "
+    "exact integer |ca*tb - cb*ta| * dv_ticks — summed as DECIMAL(38)/"
+    "HUGEINT, perfectly order-free in both engines (the TPC-H Q1 "
+    "float-sum lesson); one double division at the very end. No "
+    "unpartitioned window, nothing collected.",
+    tags=("A", "drift", "scan"),
+)
+def a_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("view", "error"))
+    per = (
+        ev.select(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vt"),
+            (F.col("event_type") == "view").cast("long").alias("a"),
+            (F.col("event_type") == "error").cast("long").alias("b"),
+        )
+        .groupBy("vt")
+        .agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+        .withColumn("one", F.lit(1))
+    )
+    cum = global_cumsum(per, ["vt"], ["na", "nb", "one"], with_totals=True)
+    cur = cum.select(
+        F.col("cum_one").alias("rn"),
+        "vt",
+        "cum_na",
+        "cum_nb",
+        "tot_na",
+        "tot_nb",
+    )
+    nxt = cum.select((F.col("cum_one") - 1).alias("rn"), F.col("vt").alias("vt_next"))
+    # the last distinct value has no successor -> inner join drops it
+    # (its segment has zero width); the rn equi-join is one shuffle on a
+    # dense integer key — no lead window anywhere
+    segs = cur.join(nxt, "rn").select(
+        (
+            F.abs(
+                F.col("cum_na") * F.col("tot_nb") - F.col("cum_nb") * F.col("tot_na")
+            )
+            * (F.col("vt_next") - F.col("vt"))
+        )
+        .cast("decimal(38,0)")
+        .alias("area_ticks"),
+        "tot_na",
+        "tot_nb",
+    )
+    return segs.agg(
+        pround(
+            F.sum("area_ticks").cast("double")
+            / (F.max("tot_na") * F.max("tot_nb") * F.lit(100)).cast("double"),
+            6,
+        ).alias("w1_distance"),
+        F.max("tot_na").cast("long").alias("n_a"),
+        F.max("tot_nb").cast("long").alias("n_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked Levenshtein (edit-distance) linkage
+# ---------------------------------------------------------------------------
+
+_LEV_MAX = 4  # linkage threshold (shared literal)
+
+
+@register(
+    "j_levenshtein_blocked",
+    oracle=f"""
+    WITH p AS (
+        SELECT p_partkey AS id, lower(p_name) AS name,
+               p_size AS sz, p_brand AS cont,
+               split_part(lower(p_name), ' ', 1) AS w1
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.name, b.name) AS dist
+        FROM p a JOIN p b
+          ON a.sz = b.sz AND a.cont = b.cont AND a.w1 = b.w1
+         AND a.id < b.id
+    )
+    SELECT dist,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(id_a + id_b) AS BIGINT) AS id_checksum,
+           CAST(min(id_a) AS BIGINT) AS min_id_a,
+           CAST(max(id_b) AS BIGINT) AS max_id_b
+    FROM pairs WHERE dist <= {_LEV_MAX}
+    GROUP BY dist
+    """,
+    doc="Blocked Levenshtein (edit-distance) linkage over part names: "
+    "candidate pairs come from a (size, brand, first-token) blocking "
+    "equi-join — never all pairs — and each pair is scored with the JVM "
+    "built-in levenshtein (Spark passes the threshold argument so the "
+    "DP matrix is band-limited to O(k x min(len)) and abandons early; "
+    "the oracle computes the full distance and filters — same set). "
+    "Output is the bounded per-distance audit (pair counts + id "
+    "checksums, <= 5 rows at any corpus size) a linkage "
+    "pipeline reads before accepting a merge threshold. Scale note: "
+    "with a FIXED blocking-key domain, per-block occupancy grows with "
+    "the corpus and pair volume is quadratic in occupancy — at larger "
+    "corpora the block key gains bits (length band, second token, "
+    "q-gram prefix) exactly like the Fellegi-Sunter and sorted-"
+    "neighborhood entries; the join shape is unchanged.",
+    tags=("join", "linkage", "dedup"),
+)
+def j_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.lower(F.col("p_name")).alias("name"),
+        F.col("p_size").alias("sz"),
+        F.col("p_brand").alias("cont"),
+        F.split(F.lower(F.col("p_name")), " ")[0].alias("w1"),
+    )
+    a = p.select(
+        F.col("id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        "sz",
+        "cont",
+        "w1",
+    )
+    b = p.select(
+        F.col("id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        "sz",
+        "cont",
+        "w1",
+    )
+    pairs = (
+        a.join(b, ["sz", "cont", "w1"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            # threshold arg band-limits the DP and early-abandons; -1
+            # marks above-threshold, filtered next
+            F.levenshtein(F.col("name_a"), F.col("name_b"), _LEV_MAX).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= _LEV_MAX))
+    )
+    return pairs.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("id_checksum"),
+        F.min("id_a").cast("long").alias("min_id_a"),
+        F.max("id_b").cast("long").alias("max_id_b"),
+    )

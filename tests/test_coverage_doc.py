@@ -116,17 +116,34 @@ def _latest_driven_round() -> dict[str, int]:
     return latest
 
 
+#: queries registered AFTER the last committed driver round — the
+#: DECLARED ledger re-opening (block 1 of the rotation rule). Names move
+#: out of this set (back to the empty default) once the round's
+#: CORRECTNESS artifact lands in _ARTIFACT_ROUNDS with their first rows.
+_NEW_REGISTRATIONS = frozenset(
+    {"a_wasserstein_drift", "j_levenshtein_blocked"}  # wave42, round 10
+)
+
+
 def test_ledger_is_closed():
-    """After r08 every registered query holds an official driver row:
-    the never-driven set (registry minus the union of names in the
-    committed artifacts r01–r09) must be EMPTY, and stay empty unless
-    new queries are registered (which would re-open block 1 of the
-    rotation rule)."""
+    """Every registered query holds an official driver row, EXCEPT the
+    explicitly declared new registrations (which re-open block 1 of the
+    rotation rule and must hold the leading window slots until their
+    first CORRECTNESS rows land): the never-driven set must equal
+    _NEW_REGISTRATIONS exactly — an UNdeclared never-driven name means a
+    query was registered without a window plan."""
+    from cicevse2024_tfm_datapipeline_spark import plans
     from cicevse2024_tfm_datapipeline_spark.plans import load_all
 
     driven = set(_latest_driven_round())
     never = set(load_all()) - driven
-    assert not never, f"ledger re-opened — never-driven names: {sorted(never)}"
+    assert never == set(_NEW_REGISTRATIONS), (
+        f"undeclared ledger change — never-driven names: {sorted(never)}"
+    )
+    # the declared new registrations occupy the LEADING window slots
+    # (rule item 1: never-driven first, registration order)
+    lead = plans._PRIORITY[: len(_NEW_REGISTRATIONS)]
+    assert set(lead) == set(_NEW_REGISTRATIONS), lead
 
 
 def test_priority_window_matches_rotation_rule():
