@@ -194,3 +194,57 @@ def test_clamped_cumsum_reflection_identity(spark):
         for i in range(200):
             c = max(0, c + rows[g * 200 + i][2])
             assert got[(g, i)] == c, (g, i)
+
+
+def test_wasserstein_hand_checked_and_scipy_free(spark, tmp_path):
+    """wave42 a_wasserstein_drift's arithmetic on a hand-computed case:
+    A = {1, 2}, B = {2, 4} (as 2dp values) -> W1 = integral of |F_A-F_B|:
+    segment [1,2): |1/2 - 0| = .5 x 1; [2,3): |1 - 1/2| = .5 x 1;
+    [3,4): same as [2,4) continues -> |1 - 1/2| = .5 x 2 total from 2 to 4.
+    W1 = 0.5*1 + 0.5*2 = 1.5."""
+    import duckdb
+
+    from cicevse2024_tfm_datapipeline_spark.plans import load_all
+
+    rows = [
+        (1, "view", 1.00),
+        (2, "view", 2.00),
+        (3, "error", 2.00),
+        (4, "error", 4.00),
+        (5, "click", 99.0),  # filtered out by the query
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    # satisfy the loader's table layout for the other names it may touch
+    out = load_all()["a_wasserstein_drift"].spark(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert abs(r["w1_distance"] - 1.5) < 1e-9
+    # and the oracle SQL agrees on the same parquet
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; duckdb reads the part files
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet/*.parquet'"
+    )
+    o = con.execute(load_all()["a_wasserstein_drift"].oracle).fetchone()
+    assert abs(o[0] - 1.5) < 1e-9
+
+
+def test_levenshtein_threshold_arg_matches_full_distance(spark):
+    """wave42 j_levenshtein_blocked relies on Spark's band-limited
+    levenshtein(l, r, threshold) returning -1 above the threshold and
+    the TRUE distance at or below it — pin that contract (the oracle
+    computes the full distance and filters; the sets must be equal)."""
+    rows = [
+        ("small ring", "small ring", 0),
+        ("small ring", "small rung", 1),
+        ("small ring", "small bolt", 4),
+        ("small ring", "red widget", -1),  # true distance 8 > 4
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, expected int")
+    got = df.select(
+        "expected", F.levenshtein("a", "b", 4).alias("d")
+    ).collect()
+    for r in got:
+        assert r["d"] == r["expected"], (r["d"], r["expected"])
