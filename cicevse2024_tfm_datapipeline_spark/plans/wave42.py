@@ -1,10 +1,10 @@
-"""Round-10 wave 42: Wasserstein-1 drift distance and blocked
-edit-distance linkage.
+"""Round-10 wave 42: Wasserstein-1 drift distance, blocked
+edit-distance linkage, and BM25 ranked retrieval.
 
-Two gaps in the drift / fuzzy-matching families (the sum-weighted
-sibling of `a_ks_two_sample`'s max-gap statistic, and the classic
-Levenshtein record-linkage join Spark ships as a JVM built-in). House
-rules: exact integer ticks before any double division (the sums are
+Three gaps in the drift / fuzzy-matching / retrieval families (the
+sum-weighted sibling of `a_ks_two_sample`'s max-gap statistic, the
+classic Levenshtein record-linkage join Spark ships as a JVM built-in,
+and the BM25 scorer beside text_tfidf_topk). House rules: exact integer ticks before any double division (the sums are
 order-free BIGINT/DECIMAL in both engines), every pair space is a
 blocked equi-join, and both engines share every literal.
 """
@@ -207,3 +207,108 @@ def j_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id_a").cast("long").alias("min_id_a"),
         F.max("id_b").cast("long").alias("max_id_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("table", "hash", "merge")  # literal query, shared verbatim
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toksd AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toksd),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM toksd),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms
+        WHERE term IN {str(tuple(_BM25_TERMS))}
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * tf.tf * ({_BM25_K1} + 1.0)
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B}
+                         + {_BM25_B} * dl.dl
+                           / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                   AS bm25,
+               count(*) AS n_terms_hit
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(bm25, 6) AS bm25,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 15
+    """,
+    doc="BM25 ranked retrieval (Lucene +1 idf form, k1=1.2, b=0.75) for "
+    "a literal 3-term query over the documents corpus — the relevance "
+    "scorer a retrieval/RAG indexing pipeline runs beside TF-IDF "
+    "(text_tfidf_topk), adding the document-length normalization and "
+    "term saturation TF-IDF lacks. Scale shape: tf filters to the query "
+    "terms BEFORE aggregating (the explode never materializes non-query "
+    "terms past the filter), df over the filtered frame is "
+    "|query-terms| rows (broadcast), doc length comes from a per-row "
+    "size() — no second explode — and the per-doc sum ends in a "
+    "TakeOrderedAndProject top-15. All inputs to the score are exact "
+    "integers (tf, df, dl, N) so both engines evaluate identical "
+    "doubles; ~3 shuffles total (tf agg, dl join, final top-k), each "
+    "AQE-replannable.",
+    tags=("text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cicevse2024_tfm_datapipeline_spark.operators.text import tokens_expr
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    terms = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * F.lit(_BM25_K1 + 1.0) / denom).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .select("doc_id", pround("bm25", 6).alias("bm25"), "n_terms_hit")
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(15)
