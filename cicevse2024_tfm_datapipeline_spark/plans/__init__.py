@@ -73,8 +73,9 @@ _MODULES = [
 #
 # Ledger state after r08: CLOSED — all 334 then-registered queries hold
 # an official driver row (r01∪...∪r08, zero regressions ever). Round 10
-# RE-OPENED the ledger by design with three new wave42 registrations
-# (a_wasserstein_drift, j_levenshtein_blocked, text_bm25_topk) — the rule's
+# RE-OPENED the ledger by design with four new wave42 registrations
+# (a_wasserstein_drift, j_levenshtein_blocked, text_bm25_topk,
+# f_impute_group_median) — the rule's
 # block-1 case: they hold the first two window slots below and close
 # the ledger again once CORRECTNESS_r10 lands.
 # tests/test_coverage_doc.py::test_ledger_is_closed pins the never-
@@ -278,18 +279,20 @@ _R08_CHANGED = [
 #   block 4 (4): anchors.
 # Round-10 window = rotation_window(...) materialized (the meta-test
 # recomputes and compares):
-#   block 1 (3): never-driven — round 10 RE-OPENED the ledger with
-#     three new wave42 registrations (a_wasserstein_drift,
-#     j_levenshtein_blocked, text_bm25_topk) — first driver rows here.
+#   block 1 (4): never-driven — round 10 RE-OPENED the ledger with
+#     four new wave42 registrations (a_wasserstein_drift,
+#     j_levenshtein_blocked, text_bm25_topk, f_impute_group_median) —
+#     their first driver rows land here.
 #   block 2 (7): _R10_CHANGED re-drives (the fixed-bounds a13/a11 tier,
 #     the SRP recall contract, the sessionize bounds flip — above).
-#   block 3 (36): oldest-rows-first rotation — the remaining r01/r02
+#   block 3 (35): oldest-rows-first rotation — the remaining r01/r02
 #     cohort plus the r03 head, registration order within a round.
 #   block 4 (4): anchors.
 _PRIORITY = [
     "a_wasserstein_drift",
     "j_levenshtein_blocked",
     "text_bm25_topk",
+    "f_impute_group_median",
     "a13_threshold_at_fpr",
     "a13_roc_curve_points",
     "a13_roc_auc",
@@ -332,7 +335,6 @@ _PRIORITY = [
     "s4_csv_sink_roundtrip",
     "s5_tensor_sink_roundtrip",
     "f15_proba_pair",
-    "m8_sample_size_grid",
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
     "stream_session_window",

@@ -312,3 +312,90 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", pround("bm25", 6).alias("bm25"), "n_terms_hit")
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(15)
+
+
+# ---------------------------------------------------------------------------
+# Group-median imputation with audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_impute_group_median",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+               value,
+               substr(md5('imp|' || CAST(event_id AS VARCHAR)), 1, 1) < '2'
+                   AS miss
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing,
+               CAST(sum(CASE WHEN miss THEN 0 ELSE cents END) AS BIGINT)
+                   AS surv_cents,
+               quantile_cont(CASE WHEN miss THEN NULL ELSE value END, 0.50)
+                   AS fill
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type, n_rows, n_missing,
+           round(fill, 6) AS fill_value,
+           round((CAST(surv_cents AS DOUBLE) / 100.0 + n_missing * fill)
+                 / n_rows, 6) AS mean_after_impute
+    FROM g
+    """,
+    doc="Group-median imputation with a per-group audit — the standard "
+    "missing-value fill of a training-data pipeline, one step up from "
+    "F8's constant fillna: deterministic hash-derived missingness "
+    "(~12.5%, the degradation family's md5 idiom — identical rows go "
+    "missing in both engines), fill = the EXACT type-7 median of each "
+    "group's surviving values (Spark percentile() == DuckDB "
+    "quantile_cont, the a_group_median_quartiles parity), and the audit "
+    "row carries n_missing, the fill, and the post-impute mean (exact "
+    "BIGINT cent sums + the shared fill double — no float drift). "
+    "|event types| rows out at any corpus size. Scale note: exact "
+    "per-group percentile is the right plan for bounded-cardinality "
+    "group keys; for data-sized groups the constant-memory "
+    "approx_percentile sketch swaps in (a_approx_sketches), same as the "
+    "quartiles query documents.",
+    tags=("feature", "impute"),
+)
+def f_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    miss = (
+        F.md5(F.concat(F.lit("imp|"), F.col("event_id").cast("string"))).substr(1, 1)
+        < "2"
+    )
+    s = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "value",
+        miss.alias("miss"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("miss").cast("long")).cast("long").alias("n_missing"),
+        F.sum(F.when(F.col("miss"), F.lit(0)).otherwise(F.col("cents")))
+        .cast("long")
+        .alias("surv_cents"),
+        F.percentile(
+            F.when(~F.col("miss"), F.col("value")), F.lit(0.5)
+        ).alias("fill"),
+    )
+    return g.select(
+        "event_type",
+        "n_rows",
+        "n_missing",
+        pround("fill", 6).alias("fill_value"),
+        pround(
+            (
+                F.col("surv_cents").cast("double") / F.lit(100.0)
+                + F.col("n_missing") * F.col("fill")
+            )
+            / F.col("n_rows"),
+            6,
+        ).alias("mean_after_impute"),
+    )

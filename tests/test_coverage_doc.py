@@ -121,7 +121,12 @@ def _latest_driven_round() -> dict[str, int]:
 #: out of this set (back to the empty default) once the round's
 #: CORRECTNESS artifact lands in _ARTIFACT_ROUNDS with their first rows.
 _NEW_REGISTRATIONS = frozenset(
-    {"a_wasserstein_drift", "j_levenshtein_blocked", "text_bm25_topk"}  # wave42, round 10
+    {  # wave42, round 10
+        "a_wasserstein_drift",
+        "j_levenshtein_blocked",
+        "text_bm25_topk",
+        "f_impute_group_median",
+    }
 )
 
 
