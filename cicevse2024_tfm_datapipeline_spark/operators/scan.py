@@ -230,11 +230,21 @@ def _bounds_key_expr(df: DataFrame, key: str) -> Column:
     if isinstance(dt, T.TimestampType):
         return col.cast("double")
     if isinstance(dt, T.TimestampNTZType):
-        # NTZ→double is not a legal cast either; NTZ→timestamp applies
-        # the session zone — a CONSTANT offset, so the double stays
-        # monotone in the NTZ order, which is all bucketing needs (the
-        # bounds are computed on the same expression)
-        return col.cast("timestamp").cast("double")
+        # NTZ→double is not a legal cast, and NTZ→timestamp applies the
+        # SESSION zone — which is NOT a constant offset in a DST zone
+        # (spring-forward gaps resolve non-monotonically: a nonexistent
+        # 02:30 can land past 03:00), breaking the order consistency the
+        # bucketing requires. So derive the key zone-independently from
+        # the NTZ's own calendar fields: days-since-epoch × 86400 plus
+        # in-day seconds (date_part SECOND carries the microsecond
+        # fraction). Strictly monotone in NTZ order; double keeps µs
+        # resolution out past year 2200 (51 bits < 53).
+        return (
+            F.unix_date(col.cast("date")).cast("double") * F.lit(86400.0)
+            + F.hour(col).cast("double") * F.lit(3600.0)
+            + F.minute(col).cast("double") * F.lit(60.0)
+            + F.date_part(F.lit("SECOND"), col).cast("double")
+        )
     raise TypeError(
         f"bounds_bucketed: first order column {key!r} has type {dt} — the "
         "quantile-bound bucketing is only order-consistent for numeric/"

@@ -231,7 +231,18 @@ def _global_ttd_episodes(
     segment frame, so the one materialization the scan's correctness
     requires (every consumer must see one row→partition mapping — see
     scan._pin_buckets) now costs |segments|, not |rows|, and the
-    sort+window subtree genuinely executes once."""
+    sort+window subtree genuinely executes once.
+
+    ``bucketing='bounds'`` CONTRACT: the segment frame carries NO pin at
+    all (lineage-free by design — see bounds_bucketed), so its window
+    subtree may be recomputed per consumer (summ / gseg). That is only
+    deterministic when ``order_cols`` is a UNIQUE key of ``df`` — with
+    ties, min_by/max_by over the tie group and the lag-derived boundary
+    bits can differ between recomputations, silently disagreeing across
+    consumers. Callers with a non-unique scan key must use
+    ``bucketing='pinned'`` (which freezes one sampling via the
+    localCheckpoint below). The in-repo callers order by (ts, event_id),
+    measured tie-free (max tie-group 1, FIXTURES.md)."""
     ordering = [F.col(c).asc() for c in order_cols]
     if bucketing == "bounds":
         # lineage-free (round 10): see _global_islands — deterministic
@@ -371,7 +382,12 @@ def mark_episodes(
     """Assign a dense episode number to every attack row (y=1); benign rows
     get null. Episode boundaries: start of a y=1 run, or episode-id change
     inside a run. Without ``partition_cols`` the global order is scanned
-    with the two-phase prefix sum (no unpartitioned window)."""
+    with the two-phase prefix sum (no unpartitioned window).
+
+    ``bucketing='bounds'`` requires ``order_cols`` to uniquely key ``df``
+    (the lineage-free path has no pin, so recomputation across consumers
+    is only bit-stable for a tie-free ordering — see
+    ``_global_ttd_episodes``); pass ``bucketing='pinned'`` otherwise."""
     if partition_cols:
         marked = _partitioned_islands(
             df, order_cols, y_true_col, episode_id_col, partition_cols
@@ -397,7 +413,11 @@ def ttd_stats(
     bucketing: str = "pinned",
 ) -> DataFrame:
     """Episode detection summary: one row with episodes_total,
-    episodes_detected, avg_ttd_seconds, avg_ttd_hours."""
+    episodes_detected, avg_ttd_seconds, avg_ttd_hours.
+
+    ``bucketing='bounds'`` requires ``order_cols`` to uniquely key ``df``
+    (no pin on the lineage-free path — see ``_global_ttd_episodes``);
+    use ``bucketing='pinned'`` for non-unique scan keys."""
     if partition_cols:
         marked = _partitioned_islands(
             df, order_cols, y_true_col, episode_id_col, partition_cols

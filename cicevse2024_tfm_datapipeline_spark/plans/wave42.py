@@ -97,10 +97,15 @@ def a_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the last distinct value has no successor -> inner join drops it
     # (its segment has zero width); the rn equi-join is one shuffle on a
     # dense integer key — no lead window anywhere
+    # every product is lifted to DECIMAL(38,0) BEFORE multiplying (the
+    # oracle's HUGEINT placement): at ~1e9 rows per side the LONG products
+    # cum*tot (~1e18) and tot_na*tot_nb would overflow and wrap silently
+    # under non-ANSI Spark; decimal keeps the 'exact integer' claim true
     segs = cur.join(nxt, "rn").select(
         (
             F.abs(
-                F.col("cum_na") * F.col("tot_nb") - F.col("cum_nb") * F.col("tot_na")
+                F.col("cum_na").cast("decimal(38,0)") * F.col("tot_nb")
+                - F.col("cum_nb").cast("decimal(38,0)") * F.col("tot_na")
             )
             * (F.col("vt_next") - F.col("vt"))
         )
@@ -112,7 +117,11 @@ def a_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segs.agg(
         pround(
             F.sum("area_ticks").cast("double")
-            / (F.max("tot_na") * F.max("tot_nb") * F.lit(100)).cast("double"),
+            / (
+                F.max("tot_na").cast("decimal(38,0)")
+                * F.max("tot_nb")
+                * F.lit(100)
+            ).cast("double"),
             6,
         ).alias("w1_distance"),
         F.max("tot_na").cast("long").alias("n_a"),

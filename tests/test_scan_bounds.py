@@ -178,6 +178,42 @@ def test_timestamp_first_key_supported(spark):
     assert len(set(pids)) > 1
 
 
+def test_timestamp_ntz_key_is_dst_safe(spark):
+    """NTZ keys must NOT route through the session zone (r10 ADVICE): in
+    a DST zone the nonexistent spring-forward local times (America/
+    New_York 2024-03-10 02:xx) resolve PAST 03:00 under an NTZ→timestamp
+    cast, so the old session-zone key was non-monotone exactly there
+    (02:30 → the 03:30 EDT instant > the 03:00 instant). The
+    field-derived key (days×86400 + in-day seconds) is zone-independent
+    and strictly monotone across the gap."""
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import _bounds_key_expr
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows = [
+            (i, f"2024-03-10 {1 + i // 60:02d}:{i % 60:02d}:{(i * 7) % 60:02d}")
+            for i in range(180)  # 01:00–03:59 local, spanning the 02:xx gap
+        ]
+        df = spark.createDataFrame(rows, "id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        )
+        keyed = df.select("ts", _bounds_key_expr(df, "ts").alias("k")).collect()
+        keyed.sort(key=lambda r: r["ts"])
+        ks = [r["k"] for r in keyed]
+        assert ks == sorted(ks) and len(set(ks)) == len(ks), (
+            "NTZ key must be strictly monotone across the spring-forward gap"
+        )
+        out = bounds_bucketed(df, ["ts", "id"])
+        got = out.select("ts", PID).collect()
+        got.sort(key=lambda r: r["ts"])
+        pids = [r[PID] for r in got]
+        assert pids == sorted(pids)
+        assert len(set(pids)) > 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 @pytest.mark.parametrize("super_size", [1, 4])
 def test_bounds_mode_multi_super_group(spark, super_size, monkeypatch):
     """The cross-super level of the hierarchical prefix combine must be
