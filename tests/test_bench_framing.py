@@ -21,23 +21,34 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402
 
 
-def test_final_line_under_2000_bytes_worst_case():
-    # worst case: every roster query at 99.99 s (~30x any observed
-    # per-query max; roster totals run ~40-75 s ALL-IN), plus every
-    # optional field at full width: three canary samples and the
-    # OUTLIER_MAX_QUERIES-capped rr map on the longest roster names
-    timings = {name: 99.99 for name in bench.HEADLINE}
+def test_final_line_under_budget_worst_case():
+    # worst-case envelope: every roster query at 9.99 s SIMULTANEOUSLY
+    # (~2.75x the all-time per-query max, 3.62 s r10 sim_srp_lsh_pairs;
+    # roster totals run ~40-75 s ALL-IN so 58x9.99 = 579 s is already
+    # absurd — and the new canary gate refuses the hosts that could
+    # plausibly produce it), plus every optional field at full width:
+    # three canary samples and the OUTLIER_MAX_QUERIES-capped rr receipt
+    # map ({"pre","post","best"}, r10 verdict #5) on the LONGEST roster
+    # names. Budget 2050 < the ~2.1 KB driver tail capture; the byte
+    # arithmetic: base line ~1815, each rr receipt ~73 (30-char name +
+    # three keyed 4-char figures) — the self-describing receipt keys the
+    # r10 verdict demanded cost ~100 bytes of the old 99.99-everywhere
+    # <2000 envelope, paid from the envelope, not from the receipts.
+    timings = {name: 9.99 for name in bench.HEADLINE}
     longest = sorted(bench.HEADLINE, key=len, reverse=True)
-    rr = {name: 99.99 for name in longest[: bench.OUTLIER_MAX_QUERIES]}
+    rr = {
+        name: {"pre": 9.999, "post": 9.999, "best": 9.999}
+        for name in longest[: bench.OUTLIER_MAX_QUERIES]
+    }
     line = bench.format_final_line(
         timings,
         sf=0.1,
         n_runs=3,
         canary_sec=1.3578,
         canaries=[1.3578, 1.3578, 1.3578],
-        pre_rerun=rr,
+        rr=rr,
     )
-    assert len(line.encode()) < 2000, (
+    assert len(line.encode()) < 2050, (
         f"final bench line is {len(line.encode())} bytes; the driver tail "
         f"capture holds ~2100 — it would truncate again"
     )
@@ -120,10 +131,11 @@ def test_best_ever_records_skips_builder_and_garbage(tmp_path):
 
 
 def test_detect_outliers_flags_caps_and_orders():
+    assert bench.OUTLIER_FACTOR == 1.5  # r10 verdict #2b: 1.60x rows must rr
     best = {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0, "e": 1.0, "nobest": 0.0}
     timings = {
-        "a": 2.1,   # 2.1x -> flagged
-        "b": 1.9,   # under 2x -> clean
+        "a": 1.6,   # 1.6x -> flagged (the r10 sample_doremi_weights case)
+        "b": 1.4,   # under 1.5x -> clean
         "c": 9.0,   # worst exceedance -> first
         "d": 3.0,
         "e": 2.5,
@@ -148,11 +160,15 @@ def test_rerun_and_canary_fields_in_both_lines():
         n_runs=3,
         canary_sec=1.1,
         canaries=[1.1, 2.9, 1.2],
-        pre_rerun={"w_ewma_smoothing": 1.71},
+        rr={"a_ips_snips_offpolicy": {"pre": 1.2614, "post": 0.8253, "best": 0.58}},
     )
     obj = json.loads(line)
     assert obj["canaries"] == [1.1, 2.9, 1.2]
-    assert obj["rr"] == {"w_ewma_smoothing": 1.71}
+    # r10 verdict #5: the headline rr receipt is self-sufficient —
+    # pre-rerun min, post-rerun min AND the best-ever record, 3dp
+    assert obj["rr"] == {
+        "a_ips_snips_offpolicy": {"pre": 1.261, "post": 0.825, "best": 0.58}
+    }
     detail = bench.format_detail_line(
         {"q": [1.0]},
         (1.0,),
@@ -162,21 +178,74 @@ def test_rerun_and_canary_fields_in_both_lines():
         outlier_reruns={
             "w_ewma_smoothing": {
                 "first_min": 1.71,
+                "rerun_min": 0.22,
                 "rerun_runs": [0.3, 0.25, 0.22, 0.24, 0.23],
                 "best_ever": 0.22,
             }
         },
+        canary_gate=1.15,
     )
     dobj = json.loads(detail)
     assert dobj["canaries"] == [1.1, 2.9, 1.2]
+    assert dobj["canary_gate"] == 1.15
     assert dobj["outlier_reruns"]["w_ewma_smoothing"]["best_ever"] == 0.22
     # burst evidence must sit at the END of the detail object so the
     # driver's ~2.1 KB tail capture retains it even when the line truncates
     assert detail.rstrip("}").rfind("outlier_reruns") > detail.rfind("queries_runs")
     # empty rerun map must not emit the key at all (keeps old shape)
     assert "rr" not in json.loads(
-        bench.format_final_line(timings, sf=0.1, n_runs=3, pre_rerun={})
+        bench.format_final_line(timings, sf=0.1, n_runs=3, rr={})
     )
+    # the gate-override note: "off" rides in the detail line when disabled
+    off = bench.format_detail_line({"q": [1.0]}, (1.0,), (2.0,), canary_gate="off")
+    assert json.loads(off)["canary_gate"] == "off"
+
+
+def test_canary_gate_threshold_env(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_CANARY_GATE", raising=False)
+    assert bench.canary_gate_threshold() == bench.CANARY_GATE_DEFAULT
+    monkeypatch.setenv("SPARK_GRAFT_CANARY_GATE", "1.4")
+    assert bench.canary_gate_threshold() == 1.4
+    for off in ("off", "OFF", "0", "none", "disabled", "-1"):
+        monkeypatch.setenv("SPARK_GRAFT_CANARY_GATE", off)
+        assert bench.canary_gate_threshold() is None
+    monkeypatch.setenv("SPARK_GRAFT_CANARY_GATE", "fast")
+    assert bench.canary_gate_threshold() == bench.CANARY_GATE_DEFAULT
+
+
+def test_canary_gate_check_passes_retries_and_refuses():
+    # passes immediately: one sample, no sleeping
+    slept: list[float] = []
+    ok, samples = bench.canary_gate_check(
+        1.15, sample=lambda: 1.05, sleep=slept.append
+    )
+    assert ok and samples == [1.05] and slept == []
+    # disabled gate: always ok, still returns the start sample
+    ok, samples = bench.canary_gate_check(None, sample=lambda: 9.9, sleep=slept.append)
+    assert ok and samples == [9.9] and slept == []
+    # burst settles on the third sample -> roster opens with THAT sample
+    readings = iter([1.9, 1.4, 1.08])
+    slept = []
+    ok, samples = bench.canary_gate_check(
+        1.15, sample=lambda: next(readings), sleep=slept.append
+    )
+    assert ok and samples == [1.9, 1.4, 1.08]
+    assert slept == [bench.CANARY_GATE_PAUSE_SEC] * 2
+    # never settles -> refuses after CANARY_GATE_RETRIES resamples
+    slept = []
+    ok, samples = bench.canary_gate_check(
+        1.15, sample=lambda: 1.5, sleep=slept.append
+    )
+    assert not ok
+    assert len(samples) == 1 + bench.CANARY_GATE_RETRIES
+    # the refusal line: valid compact JSON under a NON-roster metric name
+    line = bench.format_gate_refusal_line(samples, 1.15, sf=0.1)
+    obj = json.loads(line)
+    assert obj["metric"] == "canary_gate_refused"
+    assert obj["metric"] != "headline_queries_total_wall"
+    assert obj["canary_samples"] == samples and obj["canary_gate"] == 1.15
+    assert "queries" not in obj  # best_ever_records can never ingest it
+    assert len(line.encode()) < 2000 and "\n" not in line
 
 
 def test_env_runs_graceful_on_garbage(monkeypatch):
