@@ -61,6 +61,7 @@ _MODULES = [
     "wave40",
     "wave41",
     "wave42",
+    "wave43",
 ]
 
 # ---------------------------------------------------------------------------
@@ -192,6 +193,30 @@ def rotation_window(
 #   - w6_sessionize_ttd: flipped to the lineage-free bounds scan
 #     (sessionize bucketing="bounds" — its (ts, event_id) order key is
 #     measured tie-free; SCALE.md "Sessionize bounds flip").
+# r11 changed-plan re-drives (rule item 2):
+#   - a_wasserstein_drift: the r10 ADVICE overflow fix lifts the segment
+#     cross-products and the denominator to DECIMAL(38,0) BEFORE
+#     multiplying (wave42.py) — a real plan change (new Cast nodes).
+#   - sim_srp_lsh_pairs: body extracted to _srp_pairs(with_audit=...)
+#     for the contract A/B receipt (r10 verdict #3). The registered plan
+#     is byte-identical, but rule item 2 does not litigate that — a
+#     fresh row is cheaper than the argument.
+#   - w6_sessionize_ttd: operators/sessionize.py gained the bounds-mode
+#     uniqueness-contract docstrings (r10 ADVICE #3). Comment-only, but
+#     the helper file changed — same policy.
+# NOT included: the scan.py NTZ-key fix (r10 ADVICE #2) is confined to
+# the TimestampNTZType isinstance branch, which NO registered query
+# reaches (every bounds-bucketed scan key in the registry is numeric or
+# timestamp-LTZ; the branch is defensive for external callers and
+# covered by tests/test_scan_bounds.py::test_timestamp_ntz_key_is_dst_safe).
+# Window computed with: python tools/next_window.py --rounds 10
+# --changed a_wasserstein_drift,sim_srp_lsh_pairs,w6_sessionize_ttd
+_R11_CHANGED = [
+    "a_wasserstein_drift",
+    "sim_srp_lsh_pairs",
+    "w6_sessionize_ttd",
+]
+
 # Window computed with: python tools/next_window.py --rounds 9
 # --changed a13_threshold_at_fpr,a13_roc_curve_points,a13_roc_auc,
 # a13_average_precision,a11_multiclass_auc,sim_srp_lsh_pairs,
@@ -277,64 +302,70 @@ _R08_CHANGED = [
 #     against the full error-bound oracle added in r07 — the one ledger
 #     row whose evidence class was stale, r08 verdict "missing" #1).
 #   block 4 (4): anchors.
-# Round-10 window = rotation_window(...) materialized (the meta-test
+# Round-10 window (executed; 50/50 green in CORRECTNESS_r10.json):
+#   block 1 (4): the wave42 registrations' first rows; block 2 (7):
+#   _R10_CHANGED (fixed-bounds a13/a11 tier, SRP recall contract,
+#   sessionize bounds flip); block 3 (35): oldest-rows-first; block 4:
+#   anchors.
+# Round-11 window = rotation_window(...) materialized (the meta-test
 # recomputes and compares):
-#   block 1 (4): never-driven — round 10 RE-OPENED the ledger with
-#     four new wave42 registrations (a_wasserstein_drift,
-#     j_levenshtein_blocked, text_bm25_topk, f_impute_group_median) —
-#     their first driver rows land here.
-#   block 2 (7): _R10_CHANGED re-drives (the fixed-bounds a13/a11 tier,
-#     the SRP recall contract, the sessionize bounds flip — above).
-#   block 3 (35): oldest-rows-first rotation — the remaining r01/r02
-#     cohort plus the r03 head, registration order within a round.
+#   block 1 (2): never-driven — round 11 re-opens the ledger with the
+#     two wave43 registrations (text_url_canonicalize_hosts,
+#     dedup_suffix_lcp_histogram) — their first driver rows land here.
+#   block 2 (3): _R11_CHANGED re-drives (the wasserstein decimal-lift
+#     overflow fix, the SRP A/B-receipt refactor, the sessionize
+#     docstring-contract touch — above).
+#   block 3 (41): oldest-rows-first rotation — the r03 cohort remainder
+#     (sources/storage/streaming-lake tier) and the r04 TPC-H cohort,
+#     registration order within a round.
 #   block 4 (4): anchors.
 _PRIORITY = [
+    "text_url_canonicalize_hosts",
+    "dedup_suffix_lcp_histogram",
     "a_wasserstein_drift",
-    "j_levenshtein_blocked",
-    "text_bm25_topk",
-    "f_impute_group_median",
-    "a13_threshold_at_fpr",
-    "a13_roc_curve_points",
-    "a13_roc_auc",
-    "a13_average_precision",
-    "a11_multiclass_auc",
     "sim_srp_lsh_pairs",
     "w6_sessionize_ttd",
-    "pack_concat_chunks",
-    "dedup_decontaminate_train",
-    "text_quality_filter_p25",
-    "r_degrade_hash_packet_loss",
-    "p6_p7_schema_profile",
-    "j_asof_backward",
-    "j_range_join_bucketized",
-    "u_set_intersect_except",
-    "a10_confusion_pivot",
-    "j_tpch_q3_shipping_priority",
-    "a11_ovr_auc_per_class",
-    "dedup_fuzzy_survivors",
-    "sample_weighted_by_length",
-    "sim_ivf_topk",
-    "text_pii_redaction",
-    "w_quality_decile_curriculum",
-    "dedup_bloom_novelty",
-    "a_corr_matrix",
-    "g_pagerank_lsh",
-    "dedup_semdedup_cells",
-    "text_quality_linear_classifier",
-    "a_countmin_heavy_hitters",
-    "s1_s3_csv_roundtrip",
-    "r_degrade_hash_missing_variables",
-    "r_degrade_hash_clock_offset",
-    "r_degrade_hash_drift",
-    "r5_hash_permutation",
-    "stream_stateful_episodes",
-    "stream_sliding_window",
-    "stream_dedup_union",
-    "stream_static_join",
-    "stream_append_late_drop",
-    "s4_csv_sink_roundtrip",
-    "s5_tensor_sink_roundtrip",
-    "f15_proba_pair",
+    "m8_sample_size_grid",
+    "p8_p9_network_narrowing",
+    "f14_json_sanitize_roundtrip",
+    "stream_sink_partitioned_lake",
+    "stream_upsert_scd1",
+    "s13_jsonl_sink_roundtrip",
+    "stream_stream_interval_join",
+    "f_variant_semistructured",
+    "s14_custom_datasource",
+    "j_bucketed_smb_join",
+    "s9_partitioned_lake_roundtrip",
+    "s10_zorder_cells",
+    "w_scd2_history",
+    "s11_schema_evolution_merge",
+    "j_tpch_q5_local_supplier",
+    "tpch_q2_min_cost_supplier",
+    "a_bitmap_intersection",
+    "a_growth_accounting",
+    "w_ewma_smoothing",
+    "w_range_frame_rolling",
+    "w_cdc_apply_changelog",
+    "text_bpe_vocab_induction",
+    "s7_metrics_lake_flatten",
+    "stream_tumbling_avg",
+    "s15_orc_sink_roundtrip",
+    "s16_binaryfile_scan",
+    "j_tpch_q4_late_orders",
+    "j_tpch_q12_priority_class",
+    "j_tpch_q14_promo_share",
+    "j_tpch_q18_large_orders",
+    "j_tpch_q7_nation_volume",
+    "j_tpch_q10_returned_topk",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_value",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_revenue",
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
     "stream_session_window",

@@ -231,6 +231,90 @@ def test_wasserstein_hand_checked_and_scipy_free(spark, tmp_path):
     assert abs(o[0] - 1.5) < 1e-9
 
 
+def test_url_canonicalizer_hand_checked(spark):
+    """wave43 canonicalize_url on adversarial URLs the fixture never
+    produces: mixed-case scheme/host, default vs non-default ports,
+    duplicate slashes, /index.html, tracking-only query strings, param
+    reordering, a wwwx host that must NOT lose its prefix."""
+    from cicevse2024_tfm_datapipeline_spark.plans.wave43 import canonicalize_url
+
+    cases = [
+        (
+            "HTTPS://WWW.Foo.Example.COM:443/a//b/index.html?utm_source=x&z=1&a=2#f",
+            "https://foo.example.com/a/b?a=2&z=1",
+            "foo.example.com",
+        ),
+        ("http://foo.example.com:80/", "http://foo.example.com/", "foo.example.com"),
+        ("https://foo.example.com", "https://foo.example.com/", "foo.example.com"),
+        (
+            "https://foo.example.com/x/?utm_campaign=only",
+            "https://foo.example.com/x",
+            "foo.example.com",
+        ),
+        (
+            "http://foo.example.com:8080/x",  # non-default port survives
+            "http://foo.example.com:8080/x",
+            "foo.example.com:8080",
+        ),
+        ("https://wwwx.example.com/p", "https://wwwx.example.com/p", "wwwx.example.com"),
+        (
+            "https://www.foo.example.com/index.html",
+            "https://foo.example.com/",
+            "foo.example.com",
+        ),
+        (
+            "https://foo.example.com/p?fbclid=abc&b=1&gclid=z",
+            "https://foo.example.com/p?b=1",
+            "foo.example.com",
+        ),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    cu, h = canonicalize_url(F.col("url"))
+    got = df.select("url", cu.alias("c"), h.alias("h")).collect()
+    exp = {u: (c, hh) for u, c, hh in cases}
+    assert len(got) == len(cases)
+    for r in got:
+        assert (r["c"], r["h"]) == exp[r["url"]], (r["url"], r["c"], r["h"])
+
+
+def test_suffix_lcp_hand_checked(spark):
+    """wave43 dedup_suffix_lcp_histogram vs a brute-force sequential
+    reference with identical semantics (capped suffixes, joined-string
+    sort order, adjacent LCP, >=5 filter): an exact-duplicate doc pair
+    plus a 6-token shared run must produce exactly the reference
+    histogram, max LCP = the 8-token full duplicate."""
+    from unittest.mock import patch
+
+    import cicevse2024_tfm_datapipeline_spark.plans.wave43 as w43
+
+    texts = [
+        (0, "p q r s t u v w"),
+        (1, "m n p q r s t u z"),  # shares the 6-token run "p q r s t u"
+        (2, "p q r s t u v w"),  # exact duplicate of doc 0
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    with patch.object(w43, "t", lambda _s, _d, _n, **_k: docs):
+        got = {
+            r["lcp_tokens"]: r["n_pairs"]
+            for r in w43.dedup_suffix_lcp_histogram(spark, "unused").collect()
+        }
+    sufs = []
+    for did, text in texts:
+        toks = text.split()
+        for i in range(len(toks)):
+            sufs.append((toks[i : i + 30], did, i))
+    sufs.sort(key=lambda x: (" ".join(x[0]), x[1], x[2]))
+    exp: dict[int, int] = {}
+    for (a, _, _), (b, _, _) in zip(sufs, sufs[1:]):
+        n = 0
+        while n < min(len(a), len(b)) and a[n] == b[n]:
+            n += 1
+        if n >= 5:
+            exp[n] = exp.get(n, 0) + 1
+    assert got == exp, (got, exp)
+    assert max(exp) == 8  # the full-document duplicate
+
+
 def test_levenshtein_threshold_arg_matches_full_distance(spark):
     """wave42 j_levenshtein_blocked relies on Spark's band-limited
     levenshtein(l, r, threshold) returning -1 above the threshold and
