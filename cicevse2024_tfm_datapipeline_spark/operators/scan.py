@@ -304,7 +304,15 @@ def bounds_bucketed(
     entries are dropped (same reason as the quantile filter below); the
     grid need not match the data range — out-of-range bounds only leave
     empty buckets, which the offsets combine already tolerates."""
-    keyc = _bounds_key_expr(df, order_cols[0])
+    # Materialize the key ONCE per row: the PID expression below embeds
+    # the key inside a higher-order filter lambda, where it would be
+    # re-evaluated PER BOUND (B-1 times per row — lambda bodies get no
+    # common-subexpression elimination and HOFs sit outside whole-stage
+    # codegen). A cheap cast key hid this; the r11 NTZ field-extraction
+    # key made it measurable (w6 probe 3.6 s vs 1.9 s). One projected
+    # column caps any key at one evaluation per row.
+    keyed = df.withColumn("__bb_key", _bounds_key_expr(df, order_cols[0]))
+    keyc = F.col("__bb_key")
     if fixed_bounds is not None:
         # caller-provided DOMAIN grid (see global_cumsum's fixed_bounds
         # note): no quantile job at all — the bounds are plan literals
@@ -317,9 +325,8 @@ def bounds_bucketed(
         b = n_buckets or _n_range_parts(df)
         probs = [i / b for i in range(1, b)]
     if probs:
-        bounds = (
-            df.select(keyc.alias("__bb_key"))
-            .approxQuantile("__bb_key", probs, relative_error)
+        bounds = keyed.select("__bb_key").approxQuantile(
+            "__bb_key", probs, relative_error
         )
         # drop non-finite quantiles BEFORE dedup/sort (r09 ADVICE): NaN is
         # neither deduped by set() (NaN != NaN) nor ordered by sorted(), so
@@ -342,9 +349,9 @@ def bounds_bucketed(
         arr = F.lit([float(x) for x in bounds])
         pid = F.size(F.filter(arr, lambda bb: bb < keyc)) + F.lit(1)
     null_bucket = F.lit(len(bounds) + 1 if descending else 0)
-    return df.withColumn(
+    return keyed.withColumn(
         PID, F.when(keyc.isNull(), null_bucket).otherwise(pid).cast("int")
-    )
+    ).drop("__bb_key")
 
 
 def global_cumsum(

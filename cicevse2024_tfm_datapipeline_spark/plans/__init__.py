@@ -201,20 +201,33 @@ def rotation_window(
 #     for the contract A/B receipt (r10 verdict #3). The registered plan
 #     is byte-identical, but rule item 2 does not litigate that — a
 #     fresh row is cheaper than the argument.
-#   - w6_sessionize_ttd: operators/sessionize.py gained the bounds-mode
-#     uniqueness-contract docstrings (r10 ADVICE #3). Comment-only, but
-#     the helper file changed — same policy.
-# NOT included: the scan.py NTZ-key fix (r10 ADVICE #2) is confined to
-# the TimestampNTZType isinstance branch, which NO registered query
-# reaches (every bounds-bucketed scan key in the registry is numeric or
-# timestamp-LTZ; the branch is defensive for external callers and
-# covered by tests/test_scan_bounds.py::test_timestamp_ntz_key_is_dst_safe).
+#   - w6_sessionize_ttd + the a13 quartet + a11_multiclass_auc: every
+#     registered consumer of scan.bounds_bucketed — its PID projection
+#     changed twice this round. (1) The r10 ADVICE NTZ-key fix is NOT
+#     dead code: events.ts loads as TIMESTAMP_NTZ, so w6's scan key now
+#     derives from calendar fields instead of a session-zone cast.
+#     (2) That heavier key exposed a latent cost — the key expression
+#     sat INSIDE the bounds filter lambda, re-evaluated per bound per
+#     row (no CSE in lambda bodies, no codegen around HOFs) — w6 probed
+#     3.64 s vs its 1.89 s r10 receipt; bounds_bucketed now materializes
+#     the key once per row (w6 back to 1.84 min-of-5). The a13/a11 tier
+#     shares the PID-projection shape via fixed_bounds, so their plans
+#     changed too. a11_ovr_auc_per_class stays out: bounded_curves=True
+#     routes it through the small-groups window branch, no global scan
+#     (same adjudication as r09/r10).
 # Window computed with: python tools/next_window.py --rounds 10
-# --changed a_wasserstein_drift,sim_srp_lsh_pairs,w6_sessionize_ttd
+# --changed a_wasserstein_drift,sim_srp_lsh_pairs,w6_sessionize_ttd,
+# a13_threshold_at_fpr,a13_roc_curve_points,a13_roc_auc,
+# a13_average_precision,a11_multiclass_auc
 _R11_CHANGED = [
     "a_wasserstein_drift",
     "sim_srp_lsh_pairs",
     "w6_sessionize_ttd",
+    "a13_threshold_at_fpr",
+    "a13_roc_curve_points",
+    "a13_roc_auc",
+    "a13_average_precision",
+    "a11_multiclass_auc",
 ]
 
 # Window computed with: python tools/next_window.py --rounds 9
@@ -312,12 +325,14 @@ _R08_CHANGED = [
 #   block 1 (2): never-driven — round 11 re-opens the ledger with the
 #     two wave43 registrations (text_url_canonicalize_hosts,
 #     dedup_suffix_lcp_histogram) — their first driver rows land here.
-#   block 2 (3): _R11_CHANGED re-drives (the wasserstein decimal-lift
-#     overflow fix, the SRP A/B-receipt refactor, the sessionize
-#     docstring-contract touch — above).
-#   block 3 (41): oldest-rows-first rotation — the r03 cohort remainder
-#     (sources/storage/streaming-lake tier) and the r04 TPC-H cohort,
-#     registration order within a round.
+#   block 2 (8): _R11_CHANGED re-drives (the wasserstein decimal-lift
+#     overflow fix, the SRP A/B-receipt refactor, and the whole
+#     bounds_bucketed consumer set — w6 + the a13 quartet +
+#     a11_multiclass_auc — after the NTZ key fix and the once-per-row
+#     key materialization, above).
+#   block 3 (36): oldest-rows-first rotation — the r03 cohort remainder
+#     (sources/storage/streaming-lake tier) and the r04 TPC-H cohort
+#     head, registration order within a round.
 #   block 4 (4): anchors.
 _PRIORITY = [
     "text_url_canonicalize_hosts",
@@ -325,6 +340,11 @@ _PRIORITY = [
     "a_wasserstein_drift",
     "sim_srp_lsh_pairs",
     "w6_sessionize_ttd",
+    "a13_threshold_at_fpr",
+    "a13_roc_curve_points",
+    "a13_roc_auc",
+    "a13_average_precision",
+    "a11_multiclass_auc",
     "m8_sample_size_grid",
     "p8_p9_network_narrowing",
     "f14_json_sanitize_roundtrip",
@@ -361,11 +381,6 @@ _PRIORITY = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_important_value",
-    "tpch_q13_custdist",
-    "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive_revenue",
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
     "stream_session_window",
