@@ -311,6 +311,8 @@ def bounds_bucketed(
     # codegen). A cheap cast key hid this; the r11 NTZ field-extraction
     # key made it measurable (w6 probe 3.6 s vs 1.9 s). One projected
     # column caps any key at one evaluation per row.
+    if "__bb_key" in df.columns:  # withColumn would silently overwrite
+        raise ValueError("bounds_bucketed: input already has a __bb_key column")
     keyed = df.withColumn("__bb_key", _bounds_key_expr(df, order_cols[0]))
     keyc = F.col("__bb_key")
     if fixed_bounds is not None:
