@@ -315,6 +315,81 @@ def test_suffix_lcp_hand_checked(spark):
     assert max(exp) == 8  # the full-document duplicate
 
 
+def test_url_canonicalize_idempotent_and_order_free(spark):
+    """Algebraic contract of wave43 canonicalize_url on ~300 generated
+    adversarial URLs (seeded, one Spark job): (a) IDEMPOTENT — a
+    canonical URL re-canonicalizes to itself, so re-keying an
+    already-keyed crawl is a no-op; (b) param-order-FREE — any
+    permutation of the same query params yields the same key; (c) the
+    host split agrees between the pair."""
+    import random
+
+    from cicevse2024_tfm_datapipeline_spark.plans.wave43 import canonicalize_url
+
+    rng = random.Random(431)
+    schemes = ["http", "HTTP", "https", "HTTPS", "hTtPs"]
+    hosts = ["foo.example.com", "WWW.Foo.Example.COM", "wwwx.ex.org", "a.b"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a//b", "/a/b/", "/x/index.html", "//p", "/a/b/c/index.html"]
+    params = ["a=1", "z=9", "b=2", "utm_source=x", "fbclid=q", "gclid=r", "ref=t"]
+    frags = ["", "#f", "#sec-2"]
+    rows = []
+    for _ in range(300):
+        chosen = rng.sample(params, rng.randint(0, len(params)))
+        perm = chosen[:]
+        rng.shuffle(perm)
+        q1 = ("?" + "&".join(chosen)) if chosen else ""
+        q2 = ("?" + "&".join(perm)) if perm else ""
+        base = rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        path = rng.choice(paths)
+        frag = rng.choice(frags)
+        rows.append((base + path + q1 + frag, base + path + q2 + frag))
+    df = spark.createDataFrame(rows, "u1 string, u2 string")
+    c1, h1 = canonicalize_url(F.col("u1"))
+    c2, h2 = canonicalize_url(F.col("u2"))
+    once = df.select(
+        "u1", c1.alias("c1"), h1.alias("h1"), c2.alias("c2"), h2.alias("h2")
+    )
+    cc, hh = canonicalize_url(F.col("c1"))
+    bad = once.select(
+        "u1", "c1", "h1", "c2", "h2", cc.alias("cc"), hh.alias("hh")
+    ).filter(
+        (F.col("cc") != F.col("c1"))       # not idempotent
+        | (F.col("c2") != F.col("c1"))     # param order leaked into the key
+        | (F.col("hh") != F.col("h1"))     # host drifted on re-canonicalize
+        | (F.col("h2") != F.col("h1"))
+    )
+    offenders = bad.limit(5).collect()
+    assert not offenders, offenders
+
+
+def test_prefix64_monotone_in_string_order(spark):
+    """wave43 _prefix64's load-bearing property: for ASCII strings,
+    s1 <= s2 implies k1 <= k2 (non-strict monotone) — this is what lets
+    the suffix sort ride bounds_bucketed on a NUMERIC key. Seeded random
+    printable-ASCII strings, lengths 0..12 (crossing the 8-byte
+    truncation and the zero-pad edge), verified by sorting collected
+    (s, k) pairs by s and asserting k never decreases."""
+    import random
+
+    from cicevse2024_tfm_datapipeline_spark.plans.wave43 import _prefix64
+
+    rng = random.Random(64)
+    alpha = [chr(c) for c in range(32, 127)]
+    strs = {""}
+    while len(strs) < 400:
+        strs.add("".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))))
+    # adversarial shared-prefix families around the truncation boundary
+    for base in ("abcdefg", "abcdefgh", "abcdefghi", "       "):
+        for tail in ("", " ", "!", "~", "a", "zz"):
+            strs.add(base + tail)
+    df = spark.createDataFrame([(s,) for s in strs], "s string")
+    pairs = df.select("s", _prefix64(F.col("s")).alias("k")).collect()
+    pairs.sort(key=lambda r: r["s"])
+    for a, b in zip(pairs, pairs[1:]):
+        assert a["k"] <= b["k"], (a["s"], a["k"], b["s"], b["k"])
+
+
 def test_levenshtein_threshold_arg_matches_full_distance(spark):
     """wave42 j_levenshtein_blocked relies on Spark's band-limited
     levenshtein(l, r, threshold) returning -1 above the threshold and
