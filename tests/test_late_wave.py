@@ -1,7 +1,8 @@
-"""Edge semantics for the late round-3 operators: SemDeDup, gap-fill
-interpolation, CMS probes — the degenerate shapes (empty cells,
-singleton series, absent keys) that sf-scale selfcheck rows can't
-distinguish."""
+"""Edge semantics for late-wave operators (rounds 3+: SemDeDup,
+gap-fill interpolation, CMS probes, wave42 Wasserstein/levenshtein,
+wave43 URL canonicalization / suffix-LCP) — the degenerate shapes and
+algebraic contracts (empty cells, singleton series, idempotence,
+monotonicity) that sf-scale selfcheck rows can't distinguish."""
 
 from __future__ import annotations
 
