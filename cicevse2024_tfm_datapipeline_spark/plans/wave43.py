@@ -98,7 +98,13 @@ def canonicalize_url(url: F.Column) -> tuple[F.Column, F.Column]:
     a trailing '/index.html' then a trailing slash (empty path → '/'),
     drop the fragment, drop tracking params (utm_*/fbclid/gclid) and
     SORT the survivors so param order never splits a key. Pure JVM
-    column expressions — regexp + array built-ins, no UDF."""
+    column expressions — regexp + array built-ins, no UDF.
+
+    Scope boundary (same on both engines, so oracle parity is
+    unaffected): userinfo (user@host), IPv6 bracket literals, and IDN
+    hosts pass through verbatim inside the host token — crawl frontiers
+    normalize those upstream; percent-encoding is NOT decoded (decoding
+    can change path semantics and is lossy for %2F)."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.lower(
         F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
