@@ -241,16 +241,25 @@ _MIN_LCP = 5  # report runs >= the 5-token granularity dedup_duplicate_
 #               spans shingles at, so the two queries read together
 
 
-def _prefix64(s: F.Column) -> F.Column:
-    """Big-endian integer of a string's first 8 ASCII bytes (shorter
-    strings zero-pad, so prefix order matches string order). Monotone —
-    non-strictly — in the string sort order for ASCII text, which is all
-    bounds bucketing needs: rounding k through bounds_bucketed's double
-    cast only COARSENS the tie groups it must colocate anyway."""
-    k = F.lit(0).cast("long")
-    for i in range(8):
-        k = k * 256 + F.coalesce(F.ascii(F.substring(s, i + 1, 1)), F.lit(0))
-    return k
+def _prefix56(s: F.Column) -> F.Column:
+    """Big-endian integer of a string's first 7 UTF-8 BYTES (shorter
+    strings zero-pad on the right, so a prefix sorts at-or-before its
+    extensions). Monotone — non-strictly — in the engines' string sort
+    order for ARBITRARY text: both Spark (UTF8_BINARY) and DuckDB
+    compare VARCHARs by unsigned UTF-8 bytes, and UTF-8 is
+    order-preserving, so byte-prefix order IS string order. 7 bytes
+    (56 bits) keeps the value inside a signed long; the lost precision
+    vs an 8-byte key only COARSENS the tie groups bounds_bucketed must
+    colocate anyway — the (k, s, doc_id, pos) sort key re-sharpens them.
+
+    A first cut packed per-CHARACTER code points (F.ascii) at x256 per
+    slot — an inversion trap for any char above U+00FF ('Ā' U+0100
+    packed as 256, yet the two-char '\\x01\\xff' packed as 511, flipping
+    their true byte order), silently changing the suffix adjacency on
+    non-ASCII corpora. Byte derivation closes it; the ASCII fixture is
+    hash-unchanged (single-byte code points == bytes)."""
+    first7 = F.substring(F.encode(s, "UTF-8"), 1, 7)
+    return F.conv(F.rpad(F.hex(first7), 14, "0"), 16, 10).cast("long")
 
 
 @register(
@@ -305,8 +314,9 @@ def _prefix64(s: F.Column) -> F.Column:
     "span-cut threshold is tuned on. Max LCP = the corpus's longest "
     "repeated substring. Scale shape: the global suffix adjacency is "
     "the LINEAGE-FREE two-phase bounds scan (scan.bounds_bucketed) on a "
-    "NUMERIC surrogate — the suffix's first 8 ASCII bytes as a "
-    "big-endian integer, monotone (non-strictly) in the string order, "
+    "NUMERIC surrogate — the suffix's first 7 UTF-8 bytes as a "
+    "big-endian integer, monotone (non-strictly) in the string order "
+    "for arbitrary text (byte order IS both engines' comparison order), "
     "so prefix-tie groups colocate and the within-bucket window "
     "completes the (s, doc_id, pos) total order. That numeric key is "
     "what keeps the corpus-sized suffix frame UNPINNED (the first cut "
@@ -345,7 +355,7 @@ def dedup_suffix_lcp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "pos",
         F.array_join(F.slice("toks", F.col("pos"), _SFX_CAP), " ").alias("s"),
-    ).withColumn("k", _prefix64(F.col("s")))
+    ).withColumn("k", _prefix56(F.col("s")))
     # lineage-free bounds scan on the numeric prefix key: NO pin of the
     # corpus-sized suffix frame (bounds-mode contract: (k,s,doc_id,pos)
     # is a total order, so the two consumers below recompute

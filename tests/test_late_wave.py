@@ -364,31 +364,74 @@ def test_url_canonicalize_idempotent_and_order_free(spark):
     assert not offenders, offenders
 
 
-def test_prefix64_monotone_in_string_order(spark):
-    """wave43 _prefix64's load-bearing property: for ASCII strings,
-    s1 <= s2 implies k1 <= k2 (non-strict monotone) — this is what lets
-    the suffix sort ride bounds_bucketed on a NUMERIC key. Seeded random
-    printable-ASCII strings, lengths 0..12 (crossing the 8-byte
-    truncation and the zero-pad edge), verified by sorting collected
-    (s, k) pairs by s and asserting k never decreases."""
+def test_prefix56_monotone_in_string_order(spark):
+    """wave43 _prefix56's load-bearing property: s1 <= s2 implies
+    k1 <= k2 (non-strict monotone) — this is what lets the suffix sort
+    ride bounds_bucketed on a NUMERIC key. Seeded random strings over
+    printable ASCII PLUS multi-byte UTF-8 (Latin-1 sup, CJK, emoji —
+    the code-point-packing inversion class the byte derivation fixed),
+    lengths 0..12 (crossing the 7-byte truncation and the zero-pad
+    edge), verified by sorting collected (s, k) pairs by s and
+    asserting k never decreases. Python's code-point sort matches the
+    engines' UTF-8 byte order because UTF-8 is order-preserving."""
     import random
 
-    from cicevse2024_tfm_datapipeline_spark.plans.wave43 import _prefix64
+    from cicevse2024_tfm_datapipeline_spark.plans.wave43 import _prefix56
 
     rng = random.Random(64)
-    alpha = [chr(c) for c in range(32, 127)]
+    alpha = [chr(c) for c in range(32, 127)] + list("ÿĀāéß漢字日本語🎉🚀")
     strs = {""}
     while len(strs) < 400:
         strs.add("".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))))
-    # adversarial shared-prefix families around the truncation boundary
-    for base in ("abcdefg", "abcdefgh", "abcdefghi", "       "):
-        for tail in ("", " ", "!", "~", "a", "zz"):
+    # adversarial shared-prefix families around the truncation boundary,
+    # plus the documented inversion pair ('Ā' vs '\x01\xff')
+    for base in ("abcdefg", "abcdefgh", "abcdefghi", "       ", "Ā", "\x01\xff"):
+        for tail in ("", " ", "!", "~", "a", "zz", "Ā"):
             strs.add(base + tail)
     df = spark.createDataFrame([(s,) for s in strs], "s string")
-    pairs = df.select("s", _prefix64(F.col("s")).alias("k")).collect()
+    pairs = df.select("s", _prefix56(F.col("s")).alias("k")).collect()
     pairs.sort(key=lambda r: r["s"])
     for a, b in zip(pairs, pairs[1:]):
         assert a["k"] <= b["k"], (a["s"], a["k"], b["s"], b["k"])
+
+
+def test_suffix_lcp_non_ascii_corpus(spark):
+    """End-to-end pin of the byte-derived suffix key: a corpus mixing
+    CJK, accented Latin, and emoji tokens (the code-point-packing
+    inversion class) must still reproduce the brute-force lexicographic
+    adjacency histogram — Python's sort matches the engines' UTF-8 byte
+    order because UTF-8 is order-preserving."""
+    from unittest.mock import patch
+
+    import cicevse2024_tfm_datapipeline_spark.plans.wave43 as w43
+
+    texts = [
+        (0, "漢字 école Ā réforme données 🎉 fin"),
+        (1, "école Ā réforme données 🎉 extra suffixe ici"),  # 4-token run? see ref
+        (2, "漢字 école Ā réforme données 🎉 fin"),  # exact dup of 0
+        (3, "\x01ÿ Ā byte order pin aa bb cc dd ee"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    with patch.object(w43, "t", lambda _s, _d, _n, **_k: docs):
+        got = {
+            r["lcp_tokens"]: r["n_pairs"]
+            for r in w43.dedup_suffix_lcp_histogram(spark, "unused").collect()
+        }
+    sufs = []
+    for did, text in texts:
+        toks = text.split()
+        for i in range(len(toks)):
+            sufs.append((toks[i : i + 30], did, i))
+    sufs.sort(key=lambda x: (" ".join(x[0]), x[1], x[2]))
+    exp: dict[int, int] = {}
+    for (a, _, _), (b, _, _) in zip(sufs, sufs[1:]):
+        n = 0
+        while n < min(len(a), len(b)) and a[n] == b[n]:
+            n += 1
+        if n >= 5:
+            exp[n] = exp.get(n, 0) + 1
+    assert got == exp, (got, exp)
+    assert max(exp) == 7  # the full 7-token duplicate document
 
 
 def test_levenshtein_threshold_arg_matches_full_distance(spark):
