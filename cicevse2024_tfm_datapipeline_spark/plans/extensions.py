@@ -4397,9 +4397,11 @@ def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_t = cells.groupBy("event_type").agg(F.sum("o").alias("rn"))
     cols_t = cells.groupBy("ubucket").agg(F.sum("o").alias("cn"))
     tot = cells.agg(F.sum("o").alias("n"))
-    dof = (
-        rows_t.count() - 1
-    ) * (cols_t.count() - 1)
+    # dof folded into the final aggregate (r11 optimization, guide §5):
+    # the join carries every (event_type, ubucket) cell, so the marginal
+    # cardinalities ARE countDistinct over the joined frame — the two
+    # eager .count() jobs this replaces scheduled two extra corpus-free
+    # passes per build just to embed a literal
     e_exp = F.col("rn") * F.col("cn") * F.lit(1.0) / F.col("n")
     return (
         cells.join(F.broadcast(rows_t), "event_type")
@@ -4407,7 +4409,12 @@ def a_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_cells"),
-            F.lit(int(dof)).cast("long").alias("dof"),
+            (
+                (F.countDistinct("event_type") - F.lit(1))
+                * (F.countDistinct("ubucket") - F.lit(1))
+            )
+            .cast("long")
+            .alias("dof"),
             pround(
                 F.sum((F.col("o") - e_exp) * (F.col("o") - e_exp) / e_exp), 6
             ).alias("chi2"),

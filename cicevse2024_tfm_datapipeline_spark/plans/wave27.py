@@ -523,11 +523,16 @@ def _srp_pairs(spark: SparkSession, sf_dir: str, with_audit: bool = True) -> Dat
     verdict #3); every registered/oracled surface uses the audited plan."""
     emb = ensure_min_parallelism(t(spark, sf_dir, "embeddings"))
     vcol = as_double_array("embedding")
-    # scale-aware width resolved at PLAN TIME: one cheap count action +
-    # the integer ladder (the oracle computes the identical CASE over its
-    # own count(*)), so only w projection expressions per band are built —
-    # w-bit signatures equal the masked 24-bit ones by the prefix property
-    width = _ladder_width(emb.count())
+    # scale-aware width resolved at PLAN TIME from the parquet FOOTER row
+    # count (readers.table_row_count — exact, driver-side, no Spark job;
+    # r11 optimization: the count() job this replaces scheduled a full
+    # metadata scan per build) + the integer ladder (the oracle computes
+    # the identical CASE over its own count(*)), so only w projection
+    # expressions per band are built — w-bit signatures equal the masked
+    # 24-bit ones by the prefix property
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import table_row_count
+
+    width = _ladder_width(table_row_count(sf_dir, "embeddings"))
     sigs = emb.select(
         "vec_id",
         vcol.alias("v"),

@@ -121,3 +121,53 @@ def test_m9_leave_one_attack_out_harness(spark):
     for r in results:
         assert r["train_rows_of_heldout"] == 0  # anti-filter held
         assert r["test_rows"] > 0
+
+
+def test_load_table_plan_cache_hit_and_invalidation(spark, tmp_path):
+    """r11 optimization: load_table caches the RESOLVED PLAN object (not
+    data) per (session, dataset fingerprint) — a second call returns the
+    same DataFrame, a rewritten table invalidates, and results still
+    compute from the current parquet bytes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cicevse2024_tfm_datapipeline_spark.sources import readers
+
+    src = "/root/testdata/sf0.001/region.parquet"
+    p = tmp_path / "region.parquet"
+    shutil.copyfile(src, p)
+
+    df1 = readers.load_table(spark, str(tmp_path), "region")
+    df2 = readers.load_table(spark, str(tmp_path), "region")
+    assert df1 is df2  # plan-object reuse, no re-resolution
+    n1 = df1.count()
+
+    # rewrite the table with fewer rows -> fingerprint changes -> fresh plan
+    sub = df1.limit(max(1, n1 - 1)).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(sub, preserve_index=False), p)
+    df3 = readers.load_table(spark, str(tmp_path), "region")
+    assert df3 is not df1
+    assert df3.count() == len(sub)
+
+    # wide=True keys separately from the plain scan
+    ev1 = readers.load_table(spark, "/root/testdata/sf0.001", "events")
+    evw = readers.load_table(spark, "/root/testdata/sf0.001", "events", wide=True)
+    assert ev1 is not evw
+    # cached plan still self-joins cleanly (shared lineage path)
+    a = ev1.select(F.col("event_id").alias("ida"))
+    b = ev1.select(F.col("event_id").alias("idb"))
+    assert a.join(b, a.ida == b.idb).count() == ev1.count()
+
+
+def test_table_row_count_matches_spark_count(spark):
+    """Footer row count (driver-side, no job) must equal count() exactly —
+    it replaces the eager plan-time count in sim_srp_lsh_pairs."""
+    from cicevse2024_tfm_datapipeline_spark.sources import readers
+
+    for name in ("region", "events", "embeddings"):
+        exact = readers.load_table(spark, "/root/testdata/sf0.001", name).count()
+        assert readers.table_row_count("/root/testdata/sf0.001", name) == exact
