@@ -232,11 +232,17 @@ def connected_components(
     # init folds the first propagation round into label creation:
     # lbl₀ = min(node, min neighbor) — same shuffle the bare distinct()
     # init paid, one fewer loop iteration
+    # LAZY checkpoints (r11 optimization): the fixpoint probe right below
+    # each checkpoint is the frame's first action, so it materializes the
+    # checkpoint AND reads the 1-row sum in ONE job — eager=True ran a
+    # separate materialization job first, doubling the per-round job
+    # count (measured inside pipeline_fuzzy_corpus's build). Lineage
+    # truncation and the frozen per-round frame are identical either way.
     labels = (
         sym.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("__mn"))
         .select("node", F.least(F.col("node"), F.col("__mn")).alias("lbl"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = _label_sum(labels)
     for _ in range(max_iter):
@@ -245,10 +251,12 @@ def connected_components(
         )
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         labels = new_labels
         # labels only ever decrease, so fixpoint ⟺ the label sum is
         # unchanged: a joinless 1-row probe instead of a self-join scan
+        # (this collect materializes the round's checkpoint as a side
+        # effect — the frame every later consumer reads)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
