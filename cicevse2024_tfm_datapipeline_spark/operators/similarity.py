@@ -64,16 +64,26 @@ def brute_force_topk(
     k: int,
 ) -> DataFrame:
     """Exact cosine top-k per query (self excluded). ``queries`` must be
-    small — it is broadcast; the candidate side never shuffles."""
+    small — it is broadcast; the candidate side never shuffles.
+
+    Norms are precomputed per SIDE (one fold per vector) instead of per
+    PAIR (r11 optimization): cosine over a |q|x|n| scored frame was
+    re-folding ||q|| n times and ||c|| |q| times; dot/(qn*cn) is the
+    identical IEEE expression evaluated on identical inputs, so results
+    are bit-equal while per-pair array folds drop 3 -> 1."""
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm_expr(F.col("qv")))
     c = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
-    )
+    ).withColumn("cn", norm_expr(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -92,19 +102,28 @@ def bucketed_topk(
     n_bucket_dims: int = 8,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign bucket. The
-    bucket equi-join replaces the cross product — the scale path."""
+    bucket equi-join replaces the cross product — the scale path.
+    Per-side norm precompute as in brute_force_topk (bit-equal)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(vec_col).alias("qv"),
-    ).withColumn("bucket", sign_bucket_expr(F.col("qv"), n_bucket_dims))
+    ).withColumn("bucket", sign_bucket_expr(F.col("qv"), n_bucket_dims)).withColumn(
+        "qn", norm_expr(F.col("qv"))
+    )
     c = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
-    ).withColumn("bucket", sign_bucket_expr(F.col("cv"), n_bucket_dims))
+    ).withColumn("bucket", sign_bucket_expr(F.col("cv"), n_bucket_dims)).withColumn(
+        "cn", norm_expr(F.col("cv"))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -118,16 +137,24 @@ def near_dup_pairs_cosine(
     embeddings: DataFrame, id_col: str, vec_col: str, threshold: float, n_bucket_dims: int = 8
 ) -> DataFrame:
     """Embedding-cosine near-dup detection, bucketed: only same-bucket
-    pairs are scored (sign-LSH recall tradeoff, standard at scale)."""
+    pairs are scored (sign-LSH recall tradeoff, standard at scale).
+    Per-side norm precompute: one fold per row per side instead of two
+    folds per PAIR (bucket self-joins emit >= n pairs); bit-equal."""
     e = ensure_min_parallelism(embeddings).select(
         F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
-    ).withColumn("bucket", sign_bucket_expr(F.col("v"), n_bucket_dims))
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    ).withColumn("bucket", sign_bucket_expr(F.col("v"), n_bucket_dims)).withColumn(
+        "nv", norm_expr(F.col("v"))
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"), "bucket")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -300,12 +327,14 @@ def ivf_topk(
     assigned = (
         with_cents(ensure_min_parallelism(raw))
         .withColumn("cell", F.expr(f"array_min({_cell_dist_structs('cv', '__cents')}).cell"))
-        .select("neighbor_id", "cv", "cell")
+        # corpus-side norm computed once per vector here rather than once
+        # per probe pair in the scored join below (bit-equal, r11)
+        .select("neighbor_id", "cv", "cell", norm_expr(F.col("cv")).alias("cn"))
     )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
-    )
+    ).withColumn("qn", norm_expr(F.col("qv")))
     probes = (
         with_cents(q)
         .withColumn(
@@ -317,7 +346,7 @@ def ivf_topk(
                 )
             ),
         )
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
 
     scored = (
@@ -326,7 +355,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            (dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     win = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -372,17 +401,28 @@ def semdedup_marks(
         .withColumn(
             "cell", F.expr(f"array_min({_cell_dist_structs('v', '__cents')}).cell")
         )
+        # per-row norm rides the checkpointed frame: ONE fold per vector
+        # total, vs two folds per within-cell PAIR in the dup join (r11;
+        # bit-equal — identical IEEE expression on identical inputs)
+        .withColumn("nv", norm_expr(F.col("v")))
         .drop("__cents")
         # three consumers (both pair sides + the output join) — pin so the
         # K x D argmin fold evaluates once per row, not once per branch
         .localCheckpoint(eager=False)
     )
-    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = assigned.select(
+        "cell", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")
+    )
+    b = assigned.select(
+        "cell", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")
+    )
     dup = (
         a.join(b, "cell")
         .filter(F.col("id_b") < F.col("id_a"))
-        .filter(cosine_expr(F.col("va"), F.col("vb")) >= F.lit(float(threshold)))
+        .filter(
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(float(threshold))
+        )
         .select(F.col("id_a").alias("id"))
         .distinct()
     )

@@ -207,19 +207,27 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cicevse2024_tfm_datapipeline_spark.operators.similarity import (
         as_double_array,
-        cosine_expr,
+        dot_expr,
+        norm_expr,
         sign_bucket_expr,
     )
 
     emb = t(spark, sf_dir, "embeddings")
     v = as_double_array("embedding")
+    # per-side norm precompute (r11): one fold per row instead of two
+    # folds per candidate pair — identical IEEE expression, bit-equal
     c = emb.select(
-        "vec_id", "label", v.alias("v"), sign_bucket_expr(v, _HN_BITS).alias("bucket")
+        "vec_id",
+        "label",
+        v.alias("v"),
+        sign_bucket_expr(v, _HN_BITS).alias("bucket"),
+        norm_expr(v).alias("nv"),
     )
     q = c.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
         "bucket",
     )
     scored = (
@@ -229,7 +237,7 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            cosine_expr(F.col("qv"), F.col("v")).alias("cosine"),
+            (dot_expr(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))

@@ -533,12 +533,17 @@ def _srp_pairs(spark: SparkSession, sf_dir: str, with_audit: bool = True) -> Dat
     from cicevse2024_tfm_datapipeline_spark.sources.readers import table_row_count
 
     width = _ladder_width(table_row_count(sf_dir, "embeddings"))
+    # nv: per-vector norm computed ONCE here and carried through the band
+    # join as a plain double column (r11) — the verify stage was re-folding
+    # both norms per candidate pair; dot/(na*nb) is the identical IEEE
+    # expression on identical inputs, so cosines are bit-equal
     sigs = emb.select(
         "vec_id",
         vcol.alias("v"),
         "label",
         srp_band_sig_expr(vcol, 0, width).alias("sig0"),
         srp_band_sig_expr(vcol, 1, width).alias("sig1"),
+        norm_expr(vcol).alias("nv"),
     )
     # bands carry (sig0, sig1, v, label) so the pair join needs no verify
     # joins back to the signature frame — dedupe of both-band collisions
@@ -549,6 +554,7 @@ def _srp_pairs(spark: SparkSession, sf_dir: str, with_audit: bool = True) -> Dat
         "sig1",
         "v",
         "label",
+        "nv",
         F.explode(
             F.array(
                 F.struct(
@@ -561,13 +567,14 @@ def _srp_pairs(spark: SparkSession, sf_dir: str, with_audit: bool = True) -> Dat
                 ),
             )
         ).alias("b"),
-    ).select("vec_id", "sig0", "sig1", "v", "label", "b.band_idx", "b.band_val")
+    ).select("vec_id", "sig0", "sig1", "v", "label", "nv", "b.band_idx", "b.band_val")
     a = bands.select(
         F.col("vec_id").alias("id_a"),
         F.col("sig0").alias("sig0_a"),
         F.col("sig1").alias("sig1_a"),
         F.col("v").alias("va"),
         F.col("label").alias("la"),
+        F.col("nv").alias("na"),
         "band_idx",
         "band_val",
     )
@@ -577,6 +584,7 @@ def _srp_pairs(spark: SparkSession, sf_dir: str, with_audit: bool = True) -> Dat
         F.col("sig1").alias("sig1_b"),
         F.col("v").alias("vb"),
         F.col("label").alias("lb"),
+        F.col("nv").alias("nb"),
         "band_idx",
         "band_val",
     )
@@ -593,6 +601,8 @@ def _srp_pairs(spark: SparkSession, sf_dir: str, with_audit: bool = True) -> Dat
             F.first("vb").alias("vb"),
             F.first("la").alias("la"),
             F.first("lb").alias("lb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
         .select(
             "id_a",
@@ -604,10 +614,7 @@ def _srp_pairs(spark: SparkSession, sf_dir: str, with_audit: bool = True) -> Dat
             .cast("long")
             .alias("hamming"),
             (F.col("la") == F.col("lb")).cast("long").alias("same_label"),
-            (
-                dot_expr(F.col("va"), F.col("vb"))
-                / (norm_expr(F.col("va")) * norm_expr(F.col("vb")))
-            ).alias("cosine"),
+            (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
     res = vf.filter(F.col("cosine") >= 0.35)
@@ -636,9 +643,8 @@ def _srp_pairs(spark: SparkSession, sf_dir: str, with_audit: bool = True) -> Dat
     # (the sigs-reuse shape costs +0.5 s total; round 10). sig0/sig1 are
     # width-masked by construction, so plain equality IS the masked-band
     # agreement the candidate join uses.
-    normd = sigs.select("vec_id", "v", "sig0", "sig1").withColumn(
-        "nv", norm_expr(F.col("v"))
-    )
+    # sigs already carries nv (precomputed above) — no fresh norm folds
+    normd = sigs.select("vec_id", "v", "sig0", "sig1", "nv")
     sub = normd.filter(F.col("vec_id") < _AUDIT_N).select(
         F.col("vec_id").alias("t_a"),
         F.col("v").alias("tva"),

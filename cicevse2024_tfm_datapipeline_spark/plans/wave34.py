@@ -89,8 +89,14 @@ def sim_mips_norm_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double_array("embedding").alias("v")
     )
     mx = e.agg(F.max(norm_expr(F.col("v"))).alias("m"))
+    # query-side norm precomputed on the 10 broadcast rows, and the dot
+    # fold evaluated ONCE per pair (aug_cos derives from the same ip
+    # column — HOF folds are CodegenFallback, so Catalyst was evaluating
+    # the duplicated fold twice per row). Bit-equal restructure (r11).
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        norm_expr(F.col("v")).alias("qn"),
     )
     c = ensure_min_parallelism(e).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
@@ -98,14 +104,12 @@ def sim_mips_norm_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .crossJoin(F.broadcast(mx))
+        .withColumn("ip", dot_expr(F.col("qv"), F.col("cv")))
         .select(
             "query_id",
             "neighbor_id",
-            dot_expr(F.col("qv"), F.col("cv")).alias("ip"),
-            (
-                dot_expr(F.col("qv"), F.col("cv"))
-                / (norm_expr(F.col("qv")) * F.col("m"))
-            ).alias("aug_cos"),
+            "ip",
+            (F.col("ip") / (F.col("qn") * F.col("m"))).alias("aug_cos"),
         )
     )
     w_ip = Window.partitionBy("query_id").orderBy(
