@@ -327,20 +327,22 @@ def duplicate_spans(
         (F.col("pos0") + 1).alias("pos"),
         "shingle",
     )
-    # two consumers (occurrence-count groupBy + join-back probe): planner
-    # exchange-reuse is NOT guaranteed under AQE (observed 0 ReusedExchange,
-    # 4 scans — the tokenize→shingle→posexplode chain ran twice); pin the
-    # exploded frame so it materializes once. This is the frame both
-    # consumers genuinely need — the standard price of a multi-consumer
-    # pass (same discipline as operators/scan._pin_buckets).
-    pos = pos.repartition(F.col("shingle")).localCheckpoint(eager=False)
-    dup = (
-        pos.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # r11 restructure (guide §2.4): the occurrence threshold is a
+    # per-shingle COUNT, so one unbounded-frame window count over the
+    # shingle partitioning replaces the former two-consumer shape
+    # (repartition + localCheckpoint + count groupBy + join-back probe).
+    # "shingle in dup set" ⟺ "count over this shingle's partition >=
+    # min_occurrences" — identical hit set, but ONE shuffle of the
+    # exploded frame, no pinned corpus-sized checkpoint, no join. A
+    # pathologically common k-gram is the same hot key either path (it
+    # was the join-back probe's skew before); partition size stays
+    # bounded by that shingle's corpus occurrence count.
+    wsh = Window.partitionBy("shingle")
+    hits = (
+        pos.withColumn("cnt", F.count(F.lit(1)).over(wsh))
         .filter(F.col("cnt") >= min_occurrences)
-        .select("shingle")
+        .select("doc_id", "pos")
     )
-    hits = pos.join(dup, "shingle").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     lagged = F.lag("pos", 1).over(w)
     # spans all have length k and start positions are sorted, so ends are

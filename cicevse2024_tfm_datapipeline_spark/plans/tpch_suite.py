@@ -725,6 +725,23 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J", "tpch", "semi", "anti"),
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 restructure (guide §2.3/§2.4): the decorrelated EXISTS /
+    # NOT-EXISTS pair used to run as a left-semi + left-anti self-join,
+    # each an equi-join on orderkey with the supplier-inequality as a
+    # RESIDUAL — which forced a full distinct of (orderkey, suppkey)
+    # over lineitem as the semi probe and three consumers of the pinned
+    # late set. Both subqueries are per-ORDER set predicates, so they
+    # fold into aggregations:
+    #   NOT EXISTS (other late supplier)  ⟺  the order has exactly ONE
+    #     late (orderkey, suppkey) row — and max(suppkey) over that
+    #     1-row group IS the lone supplier, so the anti join AND the
+    #     join-back to late both disappear;
+    #   EXISTS (other supplier on the order)  ⟺  the order has >= 2
+    #     distinct suppliers in lineitem ((k,s) itself is a lineitem, so
+    #     "some other supplier" ⟺ distinct count >= 2) — countDistinct
+    #     partial-aggregates map-side, replacing the lines.distinct()
+    #     shuffle + residual semi join with one two-phase aggregate and
+    #     a residual-free equi-join on 1-row-per-order frames.
     orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -734,30 +751,26 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
-        # three consumers (semi probe side, anti probe side, anti build
-        # side) — pin the deduped late set so the lineitem⋈orders subtree
-        # runs once instead of once per branch
-        .localCheckpoint(eager=False)
     )
-    lines = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).distinct()
-    semi = late.join(
-        lines,
-        (late.l_orderkey == F.col("k2")) & (late.l_suppkey != F.col("s2")),
-        "left_semi",
+    solo = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__nl"),
+            F.max("l_suppkey").alias("l_suppkey"),
+        )
+        .filter(F.col("__nl") == 1)
+        .select("l_orderkey", "l_suppkey")
     )
-    late2 = late.select(
-        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
-    )
-    solo = semi.join(
-        late2,
-        (semi.l_orderkey == F.col("k3")) & (semi.l_suppkey != F.col("s3")),
-        "left_anti",
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") >= 2)
+        .select("l_orderkey")
     )
     sup = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (
-        solo.join(sup, solo.l_suppkey == sup.s_suppkey)
+        solo.join(multi, "l_orderkey")
+        .join(sup, solo.l_suppkey == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
