@@ -600,12 +600,16 @@ def global_row_number(
     order_cols: Sequence[str],
     out_col: str = "__rn",
     descending: bool = False,
+    bucketing: str = "pinned",
 ) -> DataFrame:
     """Global 1-based row number over ``order_cols`` with no unpartitioned
     window — the two-phase scan over a constant-1 column. The order should
-    be total (add a tiebreak column) for a deterministic assignment."""
+    be total (add a tiebreak column) for a deterministic assignment.
+    ``bucketing`` forwards to :func:`global_cumsum` ("bounds" = the
+    lineage-free quantile-bound mapping, identical results)."""
     cum = global_cumsum(
-        df.withColumn("__one", F.lit(1)), order_cols, ["__one"], descending
+        df.withColumn("__one", F.lit(1)), order_cols, ["__one"], descending,
+        bucketing=bucketing,
     )
     return cum.withColumnRenamed("cum___one", out_col).drop("__one")
 
@@ -616,6 +620,7 @@ def global_ntile(
     n_tiles: int,
     out_col: str = "tile",
     descending: bool = False,
+    bucketing: str = "pinned",
 ) -> DataFrame:
     """``NTILE(n) OVER (ORDER BY ...)`` with no unpartitioned window:
     exact SQL NTILE semantics (the first ``total % n`` tiles get the
@@ -631,6 +636,7 @@ def global_ntile(
         ["__one"],
         descending,
         with_totals=True,
+        bucketing=bucketing,
     )
     rn = F.col("cum___one")
     total = F.col("tot___one")
