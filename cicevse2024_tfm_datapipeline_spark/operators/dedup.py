@@ -113,8 +113,16 @@ def lsh_candidate_pairs(
     # the tokenize→shingle→digest chain into every band-key expression
     # (8+ copies per row, huge codegen) and again into both self-join
     # sides. The repartition materializes the signatures once — tiny rows
-    # (id + 8 short strings) — and both join branches reuse the exchange.
-    sigs = sigs.repartition(F.col(id_col))
+    # (id + 8 short strings).
+    # r11: exchange reuse between the two self-join branches is NOT
+    # guaranteed — when AQE broadcast-converts one side, that branch
+    # becomes a BroadcastExchange that cannot reuse the shuffle, and the
+    # full tokenize→shingle→sha2→min-fold chain executed TWICE (plan
+    # showed two parquet scans of documents). The lazy checkpoint pins
+    # the NARROW signature frame (id + num_hashes 8-char slices — never
+    # the corpus text) so the CPU-dense chain runs exactly once under
+    # any join strategy at any scale.
+    sigs = sigs.repartition(F.col(id_col)).localCheckpoint(eager=False)
     keys = lsh_band_keys(sigs, id_col, bands, num_hashes // bands)
     a = keys.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     b = keys.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
