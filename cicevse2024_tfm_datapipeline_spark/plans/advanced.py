@@ -805,6 +805,16 @@ def j_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J", "tpch"),
 )
 def j_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 restructure (guide §3.2 "reduce the big side before shuffling
+    # it"): the former join order attached supplier/customer AFTER the
+    # fact-fact join and applied the nation-pair filter last — the plan
+    # showed the isin() filters reaching only the NATION scans, so every
+    # lineitem and order row (any nation) survived into the fact join.
+    # Pre-joining each dimension with the 2-nation slice builds reduced
+    # (key → nation) maps; broadcasting THOSE drops non-matching fact
+    # rows before lineitem meets orders. Inner joins commute, and the
+    # residual pair predicate reduces to supp != cust (the isin halves
+    # are enforced by construction) — identical result set.
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     ).filter(
@@ -812,19 +822,28 @@ def j_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col(
-        "cust_nation"
-    ).isin("NATION_1", "NATION_2") & (F.col("supp_nation") != F.col("cust_nation"))
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    )
+    sn = (
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li2 = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+    o2 = o.join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
     j = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))), F.col("s_nationkey") == F.col("snk"))
-        .join(F.broadcast(n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))), F.col("c_nationkey") == F.col("cnk"))
-        .filter(pair)
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year")

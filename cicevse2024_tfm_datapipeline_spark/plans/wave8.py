@@ -148,18 +148,23 @@ def a_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
 
+    # r11 restructure (guide §2.3 "aggregate before you shuffle"): the
+    # selected row is min(cents) among rows where 2·cum ≥ tot, and
+    # within one cents group the running sum only grows — so the first
+    # ROW crossing the threshold always lies in the first GROUP whose
+    # end-of-group cumsum crosses it. Pre-aggregating the weights per
+    # distinct cents therefore yields the IDENTICAL median and total
+    # (the oracle's (orderkey, linenumber) tiebreaks only order rows
+    # INSIDE a group and can never move the crossing across groups),
+    # while the two-phase scan now runs over |distinct cents| rows
+    # instead of |lineitem| — the map-side partial sum collapses the
+    # corpus before the range exchange.
     pts = t(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         F.col("l_quantity").cast("long").alias("w"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    scanned = global_cumsum(
-        pts,
-        ["cents", "l_orderkey", "l_linenumber"],
-        ["w"],
-        with_totals=True,
-    )
+    grp = pts.groupBy("cents").agg(F.sum("w").alias("w"))
+    scanned = global_cumsum(grp, ["cents"], ["w"], with_totals=True)
     return (
         scanned.filter(2 * F.col("cum_w") >= F.col("tot_w"))
         .agg(
