@@ -1320,21 +1320,35 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide=True: quality scoring tokenizes the full corpus pre-shuffle
     docs = t(spark, sf_dir, "documents", wide=True)
     toks = tokens_expr("text")
-    scored = docs.select(
+    # r11 restructure (guide §2.3 "shuffle keys and metadata instead of
+    # payloads" / §1.2): the old shape re-tokenized the corpus THREE
+    # times — once for the percentile threshold, once inside
+    # exact_dedup's digest groupBy, once on its semi-join probe — and
+    # carried the full text through every stage just to md5 it and count
+    # tokens at the end. Everything downstream needs only derived
+    # scalars, so compute them ONCE per doc (score, md5 digest, token
+    # count) into a narrow pinned frame; text never leaves the scan
+    # stage. Same md5/score/size expressions on the same rows —
+    # identical results at every stage.
+    feat = docs.select(
         "doc_id",
         "source",
-        "text",
         "n_chars",
         pround(quality_score_expr(F.col("text"), toks), 6).alias("q"),
-    )
-    thr = scored.agg(pround(F.percentile("q", 0.25), 6).alias("t"))
-    kept = scored.crossJoin(F.broadcast(thr)).filter(F.col("q") >= F.col("t"))
-    surv = exact_dedup(kept, "text", "doc_id")
+        F.md5("text").alias("__h"),
+        F.size(toks).alias("__ntoks"),
+    ).localCheckpoint(eager=False)
+    thr = feat.agg(pround(F.percentile("q", 0.25), 6).alias("t"))
+    kept = feat.crossJoin(F.broadcast(thr)).filter(F.col("q") >= F.col("t"))
+    # exact_dedup inlined on the precomputed digest (same min-id survivor
+    # semantics as operators/dedup.exact_dedup over md5(text))
+    keep_ids = kept.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    surv = kept.join(keep_ids, "doc_id", "left_semi")
     final = stratified_sample_n(surv, ["source"], "doc_id", 40, seed=5)
     return final.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
-        F.sum(F.size(tokens_expr("text"))).cast("long").alias("sum_tokens"),
+        F.sum("__ntoks").cast("long").alias("sum_tokens"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
 
