@@ -1088,13 +1088,20 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tfidf"),
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = t(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # r11 (guide §2.4): df = "how many docs carry this term" = the row
+    # count of tf's term partition — an unbounded-frame window count over
+    # term replaces the former separate df groupBy + join-back, which
+    # re-executed the explode+tf chain once per consumer (tf was not
+    # pinned). Identical df values by definition; one exchange on term
+    # either way, one pass over the corpus instead of two.
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2980,27 +2987,43 @@ _QCLF_BIAS = -2
     tags=("text", "quality", "classifier"),
 )
 def text_quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cicevse2024_tfm_datapipeline_spark.functions.literals import literal_df
-
+    # r11 restructure (guide §2.3 "aggregate before you shuffle", taken
+    # to its limit): the per-doc score is a SUM over the doc's own token
+    # array of a 9-entry weight lookup — a per-row array fold, not a
+    # corpus-wide join. The old shape exploded every token, broadcast-
+    # joined the weight table and shuffled (doc_id, partial-sum) pairs;
+    # now the score is computed inside the scan stage and the only
+    # shuffle left is the final tiny (source, pred_keep) aggregate.
+    # Semantics preserved exactly: the CASE ladder returns the same
+    # integer the left join's coalesce(sum, 0) produced, and docs whose
+    # token array is EMPTY are dropped (unnest/explode emitted no rows
+    # for them, so they never reached the old groupBy either).
     docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
-            )
-        ).alias("w"),
+    tok_arr = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
     )
-    wt = F.broadcast(
-        literal_df(spark, list(_QCLF_WEIGHTS), schema="w string, wt int")
-    )
+
+    def _weight(x):
+        expr = F.lit(0)
+        for w, wt in reversed(_QCLF_WEIGHTS):
+            expr = F.when(x == F.lit(w), F.lit(wt)).otherwise(expr)
+        return expr
+
     scores = (
-        toks.join(wt, "w", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("source").alias("source"),
-            (F.coalesce(F.sum("wt"), F.lit(0)) + F.lit(_QCLF_BIAS)).alias("score"),
+        docs.select(
+            "doc_id",
+            "source",
+            tok_arr.alias("__toks"),
+        )
+        .filter(F.size("__toks") > 0)
+        .select(
+            "source",
+            (
+                F.aggregate(
+                    "__toks", F.lit(0), lambda acc, x: acc + _weight(x)
+                )
+                + F.lit(_QCLF_BIAS)
+            ).alias("score"),
         )
     )
     return scores.groupBy(
