@@ -215,10 +215,31 @@ def rotation_window(
 #     changed too. a11_ovr_auc_per_class stays out: bounded_curves=True
 #     routes it through the small-groups window branch, no global scan
 #     (same adjudication as r09/r10).
+# r11 OPTIMIZATION-round additions to the changed set (the round's
+# whole point is plan changes with unchanged results; every name below
+# was re-proven oracle-EXACT at sf0.001/0.01/0.1 before commit —
+# OPTIMIZATION_r11.md has the per-change evidence):
+#   - per-side norm precompute across the similarity family
+#     (operators/similarity.py + wave21/wave27/wave34): sim_bruteforce/
+#     bucketed/embedding_near_dup/ivf/hard_negatives/mips,
+#     dedup_semdedup_cells, ml_knn_classify, sim_ranking_metrics.
+#   - the MinHash signature-frame pin (operators/dedup.
+#     lsh_candidate_pairs) — every LSH-pair consumer's plan changed:
+#     dedup_minhash_lsh_pairs (anchor slot), dedup_lsh_components,
+#     dedup_fuzzy_survivors, pipeline_fuzzy_corpus, dedup_golden_record,
+#     dedup_edit_distance_verify, dedup_mutual_best_match,
+#     dedup_containment_pairs, g_pagerank_lsh, g_triangle_count_lsh,
+#     g_clustering_coefficient, g_adamic_adar, g_kcore_two_rounds,
+#     g_bfs_levels_lsh.
+#   - single-pass PSI binning (a_psi_drift), Q21 EXISTS→aggregations
+#     (tpch_q21_waiting_suppliers), window-count span hits
+#     (dedup_duplicate_spans), dimension-first Q7
+#     (j_tpch_q7_nation_volume), per-cents pre-aggregation
+#     (a_weighted_median), narrow-frame corpus prep
+#     (pipeline_corpus_prep), window-count TF-IDF (text_tfidf_topk),
+#     fold-in-scan classifier (text_quality_linear_classifier).
 # Window computed with: python tools/next_window.py --rounds 10
-# --changed a_wasserstein_drift,sim_srp_lsh_pairs,w6_sessionize_ttd,
-# a13_threshold_at_fpr,a13_roc_curve_points,a13_roc_auc,
-# a13_average_precision,a11_multiclass_auc
+# --changed <the full _R11_CHANGED list below, in this order>
 _R11_CHANGED = [
     "a_wasserstein_drift",
     "sim_srp_lsh_pairs",
@@ -228,6 +249,37 @@ _R11_CHANGED = [
     "a13_roc_auc",
     "a13_average_precision",
     "a11_multiclass_auc",
+    "sim_bruteforce_cosine_topk",
+    "sim_bucketed_ann_topk",
+    "sim_embedding_near_dup",
+    "sim_ivf_topk",
+    "dedup_semdedup_cells",
+    "ml_knn_classify",
+    "sim_ranking_metrics",
+    "sim_hard_negatives",
+    "sim_mips_norm_reduction",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_components",
+    "dedup_fuzzy_survivors",
+    "pipeline_fuzzy_corpus",
+    "g_pagerank_lsh",
+    "g_triangle_count_lsh",
+    "dedup_edit_distance_verify",
+    "dedup_mutual_best_match",
+    "g_clustering_coefficient",
+    "dedup_containment_pairs",
+    "g_adamic_adar",
+    "dedup_golden_record",
+    "g_kcore_two_rounds",
+    "g_bfs_levels_lsh",
+    "a_psi_drift",
+    "tpch_q21_waiting_suppliers",
+    "dedup_duplicate_spans",
+    "j_tpch_q7_nation_volume",
+    "a_weighted_median",
+    "pipeline_corpus_prep",
+    "text_tfidf_topk",
+    "text_quality_linear_classifier",
 ]
 
 # Window computed with: python tools/next_window.py --rounds 9
@@ -321,18 +373,20 @@ _R08_CHANGED = [
 #   sessionize bounds flip); block 3 (35): oldest-rows-first; block 4:
 #   anchors.
 # Round-11 window = rotation_window(...) materialized (the meta-test
-# recomputes and compares):
+# recomputes and compares). Round 11 is the FIRST OPTIMIZATION round, so
+# the changed-plan block dominates by design:
 #   block 1 (2): never-driven — round 11 re-opens the ledger with the
 #     two wave43 registrations (text_url_canonicalize_hosts,
 #     dedup_suffix_lcp_histogram) — their first driver rows land here.
-#   block 2 (8): _R11_CHANGED re-drives (the wasserstein decimal-lift
-#     overflow fix, the SRP A/B-receipt refactor, and the whole
-#     bounds_bucketed consumer set — w6 + the a13 quartet +
-#     a11_multiclass_auc — after the NTZ key fix and the once-per-row
-#     key materialization, above).
-#   block 3 (36): oldest-rows-first rotation — the r03 cohort remainder
-#     (sources/storage/streaming-lake tier) and the r04 TPC-H cohort
-#     head, registration order within a round.
+#   block 2 (38 of the 39 _R11_CHANGED): every query whose PLAN the
+#     optimization round changed (similarity norm precompute, MinHash
+#     signature pin, PSI/Q21/Q7/span/median/corpus-prep/TF-IDF/
+#     classifier restructures, plus the build-round's wasserstein/
+#     SRP/bounds-consumer changes) — each already re-proven
+#     oracle-EXACT at three SFs in-round; the driver re-drive makes
+#     that official. dedup_minhash_lsh_pairs also qualifies but holds
+#     its ANCHOR slot (block 4), so it is not double-listed here.
+#   block 3 (6): oldest-rows-first rotation — the r03 cohort head.
 #   block 4 (4): anchors.
 _PRIORITY = [
     "text_url_canonicalize_hosts",
@@ -345,42 +399,42 @@ _PRIORITY = [
     "a13_roc_auc",
     "a13_average_precision",
     "a11_multiclass_auc",
+    "sim_bruteforce_cosine_topk",
+    "sim_bucketed_ann_topk",
+    "sim_embedding_near_dup",
+    "sim_ivf_topk",
+    "dedup_semdedup_cells",
+    "ml_knn_classify",
+    "sim_ranking_metrics",
+    "sim_hard_negatives",
+    "sim_mips_norm_reduction",
+    "dedup_lsh_components",
+    "dedup_fuzzy_survivors",
+    "pipeline_fuzzy_corpus",
+    "g_pagerank_lsh",
+    "g_triangle_count_lsh",
+    "dedup_edit_distance_verify",
+    "dedup_mutual_best_match",
+    "g_clustering_coefficient",
+    "dedup_containment_pairs",
+    "g_adamic_adar",
+    "dedup_golden_record",
+    "g_kcore_two_rounds",
+    "g_bfs_levels_lsh",
+    "a_psi_drift",
+    "tpch_q21_waiting_suppliers",
+    "dedup_duplicate_spans",
+    "j_tpch_q7_nation_volume",
+    "a_weighted_median",
+    "pipeline_corpus_prep",
+    "text_tfidf_topk",
+    "text_quality_linear_classifier",
     "m8_sample_size_grid",
     "p8_p9_network_narrowing",
     "f14_json_sanitize_roundtrip",
     "stream_sink_partitioned_lake",
     "stream_upsert_scd1",
     "s13_jsonl_sink_roundtrip",
-    "stream_stream_interval_join",
-    "f_variant_semistructured",
-    "s14_custom_datasource",
-    "j_bucketed_smb_join",
-    "s9_partitioned_lake_roundtrip",
-    "s10_zorder_cells",
-    "w_scd2_history",
-    "s11_schema_evolution_merge",
-    "j_tpch_q5_local_supplier",
-    "tpch_q2_min_cost_supplier",
-    "a_bitmap_intersection",
-    "a_growth_accounting",
-    "w_ewma_smoothing",
-    "w_range_frame_rolling",
-    "w_cdc_apply_changelog",
-    "text_bpe_vocab_induction",
-    "s7_metrics_lake_flatten",
-    "stream_tumbling_avg",
-    "s15_orc_sink_roundtrip",
-    "s16_binaryfile_scan",
-    "j_tpch_q4_late_orders",
-    "j_tpch_q12_priority_class",
-    "j_tpch_q14_promo_share",
-    "j_tpch_q18_large_orders",
-    "j_tpch_q7_nation_volume",
-    "j_tpch_q10_returned_topk",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_value",
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
     "stream_session_window",
