@@ -13,7 +13,7 @@ rules are integer/lexicographic with explicit tiebreaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -109,7 +109,7 @@ _DAY_US = 86_400_000_000
     tags=("A", "drift", "psi"),
 )
 def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_ntile
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
 
     b = t(spark, sf_dir, "events").select(
         "event_id",
@@ -122,12 +122,41 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = b.crossJoin(F.broadcast(span)).localCheckpoint(eager=False)
     pre = b.filter(F.col("day") <= F.col("mid")).select("event_id", "tick")
     post = b.filter(F.col("day") > F.col("mid")).select("event_id", "tick")
-    tiles = global_ntile(pre, ["tick", "event_id"], 10)
-    edges = (
-        tiles.filter(F.col("tile") <= 9)
-        .groupBy("tile")
-        .agg(F.max("tick").alias("edge"))
-        .select("tile", "edge")
+    # Decile edges as ORDER STATISTICS of the per-tick histogram (r11,
+    # guide §2.3 "aggregate before you shuffle"): the oracle's
+    # NTILE(10) OVER (ORDER BY tick, event_id) edge for tile t <= 9 is
+    # max(tick) within the tile == the tick of the row at global rank
+    #   pos_t = t*floor(n/10) + least(t, n % 10)
+    # (ascending sort => the tile's last row carries its max), and the
+    # VALUE at a given rank is independent of how ties are ordered
+    # (event_id only permutes rows WITHIN equal ticks). So the edges
+    # need only per-tick counts: groupBy(tick) partial-aggregates
+    # map-side, and the two-phase scan runs over the DOMAIN-sized
+    # histogram (|distinct ticks| rows) instead of the row-sized first
+    # half — the former global_ntile range exchange + window over every
+    # pre row collapses to one tiny shuffle. A tick's rows occupy ranks
+    # (cum - cnt, cum], so tick == edge_t iff pos_t lands inside; empty
+    # tiles (n < 10, pos_t == pos_{t-1}) emit nothing, exactly like the
+    # oracle's max-over-empty-group.
+    cnt = pre.groupBy("tick").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = global_cumsum(cnt, ["tick"], ["cnt"], with_totals=True)
+    _n = F.col("tot_cnt")
+    _q = F.floor(_n / F.lit(10))
+    _r = _n % F.lit(10)
+
+    def _pos(tt: Column) -> Column:
+        return tt * _q + F.least(tt, _r)
+
+    edges = cum.select(
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(9)),
+                lambda tt: ((_q > 0) | (tt <= _r))
+                & (_pos(tt) > F.col("cum_cnt") - F.col("cnt"))
+                & (_pos(tt) <= F.col("cum_cnt")),
+            )
+        ).alias("tile"),
+        F.col("tick").alias("edge"),
     )
 
     # 9 edges as ONE broadcast array row: binning is then a per-row
