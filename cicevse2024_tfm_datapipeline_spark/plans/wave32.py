@@ -6,9 +6,10 @@ beta-binomial shrinkage of per-key rates.
 Scale extensions beyond the reference pipeline surface. House rules:
 split-candidate statistics are exact integer sums from one scan per
 boosting round (the candidate grid is a literal — explode x 19, fold
-map-side), every argmax runs as a three-step max ladder on the bounded
-candidate frame (no unpartitioned window, no float-ordering ambiguity
-— gains are identical doubles from identical exact operands), KN
+map-side), every argmax runs as one max_by over the lexicographic
+(gain, key...) struct on the bounded candidate frame (no unpartitioned
+window, no float-ordering ambiguity — gains are identical doubles from
+identical exact operands, and the grouping key breaks ties), KN
 probabilities tick to 1e6 nats before cross-row summation, and the
 shrinkage moments are exact tick sums. All closing double arithmetic is
 shared SQL text evaluated by BOTH engines (F.expr on the Spark side).
@@ -165,8 +166,10 @@ _PRED = (
     "residual sums come in closed form from the round-1 leaf values "
     "and the (candidate-side x round-1-side) contingency counts, so "
     "residuals are never materialized per row. The argmax is a "
-    "three-step max ladder on the 19-row frame (identical doubles in "
-    "both engines — no float-ordering window). A final scan scores "
+    "single max_by over the lexicographic (gain, feat, thr) struct on "
+    "the 19-row frame — the same selection as a max ladder, one "
+    "aggregate (identical doubles in both engines — no float-ordering "
+    "window). A final scan scores "
     "train RMSE/R^2 with residual squares ticked before summation. "
     "This is the distributed-histogram split search every scalable GBM "
     "(XGBoost/LightGBM) runs, expressed as three aggregates.",
@@ -198,29 +201,40 @@ def ml_gbm_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(side, F.col("y")).otherwise(0)).cast("long").alias("syl"),
         )
     )
-    # the tiny frames between rounds are PINNED (lazy localCheckpoint):
-    # the argmax ladder joins its input against three of its own
-    # aggregates (2^3 copies of the subtree in the logical plan), and
-    # round 2 embeds round 1's best — unpinned, the plan grows
-    # multiplicatively and Catalyst analysis alone cost ~7 s while the
-    # round-1 scan re-executed once per copy. Each pin is a <=19-row
-    # frame; the boosting scans run once per round, as designed.
+    # r11 restructure (guide §1.2 "don't compute things you throw
+    # away" / §2.4): the argmax used to be a three-step max ladder —
+    # 3 scalar aggregates + 3 equality self-joins per round — which
+    # consumed its input 2^3 ways and forced a lazy localCheckpoint on
+    # each candidate frame just to stop the plan growing
+    # multiplicatively (Catalyst analysis alone measured ~7 s unpinned,
+    # round 4). The ladder's selection — max gain, then max feat among
+    # those, then max thr among those — IS the lexicographic maximum of
+    # the struct (gain, feat, thr), because (feat, thr) is the
+    # grouping key (unique, so trailing value fields can never affect
+    # the ordering). ONE max_by aggregate replaces the six plan nodes,
+    # the candidate frames become single-consumer (their pins and the
+    # per-pin Catalyst planning passes are deleted), and doubles are
+    # still compared exactly (no float-ordering ambiguity: identical
+    # gains fall through to the exact-integer feat/thr tiebreak, as
+    # before). The candidate frames become single-consumer and lose
+    # their pins; the two cross-round 1-row frames keep theirs (best1
+    # has two consumers; best2's trade is measured in its comment).
     cand1v = (
         cand1.crossJoin(F.broadcast(glob))
         .filter((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
         .withColumn("gain1", F.expr(_GAIN1))
-        .localCheckpoint(eager=False)
     )
 
-    def argmax(df: DataFrame, gain: str) -> DataFrame:
-        m = df.agg(F.max(gain).alias("__m"))
-        s1 = df.join(F.broadcast(m), F.col(gain) == F.col("__m")).drop("__m")
-        mf = s1.agg(F.max("feat").alias("__bf"))
-        s2 = s1.join(F.broadcast(mf), F.col("feat") == F.col("__bf")).drop("__bf")
-        mt = s2.agg(F.max("thr").alias("__bt"))
-        return s2.join(F.broadcast(mt), F.col("thr") == F.col("__bt")).drop("__bt")
+    def argmax(df: DataFrame, gain: str, fields: list[str]) -> DataFrame:
+        pick = F.max_by(
+            F.struct(*[F.col(c) for c in fields]),
+            F.struct(F.col(gain), F.col("feat"), F.col("thr")),
+        ).alias("__b")
+        return df.agg(pick).select("__b.*")
 
-    best1 = argmax(cand1v, "gain1").select(
+    best1 = argmax(
+        cand1v, "gain1", ["feat", "thr", "nl", "syl", "n", "sy"]
+    ).select(
         F.col("feat").alias("bf1"),
         F.col("thr").alias("bt1"),
         F.col("nl").alias("nl1tot"),
@@ -248,9 +262,16 @@ def ml_gbm_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sr2l", F.expr(_SR2L))
         .withColumn("sr2r", F.expr(_SR2R))
         .withColumn("gain2", F.expr(_GAIN2))
-        .localCheckpoint(eager=False)
     )
-    best2 = argmax(cand2v, "gain2").select(
+    # best2 keeps its pin: dropping it was measured FLAT on a fresh
+    # build+action (the checkpoint's Catalyst pass just moves into the
+    # action's planning) while tripling pure re-execution (the round-2
+    # expansion scan re-runs on every later action instead of reading
+    # the 1-row checkpoint) — the pin is the better trade for any
+    # multi-action consumer
+    best2 = argmax(
+        cand2v, "gain2", ["feat", "thr", "sr2l", "sr2r", "nl", "n"]
+    ).select(
         F.col("feat").alias("bf2"),
         F.col("thr").alias("bt2"),
         F.expr(_G2L).alias("g2l"),
