@@ -40,13 +40,17 @@ def pagerank_fixed(
     symmetric edge frame: rank_{k+1}(v) = (1-d)/N + d·Σ_{u→v} rank_k(u)/deg(u).
     Returns (node, rank). N and degrees come from the edge frame; isolated
     nodes are absent by construction (dedup graphs carry no singletons)."""
-    # edges / deg / nodes are consumed once PER ITERATION — pin them, or
-    # the (possibly expensive: LSH banding) edge subtree re-executes K
-    # times inside the unrolled plan
+    # edges / nodes are consumed once PER ITERATION — pin them, or the
+    # (possibly expensive: LSH banding) edge subtree re-executes K times
+    # inside the unrolled plan. Degree is folded INTO the pinned edge
+    # frame (r11, guide §2.4): it is loop-invariant, so joining it per
+    # iteration repeated a node-sized equi-join K times for the same
+    # result — (edges ⋈ deg) ⋈ rank produces the identical row set and
+    # the identical per-row rank/deg operands as the former
+    # (edges ⋈ rank) ⋈ deg, with one join per iteration instead of two.
     edges = edges.localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=False
-    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edeg = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=False
     )
@@ -57,8 +61,7 @@ def pagerank_fixed(
     d = float(damping)
     for _ in range(iters):
         contrib = (
-            edges.join(rank.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            edeg.join(rank.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
