@@ -280,6 +280,8 @@ _R11_CHANGED = [
     "pipeline_corpus_prep",
     "text_tfidf_topk",
     "text_quality_linear_classifier",
+    "ml_gbm_two_stumps",
+    "text_textrank_keywords",
 ]
 
 # Window computed with: python tools/next_window.py --rounds 9
@@ -378,15 +380,16 @@ _R08_CHANGED = [
 #   block 1 (2): never-driven — round 11 re-opens the ledger with the
 #     two wave43 registrations (text_url_canonicalize_hosts,
 #     dedup_suffix_lcp_histogram) — their first driver rows land here.
-#   block 2 (38 of the 39 _R11_CHANGED): every query whose PLAN the
+#   block 2 (40 of the 41 _R11_CHANGED): every query whose PLAN the
 #     optimization round changed (similarity norm precompute, MinHash
 #     signature pin, PSI/Q21/Q7/span/median/corpus-prep/TF-IDF/
-#     classifier restructures, plus the build-round's wasserstein/
-#     SRP/bounds-consumer changes) — each already re-proven
+#     classifier restructures, the PSI histogram edges + GBM max_by +
+#     PageRank degree-fold follow-ups, plus the build-round's
+#     wasserstein/SRP/bounds-consumer changes) — each already re-proven
 #     oracle-EXACT at three SFs in-round; the driver re-drive makes
 #     that official. dedup_minhash_lsh_pairs also qualifies but holds
 #     its ANCHOR slot (block 4), so it is not double-listed here.
-#   block 3 (6): oldest-rows-first rotation — the r03 cohort head.
+#   block 3 (4): oldest-rows-first rotation — the r03 cohort head.
 #   block 4 (4): anchors.
 _PRIORITY = [
     "text_url_canonicalize_hosts",
@@ -429,12 +432,12 @@ _PRIORITY = [
     "pipeline_corpus_prep",
     "text_tfidf_topk",
     "text_quality_linear_classifier",
+    "ml_gbm_two_stumps",
+    "text_textrank_keywords",
     "m8_sample_size_grid",
     "p8_p9_network_narrowing",
     "f14_json_sanitize_roundtrip",
     "stream_sink_partitioned_lake",
-    "stream_upsert_scd1",
-    "s13_jsonl_sink_roundtrip",
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
     "stream_session_window",
