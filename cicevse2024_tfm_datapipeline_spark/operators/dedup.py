@@ -109,11 +109,6 @@ def lsh_candidate_pairs(
     scale path: one signature pass + one self-equi-join on band keys."""
     assert num_hashes % bands == 0
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    # Exchange barrier: without it Catalyst's projection collapse INLINES
-    # the tokenize→shingle→digest chain into every band-key expression
-    # (8+ copies per row, huge codegen) and again into both self-join
-    # sides. The repartition materializes the signatures once — tiny rows
-    # (id + 8 short strings).
     # r11: exchange reuse between the two self-join branches is NOT
     # guaranteed — when AQE broadcast-converts one side, that branch
     # becomes a BroadcastExchange that cannot reuse the shuffle, and the
@@ -121,8 +116,16 @@ def lsh_candidate_pairs(
     # showed two parquet scans of documents). The lazy checkpoint pins
     # the NARROW signature frame (id + num_hashes 8-char slices — never
     # the corpus text) so the CPU-dense chain runs exactly once under
-    # any join strategy at any scale.
-    sigs = sigs.repartition(F.col(id_col)).localCheckpoint(eager=False)
+    # any join strategy at any scale. It is also a hard barrier against
+    # Catalyst's projection collapse inlining the chain into every
+    # band-key expression, which is all the pre-r11 repartition here was
+    # for — so the id repartition is gone (r12): it shuffled the
+    # signature frame for nothing (the band join re-shuffles by
+    # (band_idx, band_key) anyway, and minhash_signatures' ensure_min_
+    # parallelism already fans a starved scan out). Paired A/B/C at
+    # sf0.1 and 10x (.scratch/sf1): bench cost equal, one Exchange
+    # fewer, single-execution second_s preserved (0.34 vs 0.78 unpinned).
+    sigs = sigs.localCheckpoint(eager=False)
     keys = lsh_band_keys(sigs, id_col, bands, num_hashes // bands)
     a = keys.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
     b = keys.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
