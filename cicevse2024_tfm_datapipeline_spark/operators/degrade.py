@@ -148,7 +148,11 @@ def permute_feature_globally(
 
 
 def permute_feature_hash(
-    df: DataFrame, value_col: str, id_col: str, seed: int
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    seed: int,
+    id_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """R5 hash twin: global permutation of one column keyed by
     md5(seed|id) instead of seeded ``rand()`` — the permutation is a pure
@@ -167,12 +171,44 @@ def permute_feature_hash(
     key = F.md5(
         F.concat_ws("|", F.lit(str(int(seed))), F.col("__vid").cast("string"))
     )
-    rows = global_row_number(df, [id_col], "__slot")
+    # r12 (guide §2.4 / §5): both rank sides flip to the LINEAGE-FREE
+    # bounds scan with construction-known literal grids — no pinned
+    # range exchange, no localCheckpoint planning pass, no quantile job
+    # (the r11 N1 negative result only condemned QUANTILE-bounds on
+    # derived inputs; these inputs are direct scans and the grids are
+    # plan literals). Grid correctness never depends on the data —
+    # out-of-range/unbalanced bounds only shift bucket populations, and
+    # the within-bucket window applies the full total order — so:
+    # - id side: a uniform grid over [min_id, max_id] from ``id_bounds``
+    #   (callers pass footer-metadata min/max — an input-table property,
+    #   like the SRP ladder width);
+    # - key side: md5-hex is uniform by construction, so a uniform grid
+    #   over the 32-bit integer value of the FIRST 8 hex chars is
+    #   perfectly balanced at any corpus size. ``__pknum`` (that prefix
+    #   as a number) is prepended to the order — lexicographic order of
+    #   fixed-length lowercase hex equals numeric order of its value, so
+    #   (pknum, pk, vid) is the IDENTICAL total order as (pk, vid) and
+    #   the assigned row numbers are unchanged.
+    n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    key_grid = [i * 4294967296.0 / n_buckets for i in range(1, n_buckets)]
+    pknum = F.conv(F.substring(F.col("__pk"), 1, 8), 16, 10).cast("long")
+    if id_bounds is not None:
+        lo, hi = float(id_bounds[0]), float(id_bounds[1])
+        step = (hi - lo) / n_buckets
+        id_grid = [lo + i * step for i in range(1, n_buckets)] if step > 0 else []
+        rows = global_row_number(
+            df, [id_col], "__slot", bucketing="bounds", fixed_bounds=id_grid
+        )
+    else:
+        rows = global_row_number(df, [id_col], "__slot")
     vals = global_row_number(
         df.select(F.col(value_col).alias("__pv"), F.col(id_col).alias("__vid"))
-        .withColumn("__pk", key),
-        ["__pk", "__vid"],
+        .withColumn("__pk", key)
+        .withColumn("__pknum", pknum),
+        ["__pknum", "__pk", "__vid"],
         "__slot",
+        bucketing="bounds",
+        fixed_bounds=key_grid,
     ).select("__slot", "__pv")
     return (
         rows.join(vals, "__slot")

@@ -601,15 +601,18 @@ def global_row_number(
     out_col: str = "__rn",
     descending: bool = False,
     bucketing: str = "pinned",
+    fixed_bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Global 1-based row number over ``order_cols`` with no unpartitioned
     window — the two-phase scan over a constant-1 column. The order should
     be total (add a tiebreak column) for a deterministic assignment.
     ``bucketing`` forwards to :func:`global_cumsum` ("bounds" = the
-    lineage-free quantile-bound mapping, identical results)."""
+    lineage-free quantile-bound mapping, identical results);
+    ``fixed_bounds`` (bounds mode) skips the quantile job with a
+    caller-provided literal grid — see global_cumsum's note."""
     cum = global_cumsum(
         df.withColumn("__one", F.lit(1)), order_cols, ["__one"], descending,
-        bucketing=bucketing,
+        bucketing=bucketing, fixed_bounds=fixed_bounds,
     )
     return cum.withColumnRenamed("cum___one", out_col).drop("__one")
 

@@ -513,9 +513,21 @@ def r5_hash_permutation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cicevse2024_tfm_datapipeline_spark.operators.degrade import (
         permute_feature_hash,
     )
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import (
+        table_column_minmax,
+    )
 
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    perm = permute_feature_hash(ev, "value", "event_id", seed=17)
+    # id_bounds from footer statistics (r12): both rank scans run in
+    # fixed-bounds mode — no pinned range exchange, no quantile job; the
+    # grid only sets bucket balance, never results (degrade.py comment)
+    perm = permute_feature_hash(
+        ev,
+        "value",
+        "event_id",
+        seed=17,
+        id_bounds=table_column_minmax(sf_dir, "events", "event_id"),
+    )
     return perm.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.floor("value").cast("long")).cast("long").alias("sum_floor_perm"),

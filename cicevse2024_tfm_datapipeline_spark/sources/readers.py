@@ -143,6 +143,48 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return _ROW_COUNT_CACHE[key]
 
 
+_COL_MINMAX_CACHE: dict[tuple, tuple] = {}
+
+
+def table_column_minmax(sf_dir: str, name: str, column: str) -> tuple:
+    """EXACT (min, max) of one column from parquet footer statistics —
+    driver-side, no Spark job (r12, the table_row_count discipline: an
+    input-table property read from metadata, fingerprint-cached). Raises
+    if any row group lacks stats for the column; callers use this only
+    to size literal bucket grids, where correctness never depends on the
+    values (a wrong grid skews bucket balance, not results)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (path, column, *_dataset_fingerprint(path))
+    if key not in _COL_MINMAX_CACHE:
+        files = (
+            [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            ]
+            if os.path.isdir(path)
+            else [path]
+        )
+        lo = hi = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(column)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"no parquet min/max statistics for {name}.{column}"
+                    )
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            raise ValueError(f"no row groups in {path}")
+        _COL_MINMAX_CACHE[key] = (lo, hi)
+    return _COL_MINMAX_CACHE[key]
+
+
 def _unstarve(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Split-starved-scan mitigation: when the parquet layout physically
     caps scan parallelism far below the cluster (single-file single-
