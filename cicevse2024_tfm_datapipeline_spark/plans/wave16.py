@@ -216,7 +216,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A", "survival", "kaplan-meier"),
 )
 def a_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cicevse2024_tfm_datapipeline_spark.operators.scan import global_cumsum
+    from pyspark.sql import Window as W
+
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import (
+        PID,
+        offsets_from_totals,
+        range_bucketed,
+    )
 
     us = F.expr(_US)
     per_user = (
@@ -247,25 +253,67 @@ def a_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("c"),
     )
     cells = cells.withColumn("dc", F.col("d") + F.col("c"))
-    risk = global_cumsum(cells, ["t_ms"], ["dc"], with_totals=True).select(
-        "t_ms",
-        "d",
-        (F.col("tot_dc") - (F.col("cum_dc") - F.col("dc"))).alias("n_risk"),
+    # r12 fold (guide §2.4): the two stacked global cumsums share the
+    # SAME scan order (t_ms), so ONE pinned range exchange serves both.
+    # The old shape ran a second full two-phase scan over the derived
+    # risk frame — a second range exchange (whose RangePartitioner
+    # SAMPLES its input, re-executing the first scan's window chain per
+    # build), a second localCheckpoint planning pass and materialization.
+    # Now: the first cumsum's window output is hash-partitioned by PID
+    # and sorted (PID, t_ms), and broadcast joins preserve both, so the
+    # second cumsum's window layer adds NO exchange and NO sort; its
+    # cross-partition offsets come from the same offsets_from_totals
+    # combine over a per-PID re-aggregation (domain-sized, reads the
+    # same pin). Equivalence: a cumsum over the d>0-filtered subset
+    # ordered by t_ms equals the conditional cumsum over all cells
+    # restricted to d>0 rows (excluded rows contribute exact-integer
+    # zeros), and any monotone bucketing serves the prefix combine —
+    # PID from the first pass is monotone in t_ms by construction.
+    b = range_bucketed(cells, ["t_ms"])
+    w_cum = (
+        W.partitionBy(PID)
+        .orderBy(F.col("t_ms").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
     )
-    ev_rows = risk.filter(F.col("d") > 0).withColumn(
-        "lt",
-        F.when(F.col("d") >= F.col("n_risk"), F.lit(-50000000000)).otherwise(
-            F.floor(
-                F.log(F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n_risk"))
-                * 1000000000
-                + F.lit(0.5)
-            ).cast("long")
-        ),
+    loc = b.withColumn("__loc_dc", F.sum("dc").over(w_cum))
+    tot1 = b.groupBy(PID).agg(F.sum("dc").alias("__tot_dc"))
+    offs1 = offsets_from_totals(tot1, ["__tot_dc"], prefix="__o_")
+    grand = tot1.agg(F.sum("__tot_dc").alias("tot_dc"))
+    risk = (
+        loc.join(F.broadcast(offs1), PID)
+        .crossJoin(F.broadcast(grand))
+        .withColumn("cum_dc", F.col("__loc_dc") + F.col("__o___tot_dc"))
+        .withColumn(
+            "n_risk", F.col("tot_dc") - (F.col("cum_dc") - F.col("dc"))
+        )
     )
-    ev_rows = ev_rows.withColumn("one", F.lit(1))
-    km = global_cumsum(ev_rows, ["t_ms"], ["lt", "one"])
+    # per-row log-tick, zeroed on non-event rows OUTSIDE the whole
+    # expression (d = 0 with an exhausted risk set would otherwise take
+    # the d >= n_risk cap branch)
+    lt_raw = F.when(F.col("d") >= F.col("n_risk"), F.lit(-50000000000)).otherwise(
+        F.floor(
+            F.log(F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("n_risk"))
+            * 1000000000
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    ev = risk.withColumn(
+        "lt0", F.when(F.col("d") > 0, lt_raw).otherwise(F.lit(0).cast("long"))
+    ).withColumn("one0", (F.col("d") > 0).cast("long"))
+    loc2 = ev.withColumn("__loc_lt", F.sum("lt0").over(w_cum)).withColumn(
+        "__loc_one", F.sum("one0").over(w_cum)
+    )
+    tot2 = ev.groupBy(PID).agg(
+        F.sum("lt0").alias("__t_lt"), F.sum("one0").alias("__t_one")
+    )
+    offs2 = offsets_from_totals(tot2, ["__t_lt", "__t_one"], prefix="__o2_")
+    km = (
+        loc2.join(F.broadcast(offs2), PID)
+        .withColumn("cum_lt", F.col("__loc_lt") + F.col("__o2___t_lt"))
+        .withColumn("cum_one", F.col("__loc_one") + F.col("__o2___t_one"))
+    )
     return (
-        km.filter(F.col("cum_one") <= 30)
+        km.filter((F.col("d") > 0) & (F.col("cum_one") <= 30))
         .select(
             "t_ms",
             F.col("n_risk").cast("long").alias("n_risk"),
