@@ -104,10 +104,27 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from MinHash-LSH banding — the
-    scale path: one signature pass + one self-equi-join on band keys."""
+    scale path: one signature pass + one self-equi-join on band keys.
+
+    ``sig_df``: a caller-precomputed signature frame (id + mh_0..mh_k-1,
+    e.g. a projection of a shared pinned frame that also carries the
+    caller's verify payload — dedup_containment_pairs shares ONE
+    tokenize pass this way, r12). The caller owns its pin; the default
+    path pins its own signatures as below."""
     assert num_hashes % bands == 0
+    if sig_df is not None:
+        keys = lsh_band_keys(sig_df, id_col, bands, num_hashes // bands)
+        a = keys.select(F.col(id_col).alias("doc_a"), "band_idx", "band_key")
+        b = keys.select(F.col(id_col).alias("doc_b"), "band_idx", "band_key")
+        return (
+            a.join(b, ["band_idx", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     # r11: exchange reuse between the two self-join branches is NOT
     # guaranteed — when AQE broadcast-converts one side, that branch

@@ -96,26 +96,51 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles_expr,
     )
 
+    from cicevse2024_tfm_datapipeline_spark.operators.dedup import (
+        minhash_signature_exprs,
+        shingle_digest_expr,
+    )
+
     # wide=True: minhash signatures + shingle verify are CPU-dense
     docs = t(spark, sf_dir, "documents", wide=True)
-    cand = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles_expr(tokens_expr(F.col("text")), 3))
-        ).alias("s"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("sh60"),
+    # r12 (guide §1.2 / VERDICT r11 #3): the corpus was tokenized TWICE —
+    # once for the minhash signatures inside lsh_candidate_pairs, once
+    # for the verify shingle sets (explode → md5 → groupBy collect_list).
+    # Both derive from the SAME k=3 shingle array, so ONE pinned frame
+    # now carries id + 8 signature slices + the sorted 60-bit verify set:
+    # one tokenize→shingle pass, one pin (replacing the two pins — the
+    # old `sets` pin already carried the ss arrays, so the pinned bytes
+    # barely change), and the verify set is a PER-ROW array expression
+    # (sort_array∘transform∘array_distinct — no explode, no corpus
+    # shuffle; identical multiset → identical sorted list, n = array
+    # size = the old per-doc row count). Docs with an empty shingle
+    # array are filtered from the verify side (explode emitted no rows
+    # for them, so they never reached the old groupBy either); the
+    # signature side keeps every doc, exactly as before.
+    toks = tokens_expr(F.col("text"))
+    base = docs.select(F.col("doc_id"), word_shingles_expr(toks, 3).alias("__sh"))
+    hashed = base.select(
+        "doc_id", "__sh", shingle_digest_expr(F.col("__sh")).alias("__hashed")
     )
-    sets = (
-        sh.groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("sh60")).alias("ss"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint(eager=False)
+    combined = hashed.select(
+        "doc_id",
+        *minhash_signature_exprs(F.col("__hashed"), NUM_HASHES),
+        F.sort_array(
+            F.transform(
+                F.array_distinct(F.col("__sh")),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("ss"),
+    ).localCheckpoint(eager=False)
+    sigs = combined.select("doc_id", *[f"mh_{i}" for i in range(NUM_HASHES)])
+    cand = lsh_candidate_pairs(
+        docs, "text", "doc_id", NUM_HASHES, BANDS, 3, sig_df=sigs
     )
+    sets = combined.select(
+        "doc_id", "ss", F.size("ss").cast("long").alias("n")
+    ).filter(F.col("n") > 0)
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"), F.col("n").alias("na")
     )
