@@ -2431,18 +2431,27 @@ def g_pagerank_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "triangles", "dedup"),
 )
 def g_triangle_count_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cicevse2024_tfm_datapipeline_spark.operators.graph import (
-        triangle_count,
-        undirect,
-    )
-
     docs = t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs, "text", "doc_id", NUM_HASHES, BANDS, 3)
-    edges = undirect(pairs)
-    n_edges = edges.filter(F.col("src") < F.col("dst")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_edges")
+    # r12 (guide §2.4): triangle_count immediately re-orients its
+    # symmetric input with filter(src < dst), and undirect(pairs) of a
+    # distinct a<b pair set filtered back to src<dst is the IDENTITY —
+    # so the union+distinct round trip (which executed the unpinned band
+    # join once per consumer) is gone: the pinned pair frame feeds the
+    # 3-clique join and the edge count directly.
+    pairs = lsh_candidate_pairs(
+        docs, "text", "doc_id", NUM_HASHES, BANDS, 3
+    ).localCheckpoint(eager=False)
+    ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = ab.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = ab.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .filter(F.col("b") < F.col("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    return triangle_count(edges).crossJoin(F.broadcast(n_edges))
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))
 
 
 @register(

@@ -92,7 +92,10 @@ def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(
         docs, "text", "doc_id", NUM_HASHES, BANDS, 3
     ).localCheckpoint(eager=False)
-    edges = undirect(pairs)
+    # r12 (guide §2.4, the pagerank loop-invariant-fold pattern): edges
+    # has THREE consumers (deg, both wedge sides) — unpinned, the
+    # union+distinct over the pair pin re-executed per branch
+    edges = undirect(pairs).localCheckpoint(eager=False)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )

@@ -92,23 +92,38 @@ def g_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(
         docs, "text", "doc_id", NUM_HASHES, BANDS, 3
     ).localCheckpoint(eager=False)
-    edges = undirect(pairs)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    e1 = edges.select(F.col("src").alias("node"), F.col("dst").alias("v"))
-    e2 = edges.select(F.col("src").alias("node"), F.col("dst").alias("w"))
-    wedge = (
-        e1.join(e2, "node")
-        .filter(F.col("v") < F.col("w"))
-        .join(deg, "node")
+    # r12 (guide §2.4, the pagerank loop-invariant-fold pattern): edges
+    # has three consumers (deg + both wedge sides) — unpinned, the
+    # union+distinct over the pair pin re-executed per branch. The
+    # per-center tick (a pure function of the center's degree) is also
+    # folded into the e1 side BEFORE the wedge self-join: the identical
+    # rows and per-row ln(deg) operands by inner-equi-join associativity,
+    # but the node-sized deg join now runs on the EDGE-sized frame
+    # instead of the wedge-sized (sum deg^2) one.
+    edges = undirect(pairs).localCheckpoint(eager=False)
+    # deg >= 2 BEFORE the tick projection: a wedge center has two
+    # distinct neighbors by construction (v < w), so degree-1 nodes can
+    # never contribute — and their ln(1) = 0 tick division must not
+    # evaluate (ANSI divide-by-zero; the old post-wedge join only ever
+    # saw center nodes)
+    degt = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= 2)
         .select(
-            "v",
-            "w",
+            "node",
             F.floor(F.lit(1000000000.0) / F.log(F.col("deg")) + F.lit(0.5))
             .cast("long")
             .alias("tick"),
         )
+    )
+    e1 = edges.select(F.col("src").alias("node"), F.col("dst").alias("v"))
+    e2 = edges.select(F.col("src").alias("node"), F.col("dst").alias("w"))
+    wedge = (
+        e1.join(degt, "node")
+        .join(e2, "node")
+        .filter(F.col("v") < F.col("w"))
+        .select("v", "w", "tick")
     )
     scored = wedge.groupBy("v", "w").agg(
         F.sum("tick").cast("long").alias("score_ticks"),
