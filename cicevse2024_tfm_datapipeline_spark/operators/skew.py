@@ -20,6 +20,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: memo for ensure_min_parallelism keyed on the INPUT PLAN OBJECT's
+#: identity (r12, guide §5 — driver-side build cost): the partition-count
+#: probe costs a full physical-planning pass (`df.rdd`) per call, and the
+#: decision is a pure function of the plan, so the same DataFrame object
+#: (the readers plan cache returns shared scan objects) never pays it
+#: twice. Values hold (input, result) — keeping the input alive pins its
+#: id() so keys cannot alias; entries are plan objects only, no data.
+_EMP_MEMO: dict[int, tuple[DataFrame, DataFrame]] = {}
+_EMP_MEMO_MAX = 256
+
+
 def ensure_min_parallelism(df: DataFrame) -> DataFrame:
     """Fan out before expensive per-row compute when the scan yields fewer
     splits than cores (a single small parquet row-group = ONE task, which
@@ -32,11 +43,16 @@ def ensure_min_parallelism(df: DataFrame) -> DataFrame:
         # streaming frame — the source's maxFilesPerTrigger/cluster conf
         # governs parallelism there
         return df
+    hit = _EMP_MEMO.get(id(df))
+    if hit is not None and hit[0] is df:
+        return hit[1]
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    if len(_EMP_MEMO) >= _EMP_MEMO_MAX:
+        _EMP_MEMO.clear()
+    _EMP_MEMO[id(df)] = (df, out)
+    return out
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:

@@ -143,10 +143,17 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The EXPLICIT count keeps AQE from coalescing the floor away
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sh = sh.repartition(n_parts, "doc_id").localCheckpoint(eager=False)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # r12 (guide §2.4, the r11 tfidf pattern re-proven by this round's
+    # paired A/B): the global document frequency is the row count of a
+    # shingle's partition in sh — an unbounded-frame window count over
+    # shingle replaces the former df groupBy + join-back, which
+    # re-shuffled the corpus-sized exploded frame TWICE on the shingle
+    # key (once to aggregate, once to probe the join). Identical df
+    # values by definition (the join was inner on a key every sh row
+    # has); one shingle exchange instead of two.
     wpos = W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
         .withColumn("pos", F.row_number().over(wpos))
         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     )
