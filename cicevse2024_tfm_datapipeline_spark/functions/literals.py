@@ -46,6 +46,47 @@ def _split_schema(schema: str) -> list[tuple[str, str]]:
     return fields
 
 
+def _sql_scalar(v, typ: str) -> str:
+    """Render one Python value as a Spark SQL literal of ``typ`` —
+    bit-exact for doubles (repr is the shortest round-trip string and
+    Java's parseDouble applies the same IEEE round-to-nearest, so the
+    parsed double is identical to ``F.lit(v)``'s)."""
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    t = typ.strip().lower()
+    if t.startswith("array<"):
+        inner = typ.strip()[6:-1]
+        items = ", ".join(_sql_scalar(x, inner) for x in v)
+        return f"array({items})"
+    if isinstance(v, bool):
+        return f"CAST({'TRUE' if v else 'FALSE'} AS {typ})"
+    if isinstance(v, float):
+        r = repr(float(v))
+        if r in ("inf", "-inf", "nan"):
+            mapped = {"inf": "Infinity", "-inf": "-Infinity", "nan": "NaN"}[r]
+            return f"CAST('{mapped}' AS {typ})"
+        return f"CAST({r}D AS {typ})"
+    if isinstance(v, int):
+        return f"CAST({int(v)}L AS {typ})"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"CAST('{s}' AS {typ})"
+
+
+def literal_array_expr(rows: Sequence[Sequence], fields: Sequence[tuple[str, str]]) -> str:
+    """SQL text for ``array(named_struct(...), ...)`` over driver rows —
+    ONE parser call instead of one py4j round trip per value (r12,
+    guide §5: a 16x64 centroid literal built ~1,100 Column objects
+    through py4j per query build; as a single expr string the whole
+    relation costs one call)."""
+    structs = []
+    for row in rows:
+        parts = []
+        for v, (name, typ) in zip(row, fields):
+            parts.append(f"'{name}', {_sql_scalar(v, typ)}")
+        structs.append(f"named_struct({', '.join(parts)})")
+    return f"array({', '.join(structs)})"
+
+
 def literal_df(
     spark: SparkSession, rows: Sequence[Sequence], schema: str
 ) -> DataFrame:
@@ -55,17 +96,8 @@ def literal_df(
     fields = _split_schema(schema)
     if not rows:
         return spark.createDataFrame([], schema=schema)
-    structs = [
-        F.struct(
-            *[
-                F.lit(v).cast(typ).alias(name)
-                for v, (name, typ) in zip(row, fields)
-            ]
-        )
-        for row in rows
-    ]
     return (
         spark.range(1)
-        .select(F.explode(F.array(*structs)).alias("__r"))
+        .select(F.explode(F.expr(literal_array_expr(rows, fields))).alias("__r"))
         .select("__r.*")
     )

@@ -202,17 +202,19 @@ def _centroid_literal(cent_rows: list[tuple[int, list[float]]]) -> Column:
     centroid>> column. Foldable constant — assignment/probing become a
     pure per-row projection: no centroid subplan, no broadcast exchange,
     no extra jobs. Only for small quantizers (the caller gates on size);
-    large centroid tables go through the broadcast-join path."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(c)).cast("int").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in v])
-                .cast("array<double>")
-                .alias("centroid"),
-            )
-            for c, v in cent_rows
-        ]
+    large centroid tables go through the broadcast-join path.
+
+    Built as ONE SQL expression string (r12, guide §5): the Column-object
+    path issued a py4j round trip per double (~1,100 for a 16x64
+    quantizer) on every build; the rendered literals are repr() doubles,
+    bit-identical after parse."""
+    from cicevse2024_tfm_datapipeline_spark.functions.literals import (
+        literal_array_expr,
+    )
+
+    rows = [(int(c), [float(x) for x in v]) for c, v in cent_rows]
+    return F.expr(
+        literal_array_expr(rows, [("cell", "int"), ("centroid", "array<double>")])
     )
 
 
