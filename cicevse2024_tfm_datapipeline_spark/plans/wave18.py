@@ -93,15 +93,18 @@ _DAY_US = 86_400_000_000
     "halves of the value distribution — THE production drift monitor "
     "for model inputs (rule of thumb: PSI < 0.1 stable, > 0.25 "
     "retrain). Decile edges are exact order statistics of the FIRST "
-    "half (NTILE over integer ticks with event-id tiebreaks — the "
-    "reference population owns the binning, as in production "
-    "monitoring), bin assignment is 9 integer comparisons against the "
+    "half — derived from the domain-sized per-tick histogram (groupBy "
+    "tick + a tiny two-phase cumsum locating each NTILE boundary rank; "
+    "tick values at a given rank are tiebreak-independent), so the "
+    "reference population owns the binning without a row-sized range "
+    "scan — bin assignment is 9 integer comparisons against the "
     "broadcast edge list, and both halves' bin counts are exact "
     "integers. Each bin's (p-q)·ln(p/q) contribution — Laplace-"
     "smoothed (+0.5/+5) so empty bins stay finite — derives from "
     "identical exact rationals and ticks to a 1e-9 BIGINT before the "
-    "sum, so the PSI is order-free and engine-identical. Shapes: one "
-    "range scan for deciles; binning is a per-row size(filter(edges)) "
+    "sum, so the PSI is order-free and engine-identical. Shapes: a "
+    "domain-sized histogram + tiny cumsum for the decile edges (r11); "
+    "binning is a per-row size(filter(edges)) "
     "against ONE broadcast 9-element array (round 7 — the earlier "
     "edge cross-join expanded every row 9x and re-aggregated per "
     "event_id before counting; the array form bins in the scan "

@@ -230,7 +230,12 @@ def ml_gbm_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(*[F.col(c) for c in fields]),
             F.struct(F.col(gain), F.col("feat"), F.col("thr")),
         ).alias("__b")
-        return df.agg(pick).select("__b.*")
+        # degenerate-input guard (r11 ADVICE): a global agg emits one row
+        # even over an empty candidate frame, where max_by yields NULL —
+        # the oracle's CTE chain yields zero rows there. Unreachable on
+        # real fixtures (lineitem non-empty); the filter restores the
+        # zero-row behavior without touching any non-degenerate result.
+        return df.agg(pick).where(F.col("__b").isNotNull()).select("__b.*")
 
     best1 = argmax(
         cand1v, "gain1", ["feat", "thr", "nl", "syl", "n", "sy"]
