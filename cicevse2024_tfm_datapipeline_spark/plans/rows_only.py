@@ -63,18 +63,24 @@ def _windows_df(spark: SparkSession, sf_dir: str, seq_len: int = 4) -> DataFrame
 
 
 def _degrade_summary(df: DataFrame) -> DataFrame:
-    cells = F.aggregate(
-        F.flatten("matrix"),
-        F.struct(F.lit(0).alias("z"), F.lit(0).alias("n")),
-        lambda acc, x: F.struct(
-            (acc["z"] + F.when(x == 0.0, 1).otherwise(0)).alias("z"),
-            (acc["n"] + F.lit(1)).alias("n"),
-        ),
-    )
-    return df.select("window_id", cells.alias("c")).agg(
+    # r12 (the r11 N3 lesson applied): the zero/total cell counts were a
+    # single interpreted fold with a STRUCT accumulator — one struct
+    # allocation per matrix cell, the exact per-element-allocation shape
+    # the N3 microbench measured 3.5x slower than allocation-free array
+    # traversals. size(filter(...)) + size() count the same cells
+    # (x == 0.0 is null-free here: matrices are dense doubles) with no
+    # per-element allocation. Measured first-action 4.61 -> 4.27 /
+    # 5.09 -> 4.56 s at sf0.1 (the mapInPandas stage dominates these
+    # paths); rows-only hashes unchanged.
+    flat = F.flatten("matrix")
+    return df.select(
+        "window_id",
+        F.size(F.filter(flat, lambda x: x == 0.0)).alias("__z"),
+        F.size(flat).alias("__n"),
+    ).agg(
         F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.col("c.z")).alias("n_zero_cells"),
-        F.sum(F.col("c.n")).alias("n_cells"),
+        F.sum("__z").alias("n_zero_cells"),
+        F.sum("__n").alias("n_cells"),
     )
 
 
