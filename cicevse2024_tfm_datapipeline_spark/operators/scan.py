@@ -340,15 +340,20 @@ def bounds_bucketed(
         bounds = sorted({x for x in bounds if x is not None and math.isfinite(x)})
     elif fixed_bounds is None:
         bounds = []
+    def _arr_lit(vals: list[float]) -> Column:
+        # one parsed expression instead of a py4j round trip per bound
+        # (r12, guide §5); repr + D suffix parses to bit-identical doubles
+        return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")")
+
     if not bounds:
         pid = F.lit(0)
     elif descending:
-        arr = F.lit([float(x) for x in sorted(bounds, reverse=True)])
+        arr = _arr_lit(sorted(bounds, reverse=True))
         pid = F.size(F.filter(arr, lambda bb: bb > keyc))
     else:
         # +1 keeps the asc null bucket (0) below every non-null bucket
         # while all PIDs stay non-negative (docstring: the -1 trap)
-        arr = F.lit([float(x) for x in bounds])
+        arr = _arr_lit(list(bounds))
         pid = F.size(F.filter(arr, lambda bb: bb < keyc)) + F.lit(1)
     null_bucket = F.lit(len(bounds) + 1 if descending else 0)
     return keyed.withColumn(

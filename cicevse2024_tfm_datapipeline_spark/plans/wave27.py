@@ -375,7 +375,14 @@ def srp_band_sig_expr(v, band: int, width: int = _BAND_PLANES) -> F.Column:
     sig = F.lit(0)
     for j in range(width):
         p = _plane(band, j)
-        w = F.slice(F.lit([float(c) for c in _SRP[p]]), 1, F.size(col))
+        # coefficient row as ONE parsed expression (r12, guide §5):
+        # F.lit(list) issues a py4j round trip per element — 64 per
+        # plane, ~1k per build at w=8 — while the rendered doubles
+        # (repr + D suffix) parse to bit-identical values in one call
+        arr = F.expr(
+            "array(" + ", ".join(f"{float(c)!r}D" for c in _SRP[p]) + ")"
+        )
+        w = F.slice(arr, 1, F.size(col))
         proj = dot_expr(col, w)
         sig = sig + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig.cast("long")
