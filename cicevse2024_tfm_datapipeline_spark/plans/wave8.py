@@ -164,7 +164,27 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("w"),
     )
     grp = pts.groupBy("cents").agg(F.sum("w").alias("w"))
-    scanned = global_cumsum(grp, ["cents"], ["w"], with_totals=True)
+    # r12: the range scan flips to fixed-bounds mode — the cents domain
+    # is bracketed by the footer statistics of l_extendedprice (an
+    # input-table property, the table_column_minmax discipline), so a
+    # literal uniform grid replaces the pinned range exchange + its
+    # localCheckpoint planning pass + the RangePartitioner sample job
+    # over the derived aggregate. Grid values only shift bucket balance
+    # (TPC-H prices are near-uniform), never results; both machinery
+    # branches re-read the map-side-combined grp aggregate, whose own
+    # exchange is shared via ReuseExchange.
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import (
+        table_column_minmax,
+    )
+
+    lo, hi = table_column_minmax(sf_dir, "lineitem", "l_extendedprice")
+    n_b = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    step = (float(hi) - float(lo)) * 100.0 / n_b
+    grid = [float(lo) * 100.0 + i * step for i in range(1, n_b)] if step > 0 else []
+    scanned = global_cumsum(
+        grp, ["cents"], ["w"], with_totals=True,
+        bucketing="bounds", fixed_bounds=grid,
+    )
     return (
         scanned.filter(2 * F.col("cum_w") >= F.col("tot_w"))
         .agg(
