@@ -1157,7 +1157,21 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "doc_id", F.size(tokens_expr("text")).alias("n_tok")
     )
-    cum = global_cumsum(per_doc, ["doc_id"], ["n_tok"])
+    # r12: fixed-bounds scan over a footer-bracketed doc_id grid (the r5
+    # / weighted-median discipline) — no pinned range exchange, no
+    # sampler job, no localCheckpoint planning pass; grid values shift
+    # bucket balance only (synthetic doc_ids are contiguous)
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import (
+        table_column_minmax,
+    )
+
+    lo, hi = table_column_minmax(sf_dir, "documents", "doc_id")
+    n_b = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    step = (float(hi) - float(lo)) / n_b
+    grid = [float(lo) + i * step for i in range(1, n_b)] if step > 0 else []
+    cum = global_cumsum(
+        per_doc, ["doc_id"], ["n_tok"], bucketing="bounds", fixed_bounds=grid
+    )
     chunk = F.floor(
         (F.col("cum_n_tok") - F.col("n_tok")) / F.lit(float(PACK_CAPACITY))
     ).cast("long")
