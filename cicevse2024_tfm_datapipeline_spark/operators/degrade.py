@@ -189,13 +189,13 @@ def permute_feature_hash(
     #   fixed-length lowercase hex equals numeric order of its value, so
     #   (pknum, pk, vid) is the IDENTICAL total order as (pk, vid) and
     #   the assigned row numbers are unchanged.
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import uniform_grid
+
     n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    key_grid = [i * 4294967296.0 / n_buckets for i in range(1, n_buckets)]
+    key_grid = uniform_grid(0.0, 4294967296.0, n_buckets)
     pknum = F.conv(F.substring(F.col("__pk"), 1, 8), 16, 10).cast("long")
     if id_bounds is not None:
-        lo, hi = float(id_bounds[0]), float(id_bounds[1])
-        step = (hi - lo) / n_buckets
-        id_grid = [lo + i * step for i in range(1, n_buckets)] if step > 0 else []
+        id_grid = uniform_grid(id_bounds[0], id_bounds[1], n_buckets)
         rows = global_row_number(
             df, [id_col], "__slot", bucketing="bounds", fixed_bounds=id_grid
         )

@@ -361,6 +361,18 @@ def bounds_bucketed(
     ).drop("__bb_key")
 
 
+def uniform_grid(lo, hi, n_buckets: int) -> list[float]:
+    """Literal bucket-bound grid for ``fixed_bounds``: ``n_buckets - 1``
+    uniform bounds over ``[lo, hi]`` (typically parquet footer statistics
+    — an input-table property). Grid values only set bucket BALANCE;
+    bucketing correctness never depends on them (out-of-range or skewed
+    grids just leave uneven/empty buckets, and the within-bucket window
+    applies the full order)."""
+    lo, hi = float(lo), float(hi)
+    step = (hi - lo) / n_buckets
+    return [lo + i * step for i in range(1, n_buckets)] if step > 0 else []
+
+
 def global_cumsum(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -629,6 +641,7 @@ def global_ntile(
     out_col: str = "tile",
     descending: bool = False,
     bucketing: str = "pinned",
+    fixed_bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """``NTILE(n) OVER (ORDER BY ...)`` with no unpartitioned window:
     exact SQL NTILE semantics (the first ``total % n`` tiles get the
@@ -645,6 +658,7 @@ def global_ntile(
         descending,
         with_totals=True,
         bucketing=bucketing,
+        fixed_bounds=fixed_bounds,
     )
     rn = F.col("cum___one")
     total = F.col("tot___one")
