@@ -142,7 +142,23 @@ def a_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiles (n < 10, pos_t == pos_{t-1}) emit nothing, exactly like the
     # oracle's max-over-empty-group.
     cnt = pre.groupBy("tick").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    cum = global_cumsum(cnt, ["tick"], ["cnt"], with_totals=True)
+    # r12: the histogram cumsum flips to fixed-bounds mode — the tick
+    # domain is bracketed by the footer statistics of events.value (the
+    # r5/mann-whitney discipline: grid sets balance only, never
+    # results), removing the inner pinned range exchange + sampler; the
+    # machinery branches re-read the PINNED b frame, not the corpus
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import uniform_grid
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import (
+        table_column_minmax,
+    )
+
+    _lo, _hi = table_column_minmax(sf_dir, "events", "value")
+    _nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cum = global_cumsum(
+        cnt, ["tick"], ["cnt"], with_totals=True,
+        bucketing="bounds",
+        fixed_bounds=uniform_grid(float(_lo) * 10000.0, float(_hi) * 10000.0, _nb),
+    )
     _n = F.col("tot_cnt")
     _q = F.floor(_n / F.lit(10))
     _r = _n % F.lit(10)
