@@ -203,6 +203,7 @@ def _global_ttd_episodes(
     y_pred_col: str,
     episode_id_col: str | None,
     bucketing: str = "pinned",
+    fixed_bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Fused single-pass global TTD: per-episode ``(start_idx, det_idx)``
     without EVER materializing per-row global ids.
@@ -247,8 +248,12 @@ def _global_ttd_episodes(
     if bucketing == "bounds":
         # lineage-free (round 10): see _global_islands — deterministic
         # expression PIDs, no pin anywhere, exchange reuse dedupes the
-        # heavy stages across the segment frame's consumers
-        bucketed = bounds_bucketed(df, order_cols)
+        # heavy stages across the segment frame's consumers.
+        # ``fixed_bounds`` (r12) additionally skips the per-build
+        # approxQuantile driver job when the caller knows the key domain
+        # (e.g. footer timestamp statistics) — grid values only set
+        # bucket balance, never results (scan.uniform_grid note).
+        bucketed = bounds_bucketed(df, order_cols, fixed_bounds=fixed_bounds)
     else:
         bucketed = range_bucketed(df, order_cols, pin=False)
 
@@ -411,6 +416,7 @@ def ttd_stats(
     episode_id_col: str | None = None,
     partition_cols: Sequence[str] = (),
     bucketing: str = "pinned",
+    fixed_bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Episode detection summary: one row with episodes_total,
     episodes_detected, avg_ttd_seconds, avg_ttd_hours.
@@ -436,7 +442,8 @@ def ttd_stats(
         # fused single-pass path: per-episode stats straight from the
         # (bucket, local island) segment frame — no per-row global ids
         eps = _global_ttd_episodes(
-            df, order_cols, y_true_col, y_pred_col, episode_id_col, bucketing
+            df, order_cols, y_true_col, y_pred_col, episode_id_col, bucketing,
+            fixed_bounds=fixed_bounds,
         )
     delay = (F.col("det_idx") - F.col("start_idx")) * F.lit(float(window_hop_seconds))
     per_ep = eps.select(

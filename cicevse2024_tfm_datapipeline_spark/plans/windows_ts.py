@@ -267,6 +267,26 @@ def w5_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w6_ts_grid(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Uniform grid over the epoch-seconds scan key, bracketed by the
+    events.ts parquet footer statistics (naive datetimes — the NTZ key
+    is derived from calendar fields, i.e. epoch seconds of the naive
+    value, so (dt - epoch).total_seconds() is the same key)."""
+    import datetime as _dt
+
+    from cicevse2024_tfm_datapipeline_spark.operators.scan import uniform_grid
+    from cicevse2024_tfm_datapipeline_spark.sources.readers import (
+        table_column_minmax,
+    )
+
+    lo, hi = table_column_minmax(sf_dir, "events", "ts")
+    epoch = _dt.datetime(1970, 1, 1)
+    n_b = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return uniform_grid(
+        (lo - epoch).total_seconds(), (hi - epoch).total_seconds(), n_b
+    )
+
+
 @register(
     "w6_sessionize_ttd",
     oracle=f"""
@@ -335,9 +355,13 @@ def w6_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # key is UNIQUE in this view (measured max-tie 1 at sf0.01/0.1),
         # so the tie-skew caveat that kept sessionize pinned through r09
         # does not apply here; the flip removes the last localCheckpoint
-        # in a timed path (~+0.2 s local quantile-job constant — SCALE.md
-        # "Sessionize bounds flip")
+        # in a timed path. fixed_bounds (r12) also removes the remaining
+        # per-build approxQuantile job: the NTZ scan key is epoch seconds
+        # of the naive timestamp, and the footer ts statistics bracket it
+        # — a uniform grid over [key(min), key(max)] only sets bucket
+        # balance (events are near-uniform in time), never results.
         bucketing="bounds",
+        fixed_bounds=_w6_ts_grid(spark, sf_dir),
     )
     return out.select(
         F.col("episodes_total").cast("long").alias("episodes_total"),
