@@ -85,11 +85,16 @@ def degrade_windows(
         for pdf in it:
             out = pdf.copy()
             degraded = []
+            append = degraded.append
             for wid, mat in zip(pdf[window_id_col], pdf[matrix_col]):
-                x = np.array([np.asarray(row, dtype=float) for row in mat])
+                # np.stack / ndarray.tolist are the single-call forms of
+                # the former per-row list comprehensions — identical
+                # values (r12; the per-window seeded Generator stream is
+                # the determinism contract and stays per-row)
+                x = np.stack(mat).astype(np.float64, copy=False)
                 rng = _rng_for(seed, wid)
                 y = _degrade_matrix(x, severity, kind, rng)
-                degraded.append([r.tolist() for r in y])
+                append(y.tolist())
             out[matrix_col] = degraded
             yield out
 
