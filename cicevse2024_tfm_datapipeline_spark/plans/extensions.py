@@ -4377,15 +4377,28 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(as_double_array("embedding").alias("v")).localCheckpoint(
         eager=False
     )
+    def _vlit(vals: list[float]) -> Column:
+        # one parsed expression, not 64 py4j literals (r12, guide §5)
+        return F.expr(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+        )
+
     v = [1.0 / 8.0] * 64
     for _ in range(2):
-        vcol = F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+        # r12 (the r11 similarity-family lesson): the per-row dot
+        # product sat INSIDE the transform lambda, where it was
+        # re-folded once PER ELEMENT (64x per row — lambda bodies get no
+        # CSE and HOF folds are interpreted). One projection computes it
+        # once per row; the lambda multiplies by the scalar column.
+        # Identical IEEE expression on identical inputs — bit-equal.
         scaled = e.select(
+            "v", dot_expr(F.col("v"), _vlit(v)).alias("__d")
+        ).select(
             F.posexplode(
                 F.transform(
                     F.col("v"),
                     lambda x: F.floor(
-                        x * dot_expr(F.col("v"), vcol) * 1000000 + F.lit(0.5)
+                        x * F.col("__d") * 1000000 + F.lit(0.5)
                     ).cast("long"),
                 )
             ).alias("dim0", "c")
@@ -4399,11 +4412,18 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = [r["s"] / 1000000.0 for r in sums]
         norm = sum(z * z for z in y) ** 0.5
         v = [z / norm for z in y]
-    vcol = F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
-    d = dot_expr(F.col("v"), vcol)
-    rq = e.agg(
-        (F.sum(F.floor(d * d * 1000000 + F.lit(0.5)).cast("long")) / F.lit(1000000.0)).alias(
-            "lam"
+    # the Rayleigh step folded the dot TWICE per row (d * d); once here
+    rq = (
+        e.select(dot_expr(F.col("v"), _vlit(v)).alias("__d"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("__d") * F.col("__d") * 1000000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / F.lit(1000000.0)
+            ).alias("lam")
         )
     )
     l1 = sum(abs(x) for x in v)
