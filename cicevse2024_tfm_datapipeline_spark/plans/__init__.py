@@ -377,67 +377,138 @@ _R08_CHANGED = [
 # Round-11 window = rotation_window(...) materialized (the meta-test
 # recomputes and compares). Round 11 is the FIRST OPTIMIZATION round, so
 # the changed-plan block dominates by design:
-#   block 1 (2): never-driven — round 11 re-opens the ledger with the
-#     two wave43 registrations (text_url_canonicalize_hosts,
-#     dedup_suffix_lcp_histogram) — their first driver rows land here.
-#   block 2 (40 of the 41 _R11_CHANGED): every query whose PLAN the
-#     optimization round changed (similarity norm precompute, MinHash
-#     signature pin, PSI/Q21/Q7/span/median/corpus-prep/TF-IDF/
-#     classifier restructures, the PSI histogram edges + GBM max_by +
-#     PageRank degree-fold follow-ups, plus the build-round's
-#     wasserstein/SRP/bounds-consumer changes) — each already re-proven
-#     oracle-EXACT at three SFs in-round; the driver re-drive makes
-#     that official. dedup_minhash_lsh_pairs also qualifies but holds
-#     its ANCHOR slot (block 4), so it is not double-listed here.
-#   block 3 (4): oldest-rows-first rotation — the r03 cohort head.
-#   block 4 (4): anchors.
-_PRIORITY = [
-    "text_url_canonicalize_hosts",
-    "dedup_suffix_lcp_histogram",
-    "a_wasserstein_drift",
+# r12 OPTIMIZATION-round changed-plan declarations (rule item 2; every
+# name re-proven oracle-EXACT at sf0.001/0.01/0.1 before its commit —
+# OPTIMIZATION_r12.md has the per-change evidence):
+#   - the MinHash signature-pin repartition removal (operators/dedup.
+#     lsh_candidate_pairs) touches every LSH-pair consumer: the same 14
+#     as r11 (dedup_minhash_lsh_pairs keeps its anchor slot).
+#   - r5_hash_permutation / a_weighted_median / pack_concat_chunks /
+#     a_mann_whitney_u / a_mutual_information_ranking /
+#     f_quantile_normalize / a_psi_drift / w6_sessionize_ttd: the
+#     fixed-bounds family — footer-bracketed literal grids replace
+#     pinned range scans (or, for w6, the per-build quantile job).
+#   - a_kaplan_meier: the stacked cumsums share one pinned range
+#     exchange.
+#   - dedup_containment_pairs: one tokenize pass feeds signatures and
+#     verify sets; dedup_prefix_filter_jaccard: window-count df.
+#   - g_adamic_adar / g_clustering_coefficient / g_triangle_count_lsh:
+#     edge-frame pins + tick fold + pair-oriented triangles.
+#   - ml_pca_power_iteration: per-row dot hoisted out of the transform
+#     lambda; ml_gbm_two_stumps: degenerate-input argmax guard (ADVICE).
+#   - the literal-relation expr-string rewrite (functions/literals.py,
+#     similarity._centroid_literal, wave27 SRP coefficients, scan bounds
+#     arrays): every literal_df/SRP/bounds consumer redrives even where
+#     the parsed plan is argued identical — a fresh row is cheaper than
+#     the argument (rule item 2). a14_clopper_pearson_ci also consumes
+#     literal_df but is rows-only (no window slot); its evidence is the
+#     regenerated ROWSONLY_r12.json hash artifact.
+# Window computed with: python tools/next_window.py --rounds 11
+# --changed <the full _R12_CHANGED list below, in this order>
+_R12_CHANGED = [
+    "dedup_lsh_components",
+    "dedup_fuzzy_survivors",
+    "pipeline_fuzzy_corpus",
+    "dedup_golden_record",
+    "dedup_edit_distance_verify",
+    "dedup_mutual_best_match",
+    "dedup_containment_pairs",
+    "g_pagerank_lsh",
+    "g_triangle_count_lsh",
+    "g_clustering_coefficient",
+    "g_adamic_adar",
+    "g_kcore_two_rounds",
+    "g_bfs_levels_lsh",
+    "dedup_minhash_lsh_pairs",
+    "r5_hash_permutation",
+    "a_kaplan_meier",
+    "dedup_prefix_filter_jaccard",
+    "a_vif_multicollinearity",
+    "a11_multiclass_auc",
+    "a11_ovr_auc_per_class",
+    "j_salted_skew_join",
+    "a_pinball_loss_quantile_eval",
+    "a_quantile_treatment_effect",
+    "a_countmin_heavy_hitters",
+    "ml_gbm_two_stumps",
+    "a_cross_correlation_lags",
+    "m8_sample_size_grid",
+    "text_dedup_threshold_curve",
+    "sim_ivf_topk",
+    "dedup_semdedup_cells",
+    "sample_mixture_by_source",
+    "stream_static_join",
     "sim_srp_lsh_pairs",
-    "w6_sessionize_ttd",
     "a13_threshold_at_fpr",
     "a13_roc_curve_points",
     "a13_roc_auc",
     "a13_average_precision",
-    "a11_multiclass_auc",
-    "sim_bruteforce_cosine_topk",
-    "sim_bucketed_ann_topk",
-    "sim_embedding_near_dup",
-    "sim_ivf_topk",
-    "dedup_semdedup_cells",
-    "ml_knn_classify",
-    "sim_ranking_metrics",
-    "sim_hard_negatives",
-    "sim_mips_norm_reduction",
+    "w6_sessionize_ttd",
+    "a_weighted_median",
+    "pack_concat_chunks",
+    "a_mann_whitney_u",
+    "a_mutual_information_ranking",
+    "f_quantile_normalize",
+    "a_psi_drift",
+    "ml_pca_power_iteration",
+]
+
+#   block 1 (0): never-driven — empty; the wave43 pair landed their
+#     first rows in CORRECTNESS_r11 and the ledger is CLOSED again.
+#   block 2 (44 of the 45 _R12_CHANGED): every query whose plan (or
+#     plan-building helper) the r12 optimization round touched — see
+#     the _R12_CHANGED comment above. dedup_minhash_lsh_pairs holds its
+#     ANCHOR slot (block 4), so it is not double-listed.
+#   block 3 (2): oldest-rows-first rotation (stream_upsert_scd1,
+#     s13_jsonl_sink_roundtrip — the r04-row cohort head).
+#   block 4 (4): anchors.
+_PRIORITY = [
     "dedup_lsh_components",
     "dedup_fuzzy_survivors",
     "pipeline_fuzzy_corpus",
-    "g_pagerank_lsh",
-    "g_triangle_count_lsh",
+    "dedup_golden_record",
     "dedup_edit_distance_verify",
     "dedup_mutual_best_match",
-    "g_clustering_coefficient",
     "dedup_containment_pairs",
+    "g_pagerank_lsh",
+    "g_triangle_count_lsh",
+    "g_clustering_coefficient",
     "g_adamic_adar",
-    "dedup_golden_record",
     "g_kcore_two_rounds",
     "g_bfs_levels_lsh",
-    "a_psi_drift",
-    "tpch_q21_waiting_suppliers",
-    "dedup_duplicate_spans",
-    "j_tpch_q7_nation_volume",
-    "a_weighted_median",
-    "pipeline_corpus_prep",
-    "text_tfidf_topk",
-    "text_quality_linear_classifier",
+    "r5_hash_permutation",
+    "a_kaplan_meier",
+    "dedup_prefix_filter_jaccard",
+    "a_vif_multicollinearity",
+    "a11_multiclass_auc",
+    "a11_ovr_auc_per_class",
+    "j_salted_skew_join",
+    "a_pinball_loss_quantile_eval",
+    "a_quantile_treatment_effect",
+    "a_countmin_heavy_hitters",
     "ml_gbm_two_stumps",
-    "text_textrank_keywords",
+    "a_cross_correlation_lags",
     "m8_sample_size_grid",
-    "p8_p9_network_narrowing",
-    "f14_json_sanitize_roundtrip",
-    "stream_sink_partitioned_lake",
+    "text_dedup_threshold_curve",
+    "sim_ivf_topk",
+    "dedup_semdedup_cells",
+    "sample_mixture_by_source",
+    "stream_static_join",
+    "sim_srp_lsh_pairs",
+    "a13_threshold_at_fpr",
+    "a13_roc_curve_points",
+    "a13_roc_auc",
+    "a13_average_precision",
+    "w6_sessionize_ttd",
+    "a_weighted_median",
+    "pack_concat_chunks",
+    "a_mann_whitney_u",
+    "a_mutual_information_ranking",
+    "f_quantile_normalize",
+    "a_psi_drift",
+    "ml_pca_power_iteration",
+    "stream_upsert_scd1",
+    "s13_jsonl_sink_roundtrip",
     "w1_chrono_split_counts",
     "dedup_minhash_lsh_pairs",
     "stream_session_window",

@@ -101,7 +101,7 @@ def test_rotation_plans_resolve():
 #: committed official driver artifacts — enumerated EXPLICITLY (not
 #: globbed) so an uncommitted or future CORRECTNESS_r0x.json in the tree
 #: cannot silently change what these meta-tests pin (r07 ADVICE item).
-_ARTIFACT_ROUNDS = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+_ARTIFACT_ROUNDS = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
 
 
 def _latest_driven_round() -> dict[str, int]:
@@ -120,12 +120,8 @@ def _latest_driven_round() -> dict[str, int]:
 #: DECLARED ledger re-opening (block 1 of the rotation rule). Names move
 #: out of this set (back to the empty default) once the round's
 #: CORRECTNESS artifact lands in _ARTIFACT_ROUNDS with their first rows.
-_NEW_REGISTRATIONS = frozenset(
-    {  # wave43, round 11 (the wave42 four landed green in CORRECTNESS_r10)
-        "text_url_canonicalize_hosts",
-        "dedup_suffix_lcp_histogram",
-    }
-)
+_NEW_REGISTRATIONS = frozenset()  # ledger closed: the wave43 pair
+# landed their first rows in CORRECTNESS_r11; round 12 registers nothing
 
 
 def test_ledger_is_closed():
@@ -152,7 +148,7 @@ def test_ledger_is_closed():
 def test_priority_window_matches_rotation_rule():
     """_PRIORITY must equal rotation_window(...) recomputed from the raw
     registration order, the oracle map, the committed CORRECTNESS
-    artifacts, and the declared _R11_CHANGED list — the _ROTATION_RULE
+    artifacts, and the declared _R12_CHANGED list — the _ROTATION_RULE
     policy is executable, not prose."""
     from cicevse2024_tfm_datapipeline_spark import plans
     from cicevse2024_tfm_datapipeline_spark.plans import load_all
@@ -164,13 +160,13 @@ def test_priority_window_matches_rotation_rule():
         registration_order=list(reg),
         oracled={n for n, q in reg.items() if q.oracle is not None},
         latest_round=_latest_driven_round(),
-        changed=plans._R11_CHANGED,
+        changed=plans._R12_CHANGED,
         rows_only_ok=plans._ROWS_ONLY_WINDOW_OK,
     )
     assert plans._PRIORITY == expected
     # every changed-plan name must be spent on a real re-drive: registered
     # and previously driven (a never-driven name belongs to block 1)
     latest = _latest_driven_round()
-    for name in plans._R11_CHANGED:
+    for name in plans._R12_CHANGED:
         assert name in reg, name
-        assert name in latest, f"_R11_CHANGED lists never-driven {name}"
+        assert name in latest, f"_R12_CHANGED lists never-driven {name}"
